@@ -1,0 +1,143 @@
+"""Count-Min Sketch with conservative update — numpy-vectorized, mergeable.
+
+Approximate counterpart of the reference's per-partition frequency accounting:
+`partitionSizes[]` running counters and neighbor histograms
+(`/root/reference/src/main/java/ca/uwaterloo/cs/sgp/streaming/EdgeCutSGP.java:28,97-110`)
+— small fixed-size state updated once per streamed record, merged by addition.
+
+Conservative update is vectorized batch-wise: within an Arrow batch, items are
+grouped (np.unique w/ counts); for each unique item the new cell value is
+max(cell, min_over_rows(cell) + batch_count). This preserves the
+no-underestimate invariant (every cell stays >= the true count of every item
+hashing to it) and upper-bounds plain update cell values (tested property),
+while staying a single gather/scatter per batch instead of a per-item loop.
+Deviation from the strictly-sequential textbook CU is documented here: batch
+granularity matches the reference's own batch-relaxation stance for parallel
+execution (SURVEY.md §7.4).
+
+Merge: cell-wise sum — associative and commutative. NOTE merged conservative
+sketches lose some CU tightness (sum of per-shard mins >= global min) but the
+epsilon-delta guarantee `est <= true + eps*N with prob >= 1-delta` still holds
+because cell-wise sum never drops counts and the plain-CMS overestimate bound
+applies to the sum.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .hashing import hash64
+
+MAGIC = b"SK"
+VERSION = 1
+TYPE_CMS = 2
+
+
+class CMS:
+    __slots__ = ("depth", "width", "seed", "table", "n_items")
+
+    def __init__(self, depth: int = 4, width: int = 1 << 14, seed: int = 7,
+                 table: np.ndarray | None = None, n_items: int = 0):
+        if width & (width - 1):
+            raise ValueError("width must be a power of two")
+        self.depth = depth
+        self.width = width
+        self.seed = seed
+        self.table = table if table is not None else np.zeros((depth, width), dtype=np.int64)
+        self.n_items = n_items
+
+    # eps/delta of the classic analysis: width = ceil(e/eps), depth = ceil(ln 1/delta)
+    @property
+    def eps(self) -> float:
+        return np.e / self.width
+
+    @property
+    def delta(self) -> float:
+        return float(np.exp(-self.depth))
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        """(depth, n) matrix of column indices for pre-hashed uint64 values."""
+        cols = np.empty((self.depth, h.size), dtype=np.int64)
+        mask = np.uint64(self.width - 1)
+        for j in range(self.depth):
+            cols[j] = (hash64(h, seed=self.seed + j) & mask).astype(np.int64)
+        return cols
+
+    def update_hashes(self, h: np.ndarray, counts: np.ndarray | None = None,
+                      conservative: bool = True) -> "CMS":
+        h = np.asarray(h, dtype=np.uint64)
+        if h.size == 0:
+            return self
+        if counts is None:
+            h, counts = np.unique(h, return_counts=True)
+        else:
+            counts = np.asarray(counts, dtype=np.int64)
+            # collapse duplicate items so CU sees one delta per item
+            uh, inv = np.unique(h, return_inverse=True)
+            if uh.size != h.size:
+                agg = np.zeros(uh.size, dtype=np.int64)
+                np.add.at(agg, inv, counts)
+                h, counts = uh, agg
+        cols = self._rows(h)
+        self.n_items += int(counts.sum())
+        if conservative:
+            cells = np.empty((self.depth, h.size), dtype=np.int64)
+            for j in range(self.depth):
+                cells[j] = self.table[j, cols[j]]
+            target = cells.min(axis=0) + counts
+            for j in range(self.depth):
+                # scatter-max: cells shared by several unique items must take
+                # the largest target, and never shrink
+                np.maximum.at(self.table[j], cols[j], target)
+        else:
+            for j in range(self.depth):
+                np.add.at(self.table[j], cols[j], counts)
+        return self
+
+    def update(self, values: np.ndarray, counts=None, conservative: bool = True,
+               seed: int = 0) -> "CMS":
+        return self.update_hashes(hash64(np.asarray(values), seed=seed),
+                                  counts=counts, conservative=conservative)
+
+    def merge(self, other: "CMS") -> "CMS":
+        if not isinstance(other, CMS):
+            raise TypeError(f"cannot merge CMS with {type(other).__name__}")
+        if (self.depth, self.width, self.seed) != (other.depth, other.width, other.seed):
+            raise ValueError("CMS shape/seed mismatch")
+        return CMS(self.depth, self.width, self.seed,
+                   table=self.table + other.table,
+                   n_items=self.n_items + other.n_items)
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, dtype=np.uint64)
+        if h.size == 0:
+            return np.empty(0, dtype=np.int64)
+        cols = self._rows(h)
+        cells = np.empty((self.depth, h.size), dtype=np.int64)
+        for j in range(self.depth):
+            cells[j] = self.table[j, cols[j]]
+        return cells.min(axis=0)
+
+    def estimate(self, values: np.ndarray, seed: int = 0) -> np.ndarray:
+        return self.estimate_hashes(hash64(np.asarray(values), seed=seed))
+
+    def to_bytes(self) -> bytes:
+        head = struct.pack("<2sBBBIQQ", MAGIC, VERSION, TYPE_CMS,
+                           self.depth, self.width, self.seed, self.n_items)
+        return head + self.table.astype("<i8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "CMS":
+        magic, ver, typ, depth, width, seed, n_items = struct.unpack_from("<2sBBBIQQ", buf, 0)
+        if magic != MAGIC or typ != TYPE_CMS:
+            raise ValueError("not a CMS blob")
+        off = struct.calcsize("<2sBBBIQQ")
+        table = np.frombuffer(buf, dtype="<i8", count=depth * width, offset=off)
+        return cls(depth, width, seed, table=table.reshape(depth, width).copy(),
+                   n_items=n_items)
+
+
+def empty(depth: int = 4, width: int = 1 << 14, seed: int = 7) -> CMS:
+    return CMS(depth, width, seed)

@@ -1,0 +1,48 @@
+"""Sketch type registry: dispatch (de)serialization and construction by the
+type byte in the blob header, so the Spark layer can carry heterogeneous
+sketch states through one BinaryType column."""
+
+from __future__ import annotations
+
+import struct
+
+from . import bloom, cms, hll, kll, tdigest
+
+_TYPES = {
+    hll.TYPE_HLL: hll.HLL,
+    cms.TYPE_CMS: cms.CMS,
+    bloom.TYPE_BLOOM: bloom.Bloom,
+    kll.TYPE_KLL: kll.KLL,
+    tdigest.TYPE_TDIGEST: tdigest.TDigest,
+}
+
+_FACTORIES = {
+    "hll": hll.empty,
+    "cms": cms.empty,
+    "bloom": bloom.empty,
+    "kll": kll.empty,
+    "tdigest": tdigest.empty,
+}
+
+
+def from_bytes(buf: bytes):
+    magic, _ver, typ = struct.unpack_from("<2sBB", buf, 0)
+    if magic != b"SK":
+        raise ValueError("bad sketch magic")
+    try:
+        return _TYPES[typ].from_bytes(buf)
+    except KeyError:
+        raise ValueError(f"unknown sketch type {typ}") from None
+
+
+def make(kind: str, **params):
+    return _FACTORIES[kind](**params)
+
+
+def merge_blobs(blobs) -> bytes:
+    """Merge an iterable of serialized sketch states of one kind."""
+    it = iter(blobs)
+    acc = from_bytes(next(it))
+    for b in it:
+        acc = acc.merge(from_bytes(b))
+    return acc.to_bytes()

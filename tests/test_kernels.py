@@ -1,0 +1,280 @@
+"""Kernel unit tests (pure numpy, no Spark) — SURVEY.md §5.2.1."""
+
+import numpy as np
+import pytest
+
+from sgp_sketch.kernels import bloom, cms, hll, kll, tdigest, registry
+from sgp_sketch.kernels.hashing import hash64, hash_str_array, pmod, splitmix64
+
+RNG = np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------- hashing
+
+def test_splitmix_known_values():
+    # splitmix64(0) reference value (Vigna's test vectors)
+    out = splitmix64(np.array([0], dtype=np.uint64))
+    assert out.dtype == np.uint64
+    assert out[0] == np.uint64(0xE220A8397B1DCDAF)
+
+
+def test_hash64_seed_independence():
+    x = RNG.integers(0, 2**63, 10000, dtype=np.uint64)
+    h0, h1 = hash64(x, 0), hash64(x, 1)
+    assert h0.dtype == np.uint64  # no silent float promotion (numpy 1.26!)
+    assert (h0 != h1).mean() > 0.999
+
+
+def test_hash64_uniformity():
+    x = np.arange(100000, dtype=np.uint64)
+    buckets = pmod(hash64(x), 16)
+    counts = np.bincount(buckets, minlength=16)
+    assert counts.max() / counts.mean() < 1.05
+
+
+def test_hash_str_deterministic_and_distinct():
+    a = hash_str_array(["foo", "bar", "foo", ""])
+    b = hash_str_array(["foo", "bar", "foo", ""])
+    assert (a == b).all()
+    assert a[0] == a[2] and a[0] != a[1] and a[3] != a[0]
+
+
+# ---------------------------------------------------------------- HLL
+
+def test_hll_clz_exact():
+    w = np.array([0, 1, 2, 2**63, 2**62 - 1, 2**64 - 1], dtype=np.uint64)
+    assert list(hll._clz64(w)) == [64, 63, 62, 0, 2, 0]
+
+
+@pytest.mark.parametrize("n", [0, 1, 100, 3000, 50000, 500000])
+def test_hll_accuracy(n):
+    h = hll.HLL(p=14)
+    h.update(RNG.integers(0, 2**62, n * 2, dtype=np.uint64)[:n] if n else
+             np.empty(0, dtype=np.uint64))
+    exact = len(np.unique(RNG.integers(0, 2**62, 0)))  # placeholder
+    vals = np.arange(n, dtype=np.uint64) * np.uint64(2654435761)
+    h2 = hll.HLL(p=14).update(vals)
+    est = h2.estimate()
+    bound = 3 * h2.rel_error_bound()
+    if n == 0:
+        assert est == 0.0
+    else:
+        assert abs(est - n) / n <= max(bound, 0.03), (n, est)
+
+
+def test_hll_sparse_to_dense_promotion():
+    h = hll.HLL(p=10)
+    h.update(np.arange(50, dtype=np.uint64))
+    assert h.dense is None
+    h.update(np.arange(50, 5000, dtype=np.uint64))
+    assert h.dense is not None
+    est = h.estimate()
+    assert abs(est - 5000) / 5000 < 0.15  # p=10 → σ≈3.3%
+
+
+def test_hll_idempotent_update():
+    v = np.arange(1000, dtype=np.uint64)
+    a = hll.HLL(p=12).update(v).update(v).update(v)
+    b = hll.HLL(p=12).update(v)
+    assert a.to_bytes() == b.to_bytes()
+
+
+def test_hll_serde_roundtrip():
+    for n in (10, 10000):
+        h = hll.HLL(p=12).update(np.arange(n, dtype=np.uint64))
+        h2 = hll.HLL.from_bytes(h.to_bytes())
+        assert h2.to_bytes() == h.to_bytes()
+        assert h2.estimate() == h.estimate()
+
+
+# ---------------------------------------------------------------- CMS
+
+def test_cms_never_underestimates():
+    s = cms.CMS(depth=4, width=1 << 10)
+    vals = RNG.integers(0, 5000, 200000, dtype=np.int64)
+    s.update(vals)
+    uniq, counts = np.unique(vals, return_counts=True)
+    est = s.estimate(uniq)
+    assert (est >= counts).all()
+
+
+def test_cms_conservative_beats_plain():
+    vals = RNG.zipf(1.3, 100000).astype(np.int64)
+    cons = cms.CMS(depth=4, width=1 << 10).update(vals, conservative=True)
+    plain = cms.CMS(depth=4, width=1 << 10).update(vals, conservative=False)
+    assert cons.table.sum() <= plain.table.sum()
+    uniq, counts = np.unique(vals, return_counts=True)
+    assert (cons.estimate(uniq) >= counts).all()
+    assert cons.estimate(uniq).sum() <= plain.estimate(uniq).sum()
+
+
+def test_cms_eps_bound():
+    s = cms.CMS(depth=5, width=1 << 12)
+    vals = RNG.zipf(1.2, 300000)
+    vals = vals[vals < 10**9].astype(np.int64)
+    s.update(vals)
+    uniq, counts = np.unique(vals, return_counts=True)
+    err = s.estimate(uniq) - counts
+    n = len(vals)
+    # eps*N bound with prob 1-delta; allow the expected tiny tail
+    frac_over = (err > s.eps * n).mean()
+    assert frac_over <= s.delta * 2
+
+
+def test_cms_merge_equals_plain_sum():
+    # merge is cell-wise sum: exactly associative/commutative, byte-stable
+    a_vals = RNG.integers(0, 1000, 5000, dtype=np.int64)
+    b_vals = RNG.integers(0, 1000, 5000, dtype=np.int64)
+    a = cms.CMS(width=1 << 10).update(a_vals)
+    b = cms.CMS(width=1 << 10).update(b_vals)
+    ab, ba = a.merge(b), b.merge(a)
+    assert ab.to_bytes() == ba.to_bytes()
+    assert ab.n_items == 10000
+
+
+def test_cms_weighted_update():
+    s = cms.CMS(width=1 << 12)
+    s.update(np.array([7, 7, 9]), counts=np.array([3, 2, 10]))
+    assert s.estimate(np.array([7]))[0] >= 5
+    assert s.estimate(np.array([9]))[0] >= 10
+    assert s.n_items == 15
+
+
+def test_cms_serde():
+    s = cms.CMS(width=1 << 10).update(np.arange(1000))
+    s2 = cms.CMS.from_bytes(s.to_bytes())
+    assert (s2.table == s.table).all() and s2.n_items == s.n_items
+
+
+# ---------------------------------------------------------------- Bloom
+
+def test_bloom_no_false_negatives():
+    b = bloom.Bloom.for_capacity(20000)
+    vals = RNG.integers(0, 2**60, 20000, dtype=np.uint64)
+    b.update(vals)
+    assert b.contains(vals).all()
+
+
+def test_bloom_fpr():
+    b = bloom.Bloom.for_capacity(10000, bits_per_item=16)
+    ins = np.arange(10000, dtype=np.uint64)
+    b.update(ins)
+    probe = np.arange(10**6, 10**6 + 50000, dtype=np.uint64)
+    fpr = b.contains(probe).mean()
+    assert fpr <= max(2 * b.fpr_configured(), 0.02), fpr
+
+
+def test_bloom_merge_or():
+    a = bloom.Bloom(n_blocks=64).update(np.arange(100, dtype=np.uint64))
+    c = bloom.Bloom(n_blocks=64).update(np.arange(100, 200, dtype=np.uint64))
+    m = a.merge(c)
+    assert m.contains(np.arange(200, dtype=np.uint64)).all()
+    assert m.to_bytes() == c.merge(a).to_bytes()
+
+
+def test_bloom_serde():
+    b = bloom.Bloom(n_blocks=64).update(np.arange(500, dtype=np.uint64))
+    b2 = bloom.Bloom.from_bytes(b.to_bytes())
+    assert b2.to_bytes() == b.to_bytes()
+
+
+# ---------------------------------------------------------------- KLL
+
+def test_kll_rank_error():
+    vals = RNG.lognormal(5.5, 0.8, 100000)
+    k = kll.KLL(k=200).update(vals)
+    qs = np.array([0.01, 0.25, 0.5, 0.75, 0.99])
+    est = k.quantiles(qs)
+    sorted_vals = np.sort(vals)
+    for q, e in zip(qs, est):
+        true_rank = np.searchsorted(sorted_vals, e) / len(vals)
+        assert abs(true_rank - q) <= 0.015, (q, true_rank)
+
+
+def test_kll_min_max_exact():
+    vals = RNG.normal(0, 10, 50000)
+    k = kll.KLL(k=128).update(vals)
+    assert k.quantiles([0.0])[0] == vals.min()
+    assert k.quantiles([1.0])[0] == vals.max()
+
+
+def test_kll_merge_bound():
+    a_vals = RNG.normal(0, 1, 40000)
+    b_vals = RNG.normal(5, 2, 60000)
+    merged = kll.KLL(k=200).update(a_vals).merge(kll.KLL(k=200).update(b_vals))
+    assert merged.n == 100000
+    all_vals = np.sort(np.concatenate([a_vals, b_vals]))
+    for q in (0.1, 0.5, 0.9):
+        e = merged.quantiles([q])[0]
+        true_rank = np.searchsorted(all_vals, e) / len(all_vals)
+        assert abs(true_rank - q) <= 0.02, (q, true_rank)
+
+
+def test_kll_serde():
+    k = kll.KLL(k=160).update(RNG.normal(0, 1, 30000))
+    k2 = kll.KLL.from_bytes(k.to_bytes())
+    assert k2.to_bytes() == k.to_bytes()
+    assert (k2.quantiles([0.5]) == k.quantiles([0.5])).all()
+
+
+def test_kll_state_is_sublinear():
+    k = kll.KLL(k=200).update(RNG.normal(0, 1, 10**6))
+    assert sum(a.size for a in k.levels) < 5000
+
+
+# ---------------------------------------------------------------- t-digest
+
+def test_tdigest_rank_error():
+    vals = RNG.lognormal(5.5, 0.8, 100000)
+    t = tdigest.TDigest(delta=100).update(vals)
+    sorted_vals = np.sort(vals)
+    for q in (0.001, 0.01, 0.25, 0.5, 0.75, 0.99, 0.999):
+        e = t.quantiles([q])[0]
+        true_rank = np.searchsorted(sorted_vals, e) / len(vals)
+        tol = 0.005 if q < 0.02 or q > 0.98 else 0.02  # k1 scale: sharp tails
+        assert abs(true_rank - q) <= tol, (q, true_rank)
+
+
+def test_tdigest_centroid_invariants():
+    t = tdigest.TDigest(delta=100).update(RNG.normal(0, 1, 200000))
+    assert t.means.size <= 2 * t.delta
+    assert (np.diff(t.means) >= 0).all()  # sorted centroids
+    assert t.weights.sum() == 200000  # weight conservation
+
+
+def test_tdigest_merge_bound():
+    a = tdigest.TDigest().update(RNG.normal(0, 1, 50000))
+    b = tdigest.TDigest().update(RNG.normal(3, 1, 50000))
+    m = a.merge(b)
+    assert m.n == 100000
+    assert abs(m.quantiles([0.5])[0] - 1.5) < 0.3
+
+
+def test_tdigest_serde():
+    t = tdigest.TDigest().update(RNG.normal(0, 1, 10000))
+    t2 = tdigest.TDigest.from_bytes(t.to_bytes())
+    assert t2.to_bytes() == t.to_bytes()
+
+
+# ---------------------------------------------------------------- registry
+
+def test_registry_dispatch():
+    states = [
+        hll.HLL(p=10).update(np.arange(100, dtype=np.uint64)),
+        cms.CMS(width=1 << 10).update(np.arange(100)),
+        bloom.Bloom(n_blocks=64).update(np.arange(100, dtype=np.uint64)),
+        kll.KLL().update(np.arange(100.0)),
+        tdigest.TDigest().update(np.arange(100.0)),
+    ]
+    for s in states:
+        rt = registry.from_bytes(s.to_bytes())
+        assert type(rt) is type(s)
+        assert rt.to_bytes() == s.to_bytes()
+
+
+def test_registry_merge_blobs():
+    blobs = [hll.HLL(p=12).update(np.arange(i * 1000, (i + 1) * 1000,
+                                            dtype=np.uint64)).to_bytes()
+             for i in range(4)]
+    merged = registry.from_bytes(registry.merge_blobs(blobs))
+    assert abs(merged.estimate() - 4000) / 4000 < 0.05

@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis, seeded) — SURVEY.md §5.2.2.
+
+The load-bearing invariants for distributed execution:
+  * merge associativity/commutativity (byte-equal for HLL/CMS/Bloom whose
+    merges are register-max / cell-sum / bit-or; bound-equal for KLL/t-digest)
+  * identity: merge(a, empty) == a
+  * chunking invariance: build-from-one-batch == build-from-chunks-then-merge
+    — this is exactly what makes arbitrary Spark partitioning safe.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from sgp_sketch.kernels import bloom, cms, hll, kll, tdigest
+
+SETTINGS = dict(max_examples=25, deadline=None)
+
+u64_arrays = st.lists(st.integers(0, 2**63 - 1), min_size=0, max_size=500).map(
+    lambda xs: np.array(xs, dtype=np.uint64))
+f64_arrays = st.lists(
+    st.floats(-1e6, 1e6, allow_nan=False), min_size=0, max_size=500).map(
+    lambda xs: np.array(xs, dtype=np.float64))
+
+
+# --------------------------------------------------- byte-stable sketches
+
+@given(a=u64_arrays, b=u64_arrays, c=u64_arrays)
+@settings(**SETTINGS)
+def test_hll_merge_associative_commutative_bytes(a, b, c):
+    mk = lambda v: hll.HLL(p=8).update(v)
+    ha, hb, hc = mk(a), mk(b), mk(c)
+    left = ha.merge(hb).merge(hc)
+    right = ha.merge(hb.merge(hc))
+    assert left.to_bytes() == right.to_bytes()
+    assert ha.merge(hb).to_bytes() == hb.merge(ha).to_bytes()
+    assert ha.merge(hll.HLL(p=8)).to_bytes() == ha.to_bytes()
+
+
+@given(a=u64_arrays, b=u64_arrays, c=u64_arrays)
+@settings(**SETTINGS)
+def test_cms_merge_associative_commutative_bytes(a, b, c):
+    mk = lambda v: cms.CMS(depth=3, width=256).update(v)
+    sa, sb, sc = mk(a), mk(b), mk(c)
+    assert sa.merge(sb).merge(sc).to_bytes() == sa.merge(sb.merge(sc)).to_bytes()
+    assert sa.merge(sb).to_bytes() == sb.merge(sa).to_bytes()
+    assert sa.merge(cms.CMS(depth=3, width=256)).to_bytes() == sa.to_bytes()
+
+
+@given(a=u64_arrays, b=u64_arrays, c=u64_arrays)
+@settings(**SETTINGS)
+def test_bloom_merge_associative_commutative_bytes(a, b, c):
+    mk = lambda v: bloom.Bloom(n_blocks=32).update(v)
+    ba, bb, bc = mk(a), mk(b), mk(c)
+    assert ba.merge(bb).merge(bc).to_bytes() == ba.merge(bb.merge(bc)).to_bytes()
+    assert ba.merge(bb).to_bytes() == bb.merge(ba).to_bytes()
+    assert ba.merge(bloom.Bloom(n_blocks=32)).to_bytes() == ba.to_bytes()
+    # idempotence
+    assert ba.merge(ba).words.tobytes() == ba.words.tobytes()
+
+
+# --------------------------------------------------- chunking invariance
+
+@given(v=u64_arrays, splits=st.lists(st.integers(0, 500), max_size=4))
+@settings(**SETTINGS)
+def test_hll_chunking_invariance(v, splits):
+    whole = hll.HLL(p=8).update(v)
+    parts = np.split(v, sorted(s % (len(v) + 1) for s in splits))
+    acc = hll.HLL(p=8)
+    for part in parts:
+        acc = acc.merge(hll.HLL(p=8).update(part))
+    assert acc.to_bytes() == whole.to_bytes()
+
+
+@given(v=u64_arrays, cut=st.integers(0, 500))
+@settings(**SETTINGS)
+def test_bloom_chunking_invariance(v, cut):
+    cut = cut % (len(v) + 1)
+    whole = bloom.Bloom(n_blocks=32).update(v)
+    merged = bloom.Bloom(n_blocks=32).update(v[:cut]).merge(
+        bloom.Bloom(n_blocks=32).update(v[cut:]))
+    assert merged.words.tobytes() == whole.words.tobytes()
+
+
+@given(v=u64_arrays, cut=st.integers(0, 500))
+@settings(**SETTINGS)
+def test_cms_chunked_never_underestimates(v, cut):
+    # CU at batch granularity: chunked builds may differ in bytes but must
+    # still never underestimate any item's true count.
+    cut = cut % (len(v) + 1)
+    merged = cms.CMS(depth=3, width=256).update(v[:cut]).merge(
+        cms.CMS(depth=3, width=256).update(v[cut:]))
+    if len(v):
+        uniq, counts = np.unique(v, return_counts=True)
+        assert (merged.estimate(uniq) >= counts).all()
+
+
+# --------------------------------------------------- bound-stable sketches
+
+@given(a=f64_arrays, b=f64_arrays)
+@settings(**SETTINGS)
+def test_kll_merge_weight_conservation(a, b):
+    ka = kll.KLL(k=64).update(a)
+    kb = kll.KLL(k=64).update(b)
+    m = ka.merge(kb)
+    assert m.n == len(a) + len(b)
+    if len(a) + len(b):
+        total_w = sum(arr.size * (1 << i) for i, arr in enumerate(m.levels))
+        assert total_w == len(a) + len(b)
+        allv = np.concatenate([a, b])
+        assert m.quantiles([0.0])[0] == allv.min()
+        assert m.quantiles([1.0])[0] == allv.max()
+
+
+@given(a=f64_arrays, b=f64_arrays)
+@settings(**SETTINGS)
+def test_tdigest_merge_weight_conservation(a, b):
+    ta = tdigest.TDigest(delta=50).update(a)
+    tb = tdigest.TDigest(delta=50).update(b)
+    m = ta.merge(tb)
+    assert m.n == len(a) + len(b)
+    if len(a) + len(b):
+        assert abs(m.weights.sum() - (len(a) + len(b))) < 1e-6
+        allv = np.concatenate([a, b])
+        assert m.vmin == allv.min() and m.vmax == allv.max()
+        # quantile estimates stay inside [min, max]
+        qs = m.quantiles(np.linspace(0, 1, 11))
+        assert (qs >= m.vmin - 1e-9).all() and (qs <= m.vmax + 1e-9).all()
+
+
+@given(v=f64_arrays)
+@settings(**SETTINGS)
+def test_kll_serde_identity(v):
+    k = kll.KLL(k=64).update(v)
+    assert kll.KLL.from_bytes(k.to_bytes()).to_bytes() == k.to_bytes()
+
+
+@given(v=f64_arrays)
+@settings(**SETTINGS)
+def test_tdigest_serde_identity(v):
+    t = tdigest.TDigest(delta=50).update(v)
+    assert tdigest.TDigest.from_bytes(t.to_bytes()).to_bytes() == t.to_bytes()
