@@ -1,0 +1,247 @@
+"""User-facing query API over sketch state tables.
+
+The reference's "queries" are partition-quality probes (1-hop/2-hop
+traversals routed to the shard owning the start vertex,
+`/root/reference/scripts/interactive/gremlin/PartitioningTwoHopTest.groovy:156-169`);
+ours are the four sketch queries the north_star names: distinct-token
+cardinality (HLL), heavy-hitter frequencies (CMS + top-K candidates),
+n_tok quantiles (t-digest / KLL), token membership (Bloom).
+
+Finalization (blob → number) touches one row per group — tiny — so scalar
+pandas UDFs over the blob column are fine there; the full-data scan path
+stays in agg.build_partials (vectorized numpy only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import agg
+from .kernels import cms as cms_mod
+from .kernels import registry
+from .kernels.hashing import hash64
+
+
+# --------------------------------------------------------------- finalizers
+
+def _estimate_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def est(state: pd.Series) -> pd.Series:
+        return state.map(lambda b: float(registry.from_bytes(b).estimate()))
+    return est
+
+
+def _quantile_udf(qs):
+    from pyspark.sql.functions import pandas_udf
+
+    qs = list(qs)
+
+    @pandas_udf("array<double>")
+    def quant(state: pd.Series) -> pd.Series:
+        return state.map(lambda b: registry.from_bytes(b).quantiles(qs).tolist())
+    return quant
+
+
+# --------------------------------------------------------------- queries
+
+def distinct_tokens(df, group_cols=("source",), value_col="tokens",
+                    p: int = 14, include_global: bool = False):
+    """Approximate COUNT(DISTINCT token) per group via HLL++.
+
+    → DataFrame(group_cols..., est_distinct double). The exact counterpart
+    is `dropDuplicates().count()` (`/root/reference/scripts/analytics/snap2metis.scala:44`).
+    """
+    from pyspark.sql import functions as F
+
+    blobs = agg.sketch_agg(df, "hll", value_col, group_cols, {"p": p})
+    est = _estimate_udf()
+    out = blobs.select(*group_cols, est("state").alias("est_distinct"))
+    if include_global:
+        gblob = agg.merge_across(blobs, group_cols=())
+        gout = gblob.select(est("state").alias("est_distinct"))
+        for c in group_cols:
+            gout = gout.withColumn(c, F.lit("__all__"))
+        out = out.unionByName(gout.select(*group_cols, "est_distinct"))
+    return out
+
+
+def n_tok_quantiles(df, qs=(0.01, 0.25, 0.5, 0.75, 0.99), value_col="n_tok",
+                    group_cols=("source",), kind: str = "kll",
+                    params: dict | None = None):
+    """Approximate quantiles of a numeric column per group (KLL or t-digest).
+
+    → DataFrame(group_cols..., q double, value double) — long form, one row
+    per requested quantile, mirroring the reference's percentile rows
+    (`/root/reference/containers/analytics/scripts/log_parser.py:134-138`).
+    """
+    from pyspark.sql import functions as F
+
+    blobs = agg.sketch_agg(df, kind, value_col, group_cols, params or {})
+    quant = _quantile_udf(qs)
+    wide = blobs.select(*group_cols, quant("state").alias("vals"))
+    qlit = F.array(*[F.lit(float(q)) for q in qs])
+    return wide.select(
+        *group_cols,
+        F.explode(F.arrays_zip(qlit.alias("q"), F.col("vals").alias("value")))
+        .alias("z")).select(*group_cols, "z.q", "z.value")
+
+
+def heavy_hitters(df, k: int = 20, value_col="tokens", group_cols=("source",),
+                  depth: int = 4, width: int = 1 << 14,
+                  candidates_per_partial: int | None = None):
+    """Top-K most frequent tokens per group: CMS for counts + per-partition
+    exact candidate heaps, merged tree-wise.
+
+    Per partial: a CMS over all values plus the locally most frequent C
+    candidates. Merge: CMS cell-sum + candidate-set union; final estimates
+    come from the merged CMS, ranked, top-K kept. Any globally-frequent token
+    is locally frequent in at least one partition slice (C >= k x oversample),
+    the standard distributed heavy-hitter argument.
+
+    → DataFrame(group_cols..., token long, est_count long, rank int).
+    """
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    group_cols = list(group_cols)
+    C = candidates_per_partial or max(8 * k, 256)
+    in_schema = df.schema
+    group_fields = ", ".join(
+        f"{c} {in_schema[c].dataType.simpleString()}" for c in group_cols)
+    schema = ((group_fields + ", ") if group_fields else "") + \
+        "state binary, cands array<long>, n_items long, part_id long"
+    params = {"depth": depth, "width": width}
+
+    def partial(iterator):
+        states: dict[tuple, cms_mod.CMS] = {}
+        acc_u: dict[tuple, list] = {}  # per-batch (uniq, count) arrays
+        acc_c: dict[tuple, list] = {}
+        for pdf in iterator:
+            grouped = pdf.groupby(group_cols, sort=False) if group_cols else [((), pdf)]
+            for gkey, sub in grouped:
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                flat = agg._extract_values(sub[value_col], numeric=False)
+                if flat.size == 0:
+                    continue
+                st = states.get(gkey)
+                if st is None:
+                    st = cms_mod.CMS(**params)
+                    states[gkey] = st
+                    acc_u[gkey], acc_c[gkey] = [], []
+                uniq, counts = np.unique(flat.astype(np.int64), return_counts=True)
+                st.update_hashes(hash64(uniq.view(np.uint64)), counts=counts)
+                acc_u[gkey].append(uniq)
+                acc_c[gkey].append(counts)
+        if not states:
+            return
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for gkey, st in states.items():
+            # exact local counts across batches, vectorized group-sum
+            uu = np.concatenate(acc_u[gkey])
+            cc = np.concatenate(acc_c[gkey])
+            uniq, inv = np.unique(uu, return_inverse=True)
+            tot = np.zeros(uniq.size, dtype=np.int64)
+            np.add.at(tot, inv, cc)
+            order = np.lexsort((uniq, -tot))[:C]
+            rows.append((*gkey, st.to_bytes(), uniq[order].tolist(),
+                         st.n_items, pid))
+        yield pd.DataFrame(rows, columns=group_cols + [
+            "state", "cands", "n_items", "part_id"])
+
+    def merge(key, pdf):
+        merged = registry.merge_blobs(list(pdf["state"]))
+        st = registry.from_bytes(merged)
+        cands = np.unique(np.concatenate([np.asarray(c, dtype=np.int64)
+                                          for c in pdf["cands"]]))
+        est = st.estimate_hashes(hash64(cands.view(np.uint64)))
+        order = np.argsort(-est, kind="stable")[:C]
+        row = {c: pdf[c].iloc[0] for c in group_cols}
+        row.update(state=merged, cands=cands[order].tolist(),
+                   n_items=int(pdf["n_items"].sum()),
+                   part_id=int(pdf["part_id"].iloc[0]))
+        return pd.DataFrame([row])
+
+    import math
+
+    n_parts = df.rdd.getNumPartitions()
+    partials = df.select(*group_cols, value_col).mapInPandas(partial, schema)
+    fanin = 64
+    rounds = max(1, math.ceil(math.log(max(n_parts, 2), fanin)))
+    merged = partials
+    for _ in range(rounds):
+        merged = merged.withColumn(
+            "part_id", (F.col("part_id") / F.lit(fanin)).cast("long"))
+        merged = merged.groupBy(*group_cols, "part_id").applyInPandas(merge, schema)
+
+    # final: explode candidates, estimate with the merged CMS, rank, top-k
+    def finalize(key, pdf):
+        st = registry.from_bytes(pdf["state"].iloc[0])
+        cands = np.asarray(pdf["cands"].iloc[0], dtype=np.int64)
+        est = st.estimate_hashes(hash64(cands.view(np.uint64)))
+        order = np.lexsort((cands, -est))[:k]
+        row_base = {c: pdf[c].iloc[0] for c in group_cols}
+        rows = [dict(row_base, token=int(cands[i]), est_count=int(est[i]),
+                     rank=r + 1) for r, i in enumerate(order)]
+        return pd.DataFrame(rows)
+
+    out_schema = ((group_fields + ", ") if group_fields else "") + \
+        "token long, est_count long, rank int"
+    return merged.groupBy(*group_cols).applyInPandas(finalize, out_schema)
+
+
+def build_membership(df, value_col="tokens", group_cols=("source",),
+                     bits_per_item: int | None = None, n_blocks: int = 1 << 14):
+    """Per-group blocked Bloom filters over all values → blob table."""
+    return agg.sketch_agg(df, "bloom", value_col, group_cols,
+                          {"n_blocks": n_blocks})
+
+
+def probe_membership(spark, blobs_df, probes, group_cols=("source",)):
+    """Probe tokens against per-group Bloom filters.
+
+    `probes`: list[(group..., token)] or DataFrame(group..., token).
+    → DataFrame(group..., token long, maybe_present boolean). Approximate
+    analog of the reference's memcached point lookups
+    (`/root/reference/scripts/interactive/gremlin/ADJParser.groovy:223-242`):
+    the filter table is tiny → broadcast, never a per-row RPC.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    group_cols = list(group_cols)
+    local = {tuple(r[c] for c in group_cols): bytes(r["state"])
+             for r in blobs_df.collect()}
+    bc = spark.sparkContext.broadcast(local)
+
+    if not hasattr(probes, "columns"):
+        probes = spark.createDataFrame(
+            [tuple(p) for p in probes], group_cols + ["token"])
+
+    @pandas_udf("boolean")
+    def probe(token: pd.Series, *gcols: pd.Series) -> pd.Series:
+        filters = {g: registry.from_bytes(b) for g, b in bc.value.items()}
+        keys = pd.MultiIndex.from_arrays(list(gcols)) if gcols else None
+        out = np.zeros(len(token), dtype=bool)
+        toks = token.to_numpy().astype(np.int64)
+        if keys is None:
+            flt = filters.get(())
+            if flt is not None:
+                out[:] = flt.contains(toks.view(np.uint64))
+        else:
+            kdf = pd.DataFrame({i: g.to_numpy() for i, g in enumerate(gcols)})
+            for gval, idx in kdf.groupby(list(kdf.columns), sort=False).groups.items():
+                gval = gval if isinstance(gval, tuple) else (gval,)
+                flt = filters.get(gval)
+                if flt is not None:
+                    ii = np.asarray(idx)
+                    out[ii] = flt.contains(toks[ii].view(np.uint64))
+        return pd.Series(out)
+
+    return probes.withColumn(
+        "maybe_present", probe(F.col("token"), *[F.col(c) for c in group_cols]))

@@ -1,0 +1,31 @@
+"""SparkSession builder with the engine's standard configuration.
+
+Local defaults match the sandbox (local[N], 32 cores); on a real cluster the
+same settings apply per-executor and `master` is left to spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def get_spark(app_name: str = "sgp_sketch", master: str | None = None,
+              shuffle_partitions: int | None = None, extra_conf: dict | None = None):
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    b = (SparkSession.builder.appName(app_name).master(master)
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+         .config("spark.ui.enabled", "false"))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

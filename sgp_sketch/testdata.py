@@ -1,0 +1,44 @@
+"""Adapters from the driver-provided testdata tables
+(/root/testdata/sf*/: TPC-H-ish + documents/embeddings/events, TESTDATA.md)
+to the engine's input shapes.
+
+The `tokens` view tokenizes `documents.text` by single-space split — exactly
+expressible in DuckDB as `unnest(string_split(text, ' '))`, which is what
+makes the exact-path oracle queries hash-comparable. Word → int64 token ids
+use Spark's built-in `xxhash64` JVM-side (the vectorized slow-path-free way
+to get integer tokens from strings); DuckDB cannot reproduce xxhash64, so
+hashed-token queries are estimate-path only, while exact-path oracle queries
+stay on the word strings.
+"""
+
+from __future__ import annotations
+
+
+def load(spark, sf_dir: str, name: str):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def doc_words(spark, sf_dir: str):
+    """documents → exploded (doc_id, source, word) — string tokens, exactly
+    reproducible in DuckDB."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.col("text"), " ")).alias("word"))
+
+
+def doc_tokens(spark, sf_dir: str):
+    """documents → input_hint-shaped tokens table:
+    (doc_id string, tokens array<bigint>, n_tok int, source string), token ids
+    from xxhash64(word) — the engine's native input."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(F.split(F.col("text"), " "),
+                    lambda w: F.xxhash64(w)).alias("tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
+        "source")

@@ -1,0 +1,119 @@
+"""Spark integration tests — SURVEY.md §5.2.3.
+
+Estimates from the distributed build (partials → tree merge) must match
+exact answers computed on the same data, within each sketch's bound; and the
+pipeline must never mutate the token arrays (input_hint row invariant).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sgp_sketch import agg, queries
+from sgp_sketch.datagen import SOURCES
+from sgp_sketch.kernels import registry
+
+
+def exact_stats(tokens_pdf):
+    per_source = {}
+    for src, sub in tokens_pdf.groupby("source"):
+        flat = np.concatenate(sub["tokens"].to_numpy())
+        per_source[src] = flat
+    return per_source
+
+
+def test_hll_distinct_vs_exact(spark, tokens_sdf, tokens_pdf):
+    out = queries.distinct_tokens(tokens_sdf, include_global=True).toPandas()
+    per_source = exact_stats(tokens_pdf)
+    bound = 3 * 1.04 / np.sqrt(1 << 14)
+    for src, flat in per_source.items():
+        exact = len(np.unique(flat))
+        est = float(out.loc[out.source == src, "est_distinct"].iloc[0])
+        assert abs(est - exact) / exact <= bound, (src, est, exact)
+    exact_g = len(np.unique(np.concatenate(list(per_source.values()))))
+    est_g = float(out.loc[out.source == "__all__", "est_distinct"].iloc[0])
+    assert abs(est_g - exact_g) / exact_g <= bound
+
+
+def test_partition_count_invariance(spark, tokens_sdf):
+    """Chunking invariance at the Spark level: different partition counts
+    must give byte-identical merged HLL state."""
+    a = agg.sketch_agg(tokens_sdf.repartition(3), "hll", "tokens",
+                       ("source",), {"p": 12}).toPandas()
+    b = agg.sketch_agg(tokens_sdf.repartition(13), "hll", "tokens",
+                       ("source",), {"p": 12}).toPandas()
+    for src in SOURCES:
+        sa = bytes(a.loc[a.source == src, "state"].iloc[0])
+        sb = bytes(b.loc[b.source == src, "state"].iloc[0])
+        assert sa == sb, src
+
+
+def test_heavy_hitters_vs_exact(spark, tokens_sdf, tokens_pdf):
+    k = 10
+    out = queries.heavy_hitters(tokens_sdf, k=k).toPandas()
+    per_source = exact_stats(tokens_pdf)
+    for src, flat in per_source.items():
+        uniq, counts = np.unique(flat, return_counts=True)
+        order = np.lexsort((uniq, -counts))
+        exact_topk = uniq[order[:k]]
+        exact_counts = dict(zip(uniq.tolist(), counts.tolist()))
+        got = out[out.source == src].sort_values("rank")
+        n = counts.sum()
+        eps_n = (np.e / (1 << 14)) * n
+        # every reported token's estimate is within CMS bound of its true count
+        for t, e in zip(got.token, got.est_count):
+            true = exact_counts.get(int(t), 0)
+            assert true <= e <= true + eps_n, (src, t, e, true)
+        # the true top-5 are all recovered (allow boundary ties at the tail)
+        assert set(exact_topk[:5].tolist()) <= set(got.token.tolist()), src
+
+
+def test_quantiles_vs_exact(spark, tokens_sdf, tokens_pdf):
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99)
+    for kind in ("kll", "tdigest"):
+        out = queries.n_tok_quantiles(tokens_sdf, qs=qs, kind=kind).toPandas()
+        for src, sub in tokens_pdf.groupby("source"):
+            vals = np.sort(sub["n_tok"].to_numpy().astype(float))
+            got = out[out.source == src].sort_values("q")
+            for q, v in zip(got.q, got.value):
+                rank = np.searchsorted(vals, v, side="right") / len(vals)
+                assert abs(rank - q) <= 0.035, (kind, src, q, rank)
+
+
+def test_bloom_membership(spark, tokens_sdf, tokens_pdf):
+    blobs = queries.build_membership(tokens_sdf, n_blocks=1 << 12)
+    per_source = exact_stats(tokens_pdf)
+    src = "web"
+    present = np.unique(per_source[src])[:200]
+    absent = np.arange(2_000_000, 2_000_200, dtype=np.int64)  # outside vocab
+    probes = [(src, int(t)) for t in present] + [(src, int(t)) for t in absent]
+    out = queries.probe_membership(spark, blobs, probes).toPandas()
+    got_present = out.iloc[:200]["maybe_present"]
+    got_absent = out.iloc[200:]["maybe_present"]
+    assert got_present.all(), "Bloom false negative"
+    assert got_absent.mean() <= 0.05
+
+
+def test_merge_across_equals_direct_global(spark, tokens_sdf):
+    per_source = agg.sketch_agg(tokens_sdf, "hll", "tokens", ("source",),
+                                {"p": 12})
+    via_merge = agg.merge_across(per_source, group_cols=()).toPandas()
+    direct = agg.sketch_agg(tokens_sdf, "hll", "tokens", (), {"p": 12}).toPandas()
+    assert bytes(via_merge["state"].iloc[0]) == bytes(direct["state"].iloc[0])
+
+
+def test_row_invariant_tokens_unmutated(spark, tokens_sdf):
+    """input_hint invariant: running the sketch pipeline must not mutate the
+    token arrays of the input DataFrame."""
+    before = tokens_sdf.orderBy("doc_id").limit(50).toPandas()
+    queries.distinct_tokens(tokens_sdf).collect()
+    after = tokens_sdf.orderBy("doc_id").limit(50).toPandas()
+    for a, b in zip(before["tokens"], after["tokens"]):
+        assert np.array_equal(a, b)
+
+
+def test_numeric_scalar_column_agg(spark, tokens_sdf):
+    blobs = agg.sketch_agg(tokens_sdf, "tdigest", "n_tok", ("source",)).toPandas()
+    assert len(blobs) == len(SOURCES)
+    st = registry.from_bytes(bytes(blobs["state"].iloc[0]))
+    assert st.n > 0
