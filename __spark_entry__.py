@@ -363,6 +363,52 @@ def q_tdigest_value_quantiles(spark, sf_dir):
                              group_cols=("event_type",), kind="tdigest")
 
 
+def q_router_balance(spark, sf_dir):
+    """R1/R2/R3 shard routers compared on balance + replication factor —
+    the reference's headline experiment (partitioner × metrics grid,
+    run_experiments.py:146-149, log_parser.py:19-20) over the token table."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch.routing import (assign_shards, balance_metrics,
+                                    replication_factor, route_hash)
+
+    toks = _doc_tokens(spark, sf_dir).cache()
+    total = toks.count()
+    outs = []
+    for alg in ("hash", "ldg", "fennel"):
+        if alg == "hash":
+            assign = route_hash(toks, "doc_id", 8).select("doc_id", "shard")
+        else:
+            assign = assign_shards(toks, n_shards=8, algorithm=alg,
+                                   total_docs=total)
+        assign = assign.cache()
+        bm = balance_metrics(assign).collect()[0]
+        rf = replication_factor(toks, assign).collect()[0]
+        outs.append((alg, int(total), int(bm["li_max"]),
+                     float(round(bm["imbalance"], 4)),
+                     float(round(rf["rf"], 4))))
+        assign.unpersist()
+    toks.unpersist()
+    return spark.createDataFrame(
+        outs, "algorithm string, n_docs long, li_max long, imbalance double, "
+              "rf double")
+
+
+def q_salted_token_routing(spark, sf_dir):
+    """Salted heavy-key routing (axes A+B): per-shard update loads with the
+    hot tokens spread over sub-shards; salted vs unsalted load imbalance."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch.routing import route_tokens_salted
+
+    toks = _doc_tokens(spark, sf_dir)
+    routed = route_tokens_salted(toks, n_shards=16, replication=4)
+    return (routed.groupBy("shard")
+            .agg(F.count("*").alias("n_updates"),
+                 F.sum(F.col("salted").cast("long")).alias("n_salted"))
+            .orderBy("shard"))
+
+
 def q_bloom_membership(spark, sf_dir):
     from sgp_sketch import queries as Q
 
@@ -414,6 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_ntok_quantiles": q_kll_ntok_quantiles,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "bloom_membership": q_bloom_membership,
+        "router_balance": q_router_balance,
+        "salted_token_routing": q_salted_token_routing,
     }
 
 

@@ -1,0 +1,376 @@
+"""Sketch-shard routing: the reference's streaming edge-assignment algorithms
+(hash / LDG / Fennel,
+`/root/reference/src/main/java/ca/uwaterloo/cs/sgp/streaming/EdgeCutSGP.java:112-209`)
+recast over the token table. A doc plays the vertex role, its token array the
+neighbor list (SURVEY.md §1.3): the router assigns each doc to a shard so that
+sketch updates for co-occurring tokens land together (affinity) while shard
+loads stay within a capacity slack (balance) — the LDG/Fennel objective.
+
+Scoring formulas are the reference's, vectorized:
+  LDG    (EdgeCutSGP.java:145):      (1 - size_i/capacity) * |N(v) ∩ P_i|
+  Fennel (EdgeCutSGP.java:182-183):  |N(v) ∩ P_i| - γ·α·size_i^(γ-1)
+  capacity = (n/k)·(1+slack)         (EdgeCutSGP.java:58)
+  α = √k·m / n^1.5                   (EdgeCutSGP.java:298)
+
+Documented deviations (SURVEY.md §7.4):
+  * tie-break is deterministic lowest-index, not Random.nextInt over the tie
+    list (EdgeCutSGP.java:158-160) — reproducibility requirement;
+  * the reference scores each record against global up-to-the-record state in
+    one sequential JVM loop (EdgeCutSGP.java:211-246). We score per
+    sub-chunk against state as of the last chunk barrier (stale-state /
+    restreaming greedy), and under Spark parallelism each input partition
+    carries independent router state. Tests assert the *invariants* —
+    capacity respected, balance within slack, replication factor no worse
+    than the hash baseline — not identical assignments.
+
+Skew mitigation (axes A+B): `route_tokens_salted` spreads a heavy token's
+updates over R sub-shards (`salt = pmod(hash64(doc_id), R)`), the HDRF
+"replicate high-degree vertices" idea (README.md:16, run_experiments.py:16-17)
+applied to sketch updates; kernel associativity makes the merged estimates
+identical to unsalted routing, which is exactly what tests assert.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .kernels.hashing import hash64, pmod
+
+_NEG_INF = -np.inf
+
+
+class GreedyShardRouter:
+    """Pure-numpy stateful greedy router (one instance per input partition).
+
+    State mirrors EdgeCutSGP: `sizes` ↔ partitionSizes[] (EdgeCutSGP.java:28),
+    the token→shard map ↔ vertex_to_partition (EdgeCutSGP.java:35), plus the
+    running assigned/cut counters of EdgeCutSGP.java:30-31.
+    """
+
+    def __init__(self, n_shards: int, capacity: float, algorithm: str = "ldg",
+                 gamma: float = 1.5, alpha: float = 1.0, chunk: int = 256):
+        if algorithm not in ("hash", "ldg", "fennel"):
+            raise ValueError(f"unknown algorithm {algorithm!r}")
+        self.k = int(n_shards)
+        self.capacity = float(capacity)
+        self.algorithm = algorithm
+        self.gamma = float(gamma)
+        self.alpha = float(alpha)
+        self.chunk = int(chunk)
+        self.sizes = np.zeros(self.k, dtype=np.int64)
+        # token→shard map as parallel sorted arrays (first writer wins)
+        self._keys = np.empty(0, dtype=np.uint64)
+        self._shards = np.empty(0, dtype=np.int64)
+        self.n_assigned = 0
+        self.n_occurrences = 0
+        self.n_cut = 0  # token occurrence whose home shard != doc's shard
+
+    # ------------------------------------------------------------ internals
+
+    def _lookup(self, flat: np.ndarray):
+        """shard of each token, -1 if unseen (vectorized searchsorted)."""
+        if self._keys.size == 0:
+            return np.full(flat.size, -1, dtype=np.int64)
+        idx = np.searchsorted(self._keys, flat)
+        idx[idx == self._keys.size] = 0
+        found = self._keys[idx] == flat
+        out = np.full(flat.size, -1, dtype=np.int64)
+        out[found] = self._shards[idx[found]]
+        return out
+
+    def _remember(self, flat: np.ndarray, doc_shard: np.ndarray,
+                  doc_idx: np.ndarray) -> None:
+        """First-writer-wins token→shard upsert, batch-merged."""
+        uniq, first = np.unique(flat, return_index=True)
+        shard_of = doc_shard[doc_idx[first]]
+        if self._keys.size:
+            idx = np.searchsorted(self._keys, uniq)
+            idx[idx == self._keys.size] = 0
+            new_mask = self._keys[idx] != uniq
+            uniq, shard_of = uniq[new_mask], shard_of[new_mask]
+        if uniq.size == 0:
+            return
+        keys = np.concatenate([self._keys, uniq])
+        shards = np.concatenate([self._shards, shard_of])
+        order = np.argsort(keys, kind="stable")
+        self._keys, self._shards = keys[order], shards[order]
+
+    def _score(self, hist: np.ndarray) -> np.ndarray:
+        """(n_docs × k) score matrix from the neighbor histogram."""
+        if self.algorithm == "ldg":
+            return (1.0 - self.sizes / self.capacity)[None, :] * hist
+        # fennel
+        return hist - self.gamma * self.alpha * np.power(
+            self.sizes.astype(np.float64), self.gamma - 1.0)[None, :]
+
+    def _choose(self, hist: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        """Capacity-guarded argmax with deterministic scatter tie-break and
+        exact within-chunk capacity accounting (EdgeCutSGP.java:145-160,
+        182-198). The reference breaks score ties with Random.nextInt over
+        the tie list; we pick `hash64(doc_key) % n_ties` — same scatter
+        (cold-start docs don't pile onto shard 0), fully reproducible."""
+        scores = self._score(hist)
+        full = self.sizes >= self.capacity
+        if full.all():  # degenerate: capacity exhausted → least-loaded
+            return np.full(hist.shape[0], int(np.argmin(self.sizes)),
+                           dtype=np.int64)
+        scores[:, full] = _NEG_INF
+        choice = _tiebreak_argmax(scores, hash64(keys))
+        # exact capacity within the chunk: docs that would overflow a shard
+        # re-choose sequentially (rare — only near the capacity boundary)
+        remaining = (np.ceil(self.capacity) - self.sizes).astype(np.int64)
+        counts = np.bincount(choice, minlength=self.k)
+        over = counts > remaining
+        if over.any():
+            rank = _rank_within_group(choice, self.k)
+            bad = np.flatnonzero(rank >= remaining[choice])
+            keep = np.ones(choice.size, dtype=bool)
+            keep[bad] = False
+            sizes = self.sizes + np.bincount(choice[keep], minlength=self.k)
+            hkeys = hash64(keys)
+            for i in bad:
+                row = self._score_row(hist[i], sizes)
+                row[sizes >= self.capacity] = _NEG_INF
+                if np.isfinite(row).any():
+                    c = int(_tiebreak_argmax(row[None, :], hkeys[i:i + 1])[0])
+                else:
+                    c = int(np.argmin(sizes))
+                choice[i] = c
+                sizes[c] += 1
+        return choice
+
+    def _score_row(self, hist_row: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+        if self.algorithm == "ldg":
+            return (1.0 - sizes / self.capacity) * hist_row
+        return hist_row - self.gamma * self.alpha * np.power(
+            sizes.astype(np.float64), self.gamma - 1.0)
+
+    # ------------------------------------------------------------ public
+
+    def assign_batch(self, doc_keys: np.ndarray, token_arrays) -> np.ndarray:
+        """Assign a batch of docs → shard ids. `doc_keys` uint64 hashes (used
+        only by algorithm='hash'); `token_arrays` sequence of int arrays."""
+        n = len(doc_keys)
+        out = np.empty(n, dtype=np.int64)
+        if self.algorithm == "hash":
+            out[:] = pmod(hash64(np.asarray(doc_keys, dtype=np.uint64)), self.k)
+            # chunked accounting so cut statistics see the same chunk-barrier
+            # visibility as the greedy algorithms (fair comparison)
+            for lo in range(0, n, self.chunk):
+                hi = min(lo + self.chunk, n)
+                arrs = token_arrays[lo:hi]
+                lens = np.fromiter((len(t) for t in arrs), count=hi - lo,
+                                   dtype=np.int64)
+                flat = (np.concatenate(arrs).astype(np.int64)
+                        .view(np.uint64) if lens.sum() else
+                        np.empty(0, dtype=np.uint64))
+                doc_idx = np.repeat(np.arange(hi - lo), lens)
+                self._account(flat, out[lo:hi], doc_idx)
+            np.add.at(self.sizes, out, 1)
+            self.n_assigned += n
+            return out
+        for lo in range(0, n, self.chunk):
+            hi = min(lo + self.chunk, n)
+            arrs = token_arrays[lo:hi]
+            lens = np.fromiter((len(t) for t in arrs), count=hi - lo,
+                               dtype=np.int64)
+            total = int(lens.sum())
+            flat = (np.concatenate(arrs).astype(np.int64).view(np.uint64)
+                    if total else np.empty(0, dtype=np.uint64))
+            doc_idx = np.repeat(np.arange(hi - lo), lens)
+            homes = self._lookup(flat)
+            hist = np.zeros((hi - lo, self.k), dtype=np.float64)
+            known = homes >= 0
+            np.add.at(hist, (doc_idx[known], homes[known]), 1.0)
+            choice = self._choose(
+                hist, np.asarray(doc_keys[lo:hi], dtype=np.uint64))
+            out[lo:hi] = choice
+            np.add.at(self.sizes, choice, 1)
+            self.n_assigned += hi - lo
+            # cut accounting (EdgeCutSGP.java:125-130): known-home occurrences
+            # landing on a different shard than their home
+            self.n_occurrences += total
+            self.n_cut += int((homes[known] != choice[doc_idx[known]]).sum())
+            self._remember(flat, choice, doc_idx)
+        return out
+
+    def _account(self, flat, doc_shard, doc_idx) -> None:
+        homes = self._lookup(flat)
+        known = homes >= 0
+        self.n_occurrences += flat.size
+        self.n_cut += int((homes[known] != doc_shard[doc_idx[known]]).sum())
+        self._remember(flat, doc_shard, doc_idx)
+
+    def metrics(self) -> dict:
+        mean = self.sizes.mean() if self.k else 0.0
+        return {
+            "n_assigned": int(self.n_assigned),
+            "max_size": int(self.sizes.max(initial=0)),
+            "imbalance": float(self.sizes.max(initial=0) / mean) if mean else 0.0,
+            "cut_fraction": (self.n_cut / self.n_occurrences
+                             if self.n_occurrences else 0.0),
+        }
+
+
+def _tiebreak_argmax(scores: np.ndarray, hkeys: np.ndarray) -> np.ndarray:
+    """Row-wise argmax; among max-score ties pick the `hash % n_ties`-th tied
+    column (in index order). Vectorized via cumulative tie counts."""
+    maxv = scores.max(axis=1)
+    tied = scores == maxv[:, None]
+    n_ties = tied.sum(axis=1)
+    pick = (hkeys % n_ties.astype(np.uint64)).astype(np.int64) + 1
+    cum = np.cumsum(tied, axis=1)
+    return np.argmax(cum == pick[:, None], axis=1).astype(np.int64)
+
+
+def _rank_within_group(choice: np.ndarray, k: int) -> np.ndarray:
+    """rank of each element within its group value, in array order."""
+    rank = np.empty(choice.size, dtype=np.int64)
+    order = np.argsort(choice, kind="stable")
+    sorted_choice = choice[order]
+    # within sorted runs, rank = position - run start
+    is_start = np.r_[True, sorted_choice[1:] != sorted_choice[:-1]]
+    starts = np.flatnonzero(is_start)
+    run_id = np.cumsum(is_start) - 1
+    pos = np.arange(choice.size)
+    rank[order] = pos - starts[run_id]
+    return rank
+
+
+def fennel_alpha(n_shards: int, m: int, n: int) -> float:
+    """α = √k·m / n^1.5 (EdgeCutSGP.java:298)."""
+    return float(np.sqrt(n_shards) * m / max(n, 1) ** 1.5)
+
+
+# ===================================================================== Spark
+
+def route_hash(df, key_col: str = "doc_id", n_shards: int = 16, salt: int = 0):
+    """R1 stateless hash routing, JVM-side: `pmod(xxhash64(key), k)`
+    (EdgeCutSGP.java:122 analog). No Python in the path."""
+    from pyspark.sql import functions as F
+
+    key = F.col(key_col)
+    h = F.xxhash64(F.lit(salt), key) if salt else F.xxhash64(key)
+    return df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+
+
+def detect_heavy_tokens(df, value_col: str = "tokens", top: int = 64,
+                        min_frac: float = 0.001):
+    """Heavy-hitter token detection for salting: exact at driver scale
+    (declarative explode + count — Catalyst does map-side partial agg).
+    Returns a small DataFrame (token long, cnt long) to broadcast."""
+    from pyspark.sql import functions as F
+
+    tok = df.select(F.explode(value_col).alias("token"))
+    total = df.select(F.sum(F.size(value_col))).collect()[0][0] or 1
+    return (tok.groupBy("token").count()
+            .filter(F.col("count") >= min_frac * total)
+            .orderBy(F.desc("count"), "token").limit(top)
+            .withColumnRenamed("count", "cnt"))
+
+
+def route_tokens_salted(df, n_shards: int = 16, replication: int = 4,
+                        value_col: str = "tokens", heavy=None):
+    """Exploded token-update routing with salted heavy keys.
+
+    Light token → `pmod(hash(token), k)`; heavy token → its updates spread
+    over `replication` sub-shards via `pmod(xxhash64(doc_id), R)` salt, i.e.
+    the HDRF high-degree replication idea as sketch routing. Returns
+    (doc_id, token, shard, salted). Merged sketch estimates are invariant to
+    salting because kernel merges are associative — the tested property.
+    """
+    from pyspark.sql import functions as F
+
+    tok = df.select("doc_id", F.explode(value_col).alias("token"))
+    if heavy is None:
+        heavy = detect_heavy_tokens(df, value_col)
+    heavy = F.broadcast(heavy.select("token").withColumn("salted", F.lit(True)))
+    tok = tok.join(heavy, "token", "left").fillna(False, ["salted"])
+    base = F.xxhash64("token")
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(replication))
+    shard = F.when(F.col("salted"), F.pmod(base + salt, F.lit(n_shards))) \
+             .otherwise(F.pmod(base, F.lit(n_shards)))
+    return tok.withColumn("shard", shard.cast("int"))
+
+
+def assign_shards(df, n_shards: int = 16, algorithm: str = "ldg",
+                  slack: float = 0.05, gamma: float = 1.5,
+                  total_docs: int | None = None, chunk: int = 256):
+    """Greedy balanced doc→shard assignment via mapInPandas (R2/R3 analog,
+    the batch-streaming variant of EdgeCutSGP.streamingPartition).
+
+    Returns DataFrame (doc_id string, shard int). Each input partition runs
+    an independent `GreedyShardRouter`; capacity is apportioned per partition.
+    """
+    from pyspark.sql import functions as F
+
+    src = df.select(F.col("doc_id").cast("string").alias("doc_id"), "tokens")
+    if total_docs is None:
+        agg_row = df.select(F.count("*"), F.sum("n_tok") if "n_tok" in df.columns
+                            else F.sum(F.size("tokens"))).collect()[0]
+        total_docs, total_occ = int(agg_row[0]), int(agg_row[1] or 0)
+    else:
+        total_occ = total_docs * 32  # caller-supplied scale hint
+    n_parts = max(1, src.rdd.getNumPartitions())
+    # per-partition capacity apportioning needs near-equal partitions; a
+    # round-robin repartition guarantees it (the reference instead reads one
+    # stream with n known a priori from its properties file,
+    # EdgeCutSGP.java:266-285)
+    src = src.repartition(n_parts)
+    capacity = total_docs / n_parts / n_shards * (1.0 + slack)
+    alpha = fennel_alpha(n_shards, total_occ, total_docs)
+
+    def route(iterator):
+        import pandas as pd
+
+        from sgp_sketch.kernels.hashing import hash_str_array
+
+        router = GreedyShardRouter(n_shards, capacity, algorithm,
+                                   gamma=gamma, alpha=alpha, chunk=chunk)
+        for pdf in iterator:
+            arrs = [np.asarray(t if t is not None else (), dtype=np.int64)
+                    for t in pdf["tokens"]]
+            keys = hash_str_array(pdf["doc_id"].tolist())
+            shard = router.assign_batch(keys, arrs)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "shard": shard.astype(np.int32)})
+
+    return src.mapInPandas(route, "doc_id string, shard int")
+
+
+# ------------------------------------------------------------------ metrics
+
+def shard_load(assign_df):
+    """A7 analog: shard → doc count (`partitionSizes`, EdgeCutSGP.java:239)."""
+    from pyspark.sql import functions as F
+
+    return assign_df.groupBy("shard").agg(F.count("*").alias("n_docs"))
+
+
+def balance_metrics(assign_df):
+    """A8/A9 analog (log_parser.py:133-138): load imbalance max/mean and
+    percentiles over the shard-load distribution."""
+    from pyspark.sql import functions as F
+
+    load = shard_load(assign_df)
+    return load.agg(
+        F.count("*").alias("n_shards"),
+        F.max("n_docs").alias("li_max"),
+        F.min("n_docs").alias("li_min"),
+        F.avg("n_docs").alias("li_mean"),
+        F.expr("percentile_approx(n_docs, array(0.25, 0.5, 0.75))").alias("li_q"),
+        (F.max("n_docs") / F.avg("n_docs")).alias("imbalance"))
+
+
+def replication_factor(df, assign_df):
+    """rf analog (log_parser.py:74-75): average number of distinct shards a
+    token's docs land on — the vertex-cut replication-factor metric."""
+    from pyspark.sql import functions as F
+
+    tok = df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.explode("tokens").alias("token"))
+    joined = tok.join(assign_df, "doc_id")
+    per_tok = joined.groupBy("token").agg(
+        F.countDistinct("shard").alias("n_shards_touched"))
+    return per_tok.agg(F.avg("n_shards_touched").alias("rf"),
+                       F.count("*").alias("n_tokens"))

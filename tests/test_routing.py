@@ -1,0 +1,223 @@
+"""Router tests — SURVEY.md §5.3 routing-parity strategy.
+
+Kernel level: the LDG/Fennel scoring math must reproduce the reference's
+argmax (EdgeCutSGP.java:145, :182-183) on a hand-checked fixture, computed
+here with a direct transliteration of the formulas (chunk=1 sequential mode =
+the reference's per-record semantics under the documented deterministic
+tie-break). Spark level: invariants only — capacity, balance, cut vs hash
+baseline, salting-invariance of merged estimates.
+"""
+
+import numpy as np
+import pytest
+
+from sgp_sketch.kernels.hashing import hash64, pmod
+from sgp_sketch.routing import GreedyShardRouter, fennel_alpha
+
+
+def _mini_docs():
+    """8 docs in two obvious token clusters (docs 0-3 share tokens 1-4,
+    docs 4-7 share tokens 100-103)."""
+    return [
+        np.array([1, 2, 3], dtype=np.int64),
+        np.array([1, 2, 4], dtype=np.int64),
+        np.array([2, 3, 4], dtype=np.int64),
+        np.array([1, 3, 4], dtype=np.int64),
+        np.array([100, 101, 102], dtype=np.int64),
+        np.array([100, 101, 103], dtype=np.int64),
+        np.array([101, 102, 103], dtype=np.int64),
+        np.array([100, 102, 103], dtype=np.int64),
+    ]
+
+
+def _keys(n):
+    return np.arange(n, dtype=np.uint64)
+
+
+def _sequential_reference(docs, keys, k, capacity, algorithm, gamma=1.5,
+                          alpha=1.0):
+    """Direct per-record transliteration of EdgeCutSGP's scoring loop
+    (collect max-score tie list, EdgeCutSGP.java:150-160, then pick
+    `hash64(doc_key) % n_ties` — our deterministic stand-in for its
+    Random.nextInt): the parity oracle for the vectorized router."""
+    sizes = np.zeros(k, dtype=np.int64)
+    token2shard: dict[int, int] = {}
+    out = []
+    for toks, key in zip(docs, keys):
+        hist = np.zeros(k)
+        for t in toks:
+            p = token2shard.get(int(t))
+            if p is not None:
+                hist[p] += 1  # neighbors_in_partition, EdgeCutSGP.java:97-110
+        ties, best_score = [], -np.inf
+        for i in range(k):
+            if sizes[i] >= capacity:  # capacity guard, EdgeCutSGP.java:147,185
+                continue
+            if algorithm == "ldg":  # EdgeCutSGP.java:145
+                s = (1.0 - sizes[i] / capacity) * hist[i]
+            else:  # fennel, EdgeCutSGP.java:182-183
+                s = hist[i] - gamma * alpha * sizes[i] ** (gamma - 1.0)
+            if s > best_score:
+                ties, best_score = [i], s
+            elif s == best_score:
+                ties.append(i)
+        if not ties:
+            best = int(np.argmin(sizes))
+        else:
+            h = int(hash64(np.array([key], dtype=np.uint64))[0])
+            best = ties[h % len(ties)]
+        sizes[best] += 1
+        out.append(best)
+        for t in toks:
+            token2shard.setdefault(int(t), best)  # first writer wins
+    return np.array(out), sizes
+
+
+@pytest.mark.parametrize("algorithm", ["ldg", "fennel"])
+def test_greedy_matches_sequential_reference(algorithm):
+    docs = _mini_docs()
+    k, cap = 2, 4 * 1.05
+    alpha = fennel_alpha(k, sum(len(d) for d in docs), len(docs))
+    router = GreedyShardRouter(k, cap, algorithm, alpha=alpha, chunk=1)
+    got = router.assign_batch(_keys(len(docs)), docs)
+    want, want_sizes = _sequential_reference(docs, _keys(len(docs)), k, cap,
+                                             algorithm, alpha=alpha)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(router.sizes, want_sizes)
+
+
+@pytest.mark.parametrize("algorithm", ["ldg", "fennel"])
+def test_clusters_stay_together(algorithm):
+    """On the two-cluster fixture the affinity term must co-locate each
+    cluster (the whole point of LDG/Fennel over hash)."""
+    docs = _mini_docs()
+    # α small so the affinity term dominates (the large-scale regime:
+    # α = √k·m/n^1.5 → 0 as n grows with bounded degree); formula-α on an
+    # 8-doc fixture makes the balance penalty swamp a 2-token affinity.
+    alpha = 0.1
+    # capacity exactly 4: once cluster 1 fills shard 0, the guard
+    # (EdgeCutSGP.java:147,185) forces cluster 2 onto shard 1, and affinity
+    # keeps it there (deterministic lowest-index tie-break on empty hist)
+    router = GreedyShardRouter(2, 4, algorithm, alpha=alpha, chunk=1)
+    got = router.assign_batch(_keys(8), docs)
+    assert len(set(got[:4].tolist())) == 1
+    assert len(set(got[4:].tolist())) == 1
+    assert got[0] != got[4]
+    m = router.metrics()
+    assert m["cut_fraction"] == 0.0
+    assert m["max_size"] <= 4
+
+
+def test_hash_router_is_stateless_pmod():
+    docs = [np.array([], dtype=np.int64)] * 100
+    keys = np.arange(100, dtype=np.uint64) * 7919
+    router = GreedyShardRouter(16, 1e9, "hash")
+    got = router.assign_batch(keys, docs)
+    np.testing.assert_array_equal(got, pmod(hash64(keys), 16))
+
+
+def test_capacity_respected_under_batching():
+    """Vectorized chunks must never overflow the capacity bound even when
+    every doc wants the same shard (hot cluster)."""
+    rng = np.random.default_rng(7)
+    docs = [rng.choice(50, size=8).astype(np.int64) for _ in range(400)]
+    k, cap = 4, 400 / 4 * 1.05
+    router = GreedyShardRouter(k, cap, "ldg", chunk=64)
+    router.assign_batch(_keys(len(docs)), docs)
+    assert router.sizes.max() <= int(np.ceil(cap))
+    assert router.sizes.sum() == 400
+
+
+def test_determinism():
+    rng = np.random.default_rng(11)
+    docs = [rng.zipf(1.5, size=12).astype(np.int64) for _ in range(500)]
+    runs = []
+    for _ in range(2):
+        r = GreedyShardRouter(8, 500 / 8 * 1.05, "fennel", alpha=0.5, chunk=128)
+        runs.append(r.assign_batch(_keys(500), docs))
+    np.testing.assert_array_equal(runs[0], runs[1])
+
+
+def test_greedy_cut_beats_hash_on_clustered_data():
+    """LDG must achieve a lower token-cut fraction than stateless hash on
+    clustered docs — the reference's headline experimental finding
+    (streaming partitioners beat random/hash on edge-cut)."""
+    rng = np.random.default_rng(3)
+    docs, keys = [], []
+    for c in range(8):  # 8 clusters of 100 docs over disjoint vocab
+        for i in range(100):
+            docs.append((rng.choice(200, size=10) + c * 1000).astype(np.int64))
+            keys.append(c * 100 + i)
+    keys = np.asarray(keys, dtype=np.uint64)
+    cap = len(docs) / 8 * 1.05
+    # identical chunk barriers on both sides — cut accounting only counts
+    # occurrences whose home was known at chunk start, so granularity must
+    # match for a fair comparison
+    ldg = GreedyShardRouter(8, cap, "ldg", chunk=64)
+    ldg.assign_batch(keys, docs)
+    fen = GreedyShardRouter(8, cap, "fennel", alpha=0.05, chunk=64)
+    fen.assign_batch(keys, docs)
+    hsh = GreedyShardRouter(8, cap, "hash", chunk=64)
+    hsh.assign_batch(keys, docs)
+    assert ldg.metrics()["cut_fraction"] < hsh.metrics()["cut_fraction"]
+    assert fen.metrics()["cut_fraction"] < hsh.metrics()["cut_fraction"]
+
+
+# ===================================================================== Spark
+
+def test_assign_shards_spark(spark, tokens_sdf):
+    from sgp_sketch.routing import assign_shards, balance_metrics
+
+    n_docs = tokens_sdf.count()
+    out = assign_shards(tokens_sdf, n_shards=8, algorithm="ldg").cache()
+    assert out.count() == n_docs
+    pdf = out.toPandas()
+    assert pdf["shard"].between(0, 7).all()
+    bm = balance_metrics(out).collect()[0]
+    # per-partition capacity apportioning + stale-state chunks: allow 25%
+    # over perfect balance (slack 5% is per-router; partitions uneven)
+    assert bm["li_max"] <= n_docs / 8 * 1.30
+    out.unpersist()
+
+
+def test_replication_factor_ldg_leq_hash(spark, tokens_sdf):
+    from sgp_sketch.routing import assign_shards, replication_factor, route_hash
+
+    ldg = assign_shards(tokens_sdf, n_shards=8, algorithm="fennel")
+    rf_ldg = replication_factor(tokens_sdf, ldg).collect()[0]["rf"]
+    hsh = route_hash(tokens_sdf, "doc_id", 8).select("doc_id", "shard")
+    rf_hash = replication_factor(tokens_sdf, hsh).collect()[0]["rf"]
+    assert rf_ldg <= rf_hash * 1.02  # affinity routing shouldn't be worse
+
+
+def test_salted_routing_preserves_estimates(spark, tokens_sdf):
+    """Salting heavy tokens across sub-shards must not change merged HLL
+    estimates — associativity is what makes skew mitigation free."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch import agg
+    from sgp_sketch.routing import route_tokens_salted
+
+    routed = route_tokens_salted(tokens_sdf, n_shards=8, replication=4)
+    assert routed.filter("salted").count() > 0  # datagen has hot keys
+    # per-shard partial HLLs (shard = routing decision), then global merge
+    by_shard = agg.sketch_agg(routed, "hll", "token", ("shard",), {"p": 12})
+    merged_salted = agg.merge_across(by_shard, group_cols=())
+    direct = agg.sketch_agg(
+        tokens_sdf.select(F.explode("tokens").alias("token")),
+        "hll", "token", (), {"p": 12})
+    est_s = merged_salted.collect()[0]
+    est_d = direct.collect()[0]
+    from sgp_sketch.kernels import registry
+    assert bytes(est_s["state"]) == bytes(est_d["state"])
+    assert registry.from_bytes(bytes(est_s["state"])).estimate() > 0
+
+
+def test_shard_load_sums_to_total(spark, tokens_sdf):
+    from pyspark.sql import functions as F
+
+    from sgp_sketch.routing import route_hash, shard_load
+
+    n = tokens_sdf.count()
+    load = shard_load(route_hash(tokens_sdf, "doc_id", 16))
+    assert load.agg(F.sum("n_docs")).collect()[0][0] == n
