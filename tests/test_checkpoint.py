@@ -1,0 +1,88 @@
+"""Checkpoint/resume tests (M4, SURVEY.md §5.2.3): slice-wise checkpointed
+builds must equal a direct single-pass build byte-exactly (HLL), and resume
+must rebuild only missing slices."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from sgp_sketch import agg, checkpoint
+
+
+@pytest.fixture(scope="module")
+def multi_file_input(spark, tokens_sdf, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ckpt_input") / "tokens")
+    tokens_sdf.repartition(6).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_checkpointed_equals_direct(spark, multi_file_input, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    manifest = checkpoint.build_checkpointed(
+        spark, multi_file_input, "hll", "tokens", ("source",), {"p": 12},
+        ckpt_dir=ckpt, files_per_slice=2)
+    assert manifest["n_slices"] >= 2
+    assert not manifest["skipped"]
+    final = {r["source"]: bytes(r["state"])
+             for r in checkpoint.finalize(spark, ckpt).collect()}
+    direct = {r["source"]: bytes(r["state"])
+              for r in agg.sketch_agg(spark.read.parquet(multi_file_input),
+                                      "hll", "tokens", ("source",),
+                                      {"p": 12}).collect()}
+    assert final == direct  # associativity ⇒ byte-identical merged state
+
+
+def test_resume_skips_completed_slices(spark, multi_file_input, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    m1 = checkpoint.build_checkpointed(
+        spark, multi_file_input, "hll", "tokens", ("source",), {"p": 12},
+        ckpt_dir=ckpt, files_per_slice=2)
+    victim = m1["slice_ids"][1]
+    shutil.rmtree(os.path.join(ckpt, "slices", victim))
+    os.remove(os.path.join(ckpt, "slices", f"{victim}.lineage.json"))
+    m2 = checkpoint.build_checkpointed(
+        spark, multi_file_input, "hll", "tokens", ("source",), {"p": 12},
+        ckpt_dir=ckpt, files_per_slice=2)
+    assert m2["built"] == [victim]
+    assert sorted(m2["skipped"]) == sorted(
+        s for s in m1["slice_ids"] if s != victim)
+    # and the resumed result is still exact
+    final = {r["source"]: bytes(r["state"])
+             for r in checkpoint.finalize(spark, ckpt).collect()}
+    direct = {r["source"]: bytes(r["state"])
+              for r in agg.sketch_agg(spark.read.parquet(multi_file_input),
+                                      "hll", "tokens", ("source",),
+                                      {"p": 12}).collect()}
+    assert final == direct
+
+
+def test_stale_lineage_invalidated(spark, multi_file_input, tmp_path):
+    """A lineage whose recorded file list no longer matches the plan must
+    not be reused."""
+    ckpt = str(tmp_path / "ckpt")
+    checkpoint.build_checkpointed(
+        spark, multi_file_input, "hll", "tokens", ("source",), {"p": 12},
+        ckpt_dir=ckpt, files_per_slice=2)
+    # same input replanned with a different slicing → different slice ids →
+    # nothing reusable
+    m = checkpoint.build_checkpointed(
+        spark, multi_file_input, "hll", "tokens", ("source",), {"p": 12},
+        ckpt_dir=ckpt, files_per_slice=3)
+    assert not m["skipped"]
+
+
+def test_lineage_contents(spark, multi_file_input, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    m = checkpoint.build_checkpointed(
+        spark, multi_file_input, "kll", "n_tok", ("source",), {},
+        ckpt_dir=ckpt, files_per_slice=3)
+    sid = m["slice_ids"][0]
+    with open(os.path.join(ckpt, "slices", f"{sid}.lineage.json")) as fh:
+        lin = json.load(fh)
+    assert lin["sketch_type"] == "kll"
+    assert lin["files"]
+    assert lin["n_items"] > 0
+    assert all(len(g["state_sha256"]) == 64 for g in lin["groups"])
+    assert os.path.exists(os.path.join(ckpt, "metrics.jsonl"))
