@@ -310,6 +310,107 @@ def q_lang_distribution(spark, sf_dir):
     """)
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (the dedup family's ground
+    truth), fully declarative — shingle explode + co-occurrence self-join."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        grams AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, explode(
+                    CASE WHEN size(ws) >= 3
+                         THEN transform(sequence(1, size(ws) - 2),
+                                        i -> concat_ws(' ', slice(ws, i, 3)))
+                         ELSE array() END) AS g
+                FROM w)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+    """)
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """Token counting with a BPE-ish pre-tokenizer regex (words / digits /
+    punctuation runs), per source — training-data pipeline op."""
+    _views(spark, sf_dir)
+    return spark.sql(r"""
+        SELECT source,
+               SUM(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)))
+                   AS n_bpe_tokens,
+               ROUND(AVG(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))), 2)
+                   AS avg_bpe_tokens
+        FROM documents GROUP BY source
+    """)
+
+
+def q_minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH near-duplicate pairs (estimate path; exact counterpart is
+    q_ngram_jaccard)."""
+    from sgp_sketch import dedup
+
+    _views(spark, sf_dir)
+    return dedup.minhash_near_duplicates(spark.table("documents"),
+                                         threshold=0.5)
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash fingerprint near-dup pairs over the token table."""
+    from sgp_sketch import dedup
+
+    return dedup.simhash_near_duplicates(_doc_tokens(spark, sf_dir),
+                                         max_hamming=3)
+
+
+def q_embedding_bucket_pairs(spark, sf_dir):
+    """Embedding near-dup scale path: multi-table hyperplane-LSH bucket
+    pairs histogrammed by cosine decile (random embeddings ⇒ no 0.95+ pairs;
+    the histogram shape is the check)."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch import dedup
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    pairs = dedup.embedding_near_duplicates(emb, threshold=-1.0,
+                                            n_planes=10, n_tables=2)
+    return (pairs.groupBy(F.floor(F.col("cosine") * 10).alias("cos_decile"))
+            .agg(F.count("*").alias("n_pairs")).orderBy("cos_decile"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN top-k via LSH bucket probe (approximate counterpart of
+    q_knn_bruteforce — scans only the query's buckets)."""
+    from sgp_sketch import dedup
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    return dedup.ann_topk_lsh(emb.filter("vec_id <> 0"), q, k=5)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: per-source distinct SimHash fingerprints vs
+    docs (rolling 64-bit content fingerprint family)."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch import dedup
+
+    toks = _doc_tokens(spark, sf_dir)
+    fps = dedup.simhash_fingerprints(toks)
+    return (fps.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("simhash").alias("n_fingerprints")))
+
+
 def q_knn_bruteforce(spark, sf_dir):
     """Similarity search baseline: brute-force cosine top-5 neighbors of
     vec_id=0, JVM-side vectorized (aggregate/zip_with — no Python UDF)."""
@@ -455,6 +556,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "lang_distribution": q_lang_distribution,
         "knn_bruteforce": q_knn_bruteforce,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_count_bpe": q_token_count_bpe,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "embedding_bucket_pairs": q_embedding_bucket_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "doc_fingerprint": q_doc_fingerprint,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "kll_ntok_quantiles": q_kll_ntok_quantiles,
@@ -610,6 +718,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, COUNT(*) AS n
             FROM documents WHERE lang IS NOT NULL
             GROUP BY lang, source
+        """,
+        "ngram_jaccard": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+                FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_inter
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   ROUND(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+        """,
+        "token_count_bpe": r"""
+            SELECT source,
+                   SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                       AS n_bpe_tokens,
+                   ROUND(AVG(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 2)
+                       AS avg_bpe_tokens
+            FROM documents GROUP BY source
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -1,0 +1,140 @@
+"""Dedup & similarity tests: kernel properties (minhash unbiasedness,
+simhash locality, plane determinism) and Spark end-to-end recall/precision on
+planted near-duplicates, with the exact n-gram Jaccard as in-test oracle."""
+
+import numpy as np
+import pytest
+
+from sgp_sketch import dedup
+
+
+# ================================================================ kernels
+
+def test_minhash_identical_docs_identical_sigs():
+    a = np.arange(50, dtype=np.int64)
+    sigs = dedup.minhash_batch([a, a.copy()], k=64)
+    np.testing.assert_array_equal(sigs[0], sigs[1])
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(5)
+    for overlap in (0.2, 0.5, 0.8):
+        shared = rng.choice(1 << 40, size=int(400 * overlap), replace=False)
+        only_a = rng.choice(1 << 40, size=400 - shared.size, replace=False)
+        only_b = rng.choice(1 << 40, size=400 - shared.size, replace=False)
+        a = np.concatenate([shared, only_a]).astype(np.int64)
+        b = np.concatenate([shared, only_b]).astype(np.int64)
+        true_j = shared.size / (2 * 400 - shared.size)
+        sigs = dedup.minhash_batch([a, b], k=256)
+        est = float((sigs[0] == sigs[1]).mean())
+        # k=256 ⇒ se = sqrt(j(1-j)/256) ≤ 0.032; 4σ tolerance
+        assert abs(est - true_j) < 0.13, (overlap, est, true_j)
+
+
+def test_minhash_empty_doc():
+    sigs = dedup.minhash_batch([np.empty(0, dtype=np.int64),
+                                np.arange(3, dtype=np.int64)], k=16)
+    assert (sigs[0] == dedup._EMPTY_SENTINEL).all()
+    assert not (sigs[1] == dedup._EMPTY_SENTINEL).all()
+
+
+def test_simhash_locality():
+    rng = np.random.default_rng(9)
+    base = rng.choice(1 << 40, size=300, replace=False).astype(np.int64)
+    near = base.copy()
+    near[:15] = rng.choice(1 << 40, size=15)  # 5% token churn
+    far = rng.choice(1 << 40, size=300, replace=False).astype(np.int64)
+    fps = dedup.simhash_batch([base, near, far, base])
+    ham = lambda x, y: bin(int(x) ^ int(y)).count("1")
+    assert ham(fps[0], fps[3]) == 0
+    assert ham(fps[0], fps[1]) < ham(fps[0], fps[2])
+    assert ham(fps[0], fps[1]) <= 10
+
+
+def test_hyperplane_signature_deterministic():
+    v = np.random.default_rng(1).standard_normal((20, 64))
+    s1 = dedup.hyperplane_signature(v, 16, seed=7)
+    s2 = dedup.hyperplane_signature(v.copy(), 16, seed=7)
+    np.testing.assert_array_equal(s1, s2)
+    assert (dedup.hyperplane_signature(v, 16, seed=8) != s1).any()
+
+
+# ================================================================== Spark
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """60 random-word docs + 3 near-dup clones of doc 0 + 1 exact clone."""
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(60):
+        words = rng.choice(vocab, size=40).tolist()
+        rows.append((i, " ".join(words)))
+    base = rows[0][1].split(" ")
+    for j, churn in enumerate((2, 4, 6)):
+        words = list(base)
+        for c in range(churn):
+            words[5 + 3 * c] = f"alt{j}_{c}"
+        rows.append((100 + j, " ".join(words)))
+    rows.append((200, rows[0][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_near_dups(spark, planted_docs):
+    got = dedup.minhash_near_duplicates(planted_docs, threshold=0.5).toPandas()
+    pairs = set(map(tuple, got[["doc_a", "doc_b"]].values.tolist()))
+    assert (0, 200) in pairs           # exact clone: jaccard 1.0
+    assert (0, 100) in pairs           # 2-word churn clone
+    # no random-pair false positives at this threshold
+    assert all(a in (0, 100, 101, 102, 200) and b in (0, 100, 101, 102, 200)
+               for a, b in pairs)
+
+
+def test_minhash_matches_exact_jaccard_oracle(spark, planted_docs):
+    exact = dedup.ngram_jaccard_pairs(planted_docs, min_jaccard=0.6).toPandas()
+    est = dedup.minhash_near_duplicates(planted_docs, threshold=0.4).toPandas()
+    exact_pairs = set(map(tuple, exact[["doc_a", "doc_b"]].values.tolist()))
+    est_pairs = set(map(tuple, est[["doc_a", "doc_b"]].values.tolist()))
+    assert exact_pairs <= est_pairs    # full recall of the high-sim pairs
+    for _, r in est.iterrows():
+        ex = exact[(exact.doc_a == r.doc_a) & (exact.doc_b == r.doc_b)]
+        if len(ex):
+            assert abs(r.est_jaccard - ex.jaccard.iloc[0]) < 0.2
+
+
+def test_simhash_finds_exact_clone(spark, planted_docs):
+    toks = planted_docs.selectExpr(
+        "doc_id", "transform(split(text, ' '), w -> xxhash64(w)) AS tokens")
+    got = dedup.simhash_near_duplicates(toks, max_hamming=8).toPandas()
+    pairs = set(map(tuple, got[["doc_a", "doc_b"]].values.tolist()))
+    assert (0, 200) in pairs
+    assert got[(got.doc_a == 0) & (got.doc_b == 200)].hamming.iloc[0] == 0
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(80):
+        v = rng.standard_normal(32)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    base = np.asarray(rows[0][1])
+    near = base + 0.05 * rng.standard_normal(32)
+    rows.append((500, (near / np.linalg.norm(near)).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_duplicates(spark, planted_vectors):
+    got = dedup.embedding_near_duplicates(planted_vectors,
+                                          threshold=0.95).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    assert (0, 500) in pairs
+
+
+def test_ann_lsh_finds_planted_neighbor(spark, planted_vectors):
+    q = np.asarray(
+        planted_vectors.filter("vec_id = 0").collect()[0]["embedding"])
+    got = dedup.ann_topk_lsh(planted_vectors.filter("vec_id <> 0"), q,
+                             k=3).toPandas()
+    assert got.vec_id.iloc[0] == 500
+    assert got.cosine.iloc[0] > 0.95
