@@ -101,11 +101,18 @@ def tokens_df(spark, n_docs: int, seed: int = SEED, partitions: int | None = Non
 
 
 def write_tokens_table(spark, path: str, n_docs: int, seed: int = SEED,
-                       partitions: int | None = None) -> str:
+                       partitions: int | None = None,
+                       out_files: int | None = None) -> str:
     """Write the table partitioned by `source` so `filter(source=...)` prunes
     files (the reference's scan-level label filter,
     `/root/reference/src/main/java/ca/uwaterloo/cs/sgp/streaming/EdgeCutSGP.java:84-92`,
-    done by the storage layout instead)."""
+    done by the storage layout instead).
+
+    `out_files` controls file count (≈ row-group count ≈ the max usable scan
+    parallelism downstream — parquet splits are row-group-bound). Hashing by
+    (source, doc_id) keeps each writer task on one source directory."""
     df = tokens_df(spark, n_docs, seed, partitions)
+    if out_files:
+        df = df.repartition(out_files, "source", "doc_id")
     df.write.mode("overwrite").partitionBy("source").parquet(path)
     return path

@@ -67,13 +67,22 @@ class Bloom:
             masks[i] = np.uint64(1) << (pos & np.uint64(63))
         return widx, masks
 
-    def update_hashes(self, h: np.ndarray) -> "Bloom":
+    def update_hashes(self, h: np.ndarray, assume_unique: bool = False,
+                      n_raw: int | None = None) -> "Bloom":
+        """`n_raw`: pre-dedup occurrence count when the caller already
+        deduped (keeps n_items chunking-invariant → byte-stable blobs)."""
         h = np.asarray(h, dtype=np.uint64)
         if h.size == 0:
             return self
+        n = n_raw if n_raw is not None else h.size
+        # bit-sets are idempotent — dedupe the batch before the expensive
+        # bitwise_or.at scatter (interpreted ~100ns/element × k probes);
+        # np.unique also sorts, giving sequential block access.
+        if not assume_unique and n > 4096:
+            h = np.unique(h)
         widx, masks = self._positions(h)
         np.bitwise_or.at(self.words, widx.ravel(), masks.ravel())
-        self.n_items += h.size
+        self.n_items += n
         return self
 
     def update(self, values: np.ndarray, seed: int = 0) -> "Bloom":
@@ -107,6 +116,15 @@ class Bloom:
         return float((1.0 - np.exp(-self.k * max(self.n_items, 1) / m)) ** self.k)
 
     def to_bytes(self) -> bytes:
+        """Dense (version 1) or sparse nonzero-word COO (version 2) —
+        whichever is smaller; see cms.py for rationale."""
+        nz = np.flatnonzero(self.words)
+        if self.words.size < (1 << 32) and nz.size * 12 < self.words.size * 8:
+            head = struct.pack("<2sBBBIQQ", MAGIC, 2, TYPE_BLOOM,
+                               self.k, self.n_blocks, self.seed, self.n_items)
+            return (head + struct.pack("<q", nz.size)
+                    + nz.astype("<u4").tobytes()
+                    + self.words[nz].astype("<u8").tobytes())
         head = struct.pack("<2sBBBIQQ", MAGIC, VERSION, TYPE_BLOOM,
                            self.k, self.n_blocks, self.seed, self.n_items)
         return head + self.words.astype("<u8").tobytes()
@@ -117,6 +135,15 @@ class Bloom:
         if magic != MAGIC or typ != TYPE_BLOOM:
             raise ValueError("not a Bloom blob")
         off = struct.calcsize("<2sBBBIQQ")
+        if ver == 2:
+            (nnz,) = struct.unpack_from("<q", buf, off)
+            off += 8
+            idx = np.frombuffer(buf, dtype="<u4", count=nnz, offset=off)
+            off += 4 * nnz
+            vals = np.frombuffer(buf, dtype="<u8", count=nnz, offset=off)
+            words = np.zeros(n_blocks * BLOCK_WORDS, dtype=np.uint64)
+            words[idx.astype(np.int64)] = vals
+            return cls(n_blocks, k, seed, words=words, n_items=n_items)
         words = np.frombuffer(buf, dtype="<u8", count=n_blocks * BLOCK_WORDS,
                               offset=off).astype(np.uint64)
         return cls(n_blocks, k, seed, words=words, n_items=n_items)

@@ -124,6 +124,20 @@ class CMS:
         return self.estimate_hashes(hash64(np.asarray(values), seed=seed))
 
     def to_bytes(self) -> bytes:
+        """Dense (version 1) or sparse COO (version 2) — whichever is
+        smaller. Partial states from small partitions are mostly zeros;
+        sparse encoding cuts the shuffled partial-blob bytes by orders of
+        magnitude at bench scale while the merged/dense case stays compact.
+        The choice is a pure function of the state, so byte-equality
+        properties across build orders are preserved."""
+        flat = self.table.ravel()
+        nz = np.flatnonzero(flat)
+        if flat.size < (1 << 32) and nz.size * 12 < flat.size * 8:
+            head = struct.pack("<2sBBBIQQ", MAGIC, 2, TYPE_CMS,
+                               self.depth, self.width, self.seed, self.n_items)
+            return (head + struct.pack("<q", nz.size)
+                    + nz.astype("<u4").tobytes()
+                    + flat[nz].astype("<i8").tobytes())
         head = struct.pack("<2sBBBIQQ", MAGIC, VERSION, TYPE_CMS,
                            self.depth, self.width, self.seed, self.n_items)
         return head + self.table.astype("<i8").tobytes()
@@ -134,6 +148,16 @@ class CMS:
         if magic != MAGIC or typ != TYPE_CMS:
             raise ValueError("not a CMS blob")
         off = struct.calcsize("<2sBBBIQQ")
+        if ver == 2:
+            (nnz,) = struct.unpack_from("<q", buf, off)
+            off += 8
+            idx = np.frombuffer(buf, dtype="<u4", count=nnz, offset=off)
+            off += 4 * nnz
+            vals = np.frombuffer(buf, dtype="<i8", count=nnz, offset=off)
+            table = np.zeros(depth * width, dtype=np.int64)
+            table[idx.astype(np.int64)] = vals
+            return cls(depth, width, seed, table=table.reshape(depth, width),
+                       n_items=n_items)
         table = np.frombuffer(buf, dtype="<i8", count=depth * width, offset=off)
         return cls(depth, width, seed, table=table.reshape(depth, width).copy(),
                    n_items=n_items)

@@ -106,11 +106,18 @@ class HLL:
         self.sparse = None
         self.dense = dense
 
-    def update_hashes(self, h: np.ndarray) -> "HLL":
-        """Add pre-hashed uint64 values (vectorized)."""
+    def update_hashes(self, h: np.ndarray, assume_unique: bool = False) -> "HLL":
+        """Add pre-hashed uint64 values (vectorized).
+
+        HLL updates are idempotent — dedupe the batch first (one O(n log n)
+        sort beats the interpreted ~100ns/element maximum.at scatter 5-10×
+        on skewed batches). Callers that already deduped (the shared
+        unique-then-hash path in agg.py) pass assume_unique=True."""
         if h.size == 0:
             return self
         h = np.asarray(h, dtype=np.uint64)
+        if not assume_unique and h.size > 4096:
+            h = np.unique(h)
         if self.dense is not None:
             p64 = np.uint64(self.p)
             idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
