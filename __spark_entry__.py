@@ -411,6 +411,28 @@ def q_doc_fingerprint(spark, sf_dir):
                  F.countDistinct("simhash").alias("n_fingerprints")))
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal pipeline: binary media columns → per-modality decode /
+    feature / frame-sample stages (mapInPandas), summarized per kind.
+    Deterministic synthetic SGPM media (real codecs stubbed — no codec libs
+    in the sandbox; the Spark plumbing is real)."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch import multimodal as mm
+
+    media = mm.synth_media_df(spark, n_per_kind=20)
+    img = mm.image_feature_stage(media).agg(
+        F.lit("image").alias("kind"), F.count("*").alias("n_rows"),
+        F.round(F.avg("mean_r"), 2).alias("metric"))
+    aud = mm.audio_feature_stage(media).agg(
+        F.lit("audio").alias("kind"), F.count("*").alias("n_rows"),
+        F.round(F.avg("rms"), 4).alias("metric"))
+    vid = mm.frame_sample_stage(media, every=2).agg(
+        F.lit("video_frames").alias("kind"), F.count("*").alias("n_rows"),
+        F.round(F.avg("mean_lum"), 2).alias("metric"))
+    return img.unionByName(aud).unionByName(vid)
+
+
 def q_knn_bruteforce(spark, sf_dir):
     """Similarity search baseline: brute-force cosine top-5 neighbors of
     vec_id=0, JVM-side vectorized (aggregate/zip_with — no Python UDF)."""
@@ -563,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_bucket_pairs": q_embedding_bucket_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_features": q_multimodal_features,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "kll_ntok_quantiles": q_kll_ntok_quantiles,

@@ -1,0 +1,121 @@
+"""Multimodal plumbing tests: SGPM codec round-trips, numpy feature kernels,
+and the Spark mapInPandas stages (schema, batch shape, row expansion) over
+the synthetic media table. External codecs must raise the documented stub."""
+
+import numpy as np
+import pytest
+
+from sgp_sketch import multimodal as mm
+
+
+def test_image_codec_roundtrip():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(mm.decode_image(mm.encode_image(px)), px)
+
+
+def test_audio_codec_roundtrip():
+    rng = np.random.default_rng(4)
+    s = (rng.standard_normal(1000) * 1000).astype(np.int16)
+    dec, sr = mm.decode_audio(mm.encode_audio(s, 16000))
+    assert sr == 16000
+    np.testing.assert_array_equal(dec, s)
+
+
+def test_video_codec_roundtrip():
+    rng = np.random.default_rng(5)
+    fr = rng.integers(0, 256, (6, 8, 10), dtype=np.uint8)
+    np.testing.assert_array_equal(mm.decode_video(mm.encode_video(fr)), fr)
+
+
+def test_codec_rejects_wrong_kind():
+    rng = np.random.default_rng(6)
+    img = mm.encode_image(rng.integers(0, 256, (4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        mm.decode_audio(img)
+
+
+def test_external_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_external(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(NotImplementedError):
+        mm.decode_external(b"RIFF", "wav")
+
+
+def test_block_mean_resize_constant_image():
+    img = np.full((32, 48), 7.0)
+    out = mm.block_mean_resize(img, 4, 4)
+    assert out.shape == (4, 4)
+    np.testing.assert_allclose(out, 7.0)
+
+
+def test_block_mean_resize_preserves_global_mean():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (64, 64)).astype(np.float64)
+    out = mm.block_mean_resize(img, 8, 8)
+    assert abs(out.mean() - img.mean()) < 1e-9  # 64 divides evenly
+
+
+def test_audio_features_sine():
+    sr = 8000
+    t = np.arange(sr) / sr
+    s = (np.sin(2 * np.pi * 100 * t) * 16384).astype(np.int16)
+    f = mm.audio_features(s, sr)
+    assert f["duration_ms"] == 1000
+    assert abs(f["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(f["zcr"] - 200 / sr) < 0.01  # 100 Hz ⇒ 200 crossings/s
+
+
+# ================================================================== Spark
+
+@pytest.fixture(scope="module")
+def media_sdf(spark):
+    df = mm.synth_media_df(spark, n_per_kind=20).cache()
+    df.count()
+    return df
+
+
+def test_image_stage(spark, media_sdf):
+    out = mm.image_feature_stage(media_sdf).toPandas()
+    assert len(out) == 20
+    assert set(out.columns) == {"media_id", "width", "height", "mean_r",
+                                "mean_g", "mean_b", "thumb"}
+    assert all(len(t) == 16 for t in out.thumb)
+    assert out.mean_r.between(0, 255).all()
+    # cross-check one row against a local decode
+    row = out.iloc[0]
+    local = mm.synth_media_pdf(20)
+    buf = local.loc[local.media_id == row.media_id, "payload"].iloc[0]
+    px = mm.decode_image(bytes(buf))
+    assert row.width == px.shape[1] and row.height == px.shape[0]
+    assert abs(row.mean_r - px[..., 0].mean()) < 1e-6
+
+
+def test_audio_stage(spark, media_sdf):
+    out = mm.audio_feature_stage(media_sdf).toPandas()
+    assert len(out) == 20
+    assert (out.rms > 0).all()
+    assert out.duration_ms.between(200, 1100).all()
+
+
+def test_video_stage_row_expansion(spark, media_sdf):
+    out = mm.frame_sample_stage(media_sdf, every=2).toPandas()
+    # one media row expands to ceil(n_frames/2) frame rows
+    local = mm.synth_media_pdf(20)
+    vids = local[local.kind == "video"]
+    expected = int(sum(-(-n // 2) for n in vids.n_frames))
+    assert len(out) == expected
+    assert (out.frame_idx % 2 == 0).all()
+    assert out.mean_lum.between(0, 255).all()
+
+
+def test_media_partition_pruning_shape(spark, media_sdf, tmp_path):
+    """kind-partitioned storage: the image stage's scan touches only the
+    image partition (PartitionFilters in the plan)."""
+    path = str(tmp_path / "media")
+    media_sdf.write.partitionBy("kind").parquet(path)
+    df = spark.read.parquet(path)
+    plan = (df.filter(df.kind == "image").select("media_id", "payload")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan
+    assert mm.image_feature_stage(df).count() == 20

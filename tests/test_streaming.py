@@ -1,0 +1,71 @@
+"""Streaming tests: foreachBatch incremental build equals the batch build
+byte-exactly (mergeability IS the streaming property), and the
+applyInPandasWithState running estimator converges to the exact value."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sgp_sketch import agg, streaming
+
+SPECS = {"hll": {"kind": "hll", "value_col": "tokens", "params": {"p": 12}}}
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tokens_sdf, tmp_path_factory):
+    """Token table written as 3 separate files — 3 micro-batch candidates."""
+    path = str(tmp_path_factory.mktemp("stream") / "tokens")
+    tokens_sdf.repartition(3).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_foreachbatch_stream_equals_batch(spark, stream_input, tmp_path):
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.stream_sketch_build(
+        spark, stream_input, state_dir, SPECS,
+        checkpoint_dir=ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+    streamed = {r["source"]: bytes(r["state"])
+                for r in streaming.streamed_estimates(spark, state_dir)
+                .collect()}
+    batch = {r["source"]: bytes(r["state"])
+             for r in agg.sketch_agg(spark.read.parquet(stream_input),
+                                     "hll", "tokens", ("source",),
+                                     {"p": 12}).collect()}
+    assert streamed == batch  # associativity ⇒ byte-identical
+
+    # restart with the same checkpoint: no new batches, state unchanged
+    n_before = len(spark.read.parquet(state_dir).collect())
+    q2 = streaming.stream_sketch_build(
+        spark, stream_input, state_dir, SPECS,
+        checkpoint_dir=ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert len(spark.read.parquet(state_dir).collect()) == n_before
+
+
+def test_stateful_running_estimate(spark, stream_input, tokens_pdf, tmp_path):
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt2")
+    sdf = streaming.running_distinct_stream(spark, stream_input, p=12)
+
+    def sink(batch_df, _bid):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (sdf.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert set(got.columns) == {"source", "est_distinct", "n_batches"}
+    # final (max n_batches) estimate per source within HLL bound of exact
+    bound = 3 * 1.04 / np.sqrt(1 << 12)
+    final = got.sort_values("n_batches").groupby("source").tail(1)
+    for src, sub in tokens_pdf.groupby("source"):
+        exact = len(np.unique(np.concatenate(sub["tokens"].to_numpy())))
+        est = float(final.loc[final.source == src, "est_distinct"].iloc[0])
+        assert abs(est - exact) / exact <= bound, (src, est, exact)
