@@ -35,7 +35,8 @@ HEADLINE = [
     "tdigest_value_quantiles", "bloom_membership",
     "pricing_summary", "broadcast_join_agg", "two_hop", "window_topk",
     "top_words", "dedup_exact", "knn_bruteforce",
-    "minhash_near_dup", "simhash_fingerprint", "router_balance",
+    "minhash_near_dup", "simhash_near_dup", "ngram_jaccard",
+    "router_balance", "multimodal_features",
 ]
 
 

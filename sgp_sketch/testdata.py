@@ -29,16 +29,19 @@ def doc_words(spark, sf_dir: str):
         F.explode(F.split(F.col("text"), " ")).alias("word"))
 
 
-def doc_tokens(spark, sf_dir: str):
-    """documents → input_hint-shaped tokens table:
-    (doc_id string, tokens array<bigint>, n_tok int, source string), token ids
-    from xxhash64(word) — the engine's native input."""
+def doc_tokens_from(docs):
+    """documents DataFrame → input_hint-shaped tokens table:
+    (doc_id string, tokens array<bigint>, n_tok int, source string), token
+    ids from xxhash64(word) — the engine's native input."""
     from pyspark.sql import functions as F
 
-    docs = load(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.transform(F.split(F.col("text"), " "),
                     lambda w: F.xxhash64(w)).alias("tokens"),
         F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
         "source")
+
+
+def doc_tokens(spark, sf_dir: str):
+    return doc_tokens_from(load(spark, sf_dir, "documents"))
