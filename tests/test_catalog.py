@@ -1,0 +1,35 @@
+"""catalog.py: Iceberg-layout round-trip and resolution order."""
+
+import json
+import os
+
+from sgp_sketch import catalog
+
+
+def test_layout_roundtrip(spark, tokens_sdf, tmp_path):
+    path = str(tmp_path / "tbl")
+    manifest = catalog.write_layout(tokens_sdf, path,
+                                    partition_by=["source"])
+    assert manifest["n_files"] > 0
+    assert os.path.exists(os.path.join(path, "metadata",
+                                       "v1.metadata.json"))
+    back = catalog.load_table(spark, path)
+    assert back.count() == tokens_sdf.count()
+    assert set(back.columns) == set(tokens_sdf.columns)
+
+
+def test_snapshot_versioning(spark, tokens_sdf, tmp_path):
+    path = str(tmp_path / "tbl")
+    catalog.write_layout(tokens_sdf.limit(10), path)
+    m2 = catalog.write_layout(tokens_sdf.limit(20), path)
+    assert m2["version"] == 2
+    with open(os.path.join(path, "metadata", "version-hint.text")) as fh:
+        assert fh.read() == "2"
+    with open(os.path.join(path, "metadata", "v2.metadata.json")) as fh:
+        assert json.load(fh)["n_files"] == m2["n_files"]
+
+
+def test_plain_parquet_fallback(spark, tokens_sdf, tmp_path):
+    path = str(tmp_path / "plain")
+    tokens_sdf.limit(5).write.parquet(path)
+    assert catalog.load_table(spark, path).count() == 5
