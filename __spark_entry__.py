@@ -411,6 +411,79 @@ def q_doc_fingerprint(spark, sf_dir):
                  F.countDistinct("simhash").alias("n_fingerprints")))
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Grouping sets (SURVEY §2.4 note: free via rollup) — order revenue by
+    (status, priority) with subtotals and grand total."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, '__all__') AS status,
+               COALESCE(o_orderpriority, '__all__') AS priority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """)
+
+
+def q_checkpointed_hll(spark, sf_dir):
+    """M4 resumable build through the public checkpoint API: slice-wise
+    build + finalize, estimates per source (byte-equal to a direct build —
+    gated in tests; here the estimate values are the check)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sgp_sketch import checkpoint
+    from sgp_sketch import queries as Q
+
+    toks = _doc_tokens(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sgp_ckpt_q_")
+    try:
+        inp = f"{work}/tokens"
+        toks.repartition(4).write.parquet(inp)
+        checkpoint.build_checkpointed(
+            spark, inp, "hll", "tokens", ("source",), {"p": 14},
+            ckpt_dir=f"{work}/ckpt", files_per_slice=2)
+        final = checkpoint.finalize(spark, f"{work}/ckpt")
+        est = Q._estimate_udf()
+        return spark.createDataFrame(
+            final.select("source", est("state").alias("est_distinct"))
+            .collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_streamed_hll(spark, sf_dir):
+    """Structured Streaming incremental build (foreachBatch partial blobs),
+    merged estimates per source — equals the batch build byte-exactly
+    (gated in tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from sgp_sketch import queries as Q
+    from sgp_sketch import streaming
+
+    toks = _doc_tokens(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sgp_stream_q_")
+    try:
+        inp = f"{work}/tokens"
+        toks.repartition(3).write.parquet(inp)
+        q = streaming.stream_sketch_build(
+            spark, inp, f"{work}/state",
+            {"hll": {"kind": "hll", "value_col": "tokens",
+                     "params": {"p": 14}}},
+            checkpoint_dir=f"{work}/ckpt", available_now=True)
+        q.awaitTermination(300)
+        est = Q._estimate_udf()
+        final = streaming.streamed_estimates(spark, f"{work}/state")
+        return spark.createDataFrame(
+            final.select("source", est("state").alias("est_distinct"))
+            .collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal pipeline: binary media columns → per-modality decode /
     feature / frame-sample stages (mapInPandas), summarized per kind.
@@ -593,6 +666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "router_balance": q_router_balance,
         "salted_token_routing": q_salted_token_routing,
+        "rollup_revenue": q_rollup_revenue,
+        "checkpointed_hll": q_checkpointed_hll,
+        "streamed_hll": q_streamed_hll,
     }
 
 
@@ -769,6 +845,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 2)
                        AS avg_bpe_tokens
             FROM documents GROUP BY source
+        """,
+        "rollup_revenue": """
+            SELECT COALESCE(o_orderstatus, '__all__') AS status,
+                   COALESCE(o_orderpriority, '__all__') AS priority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
