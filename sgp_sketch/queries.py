@@ -116,27 +116,44 @@ def heavy_hitters(df, k: int = 20, value_col="tokens", group_cols=("source",),
         "state binary, cands array<long>, n_items long, part_id long"
     params = {"depth": depth, "width": width}
 
-    def partial(iterator):
+    def partial(batches):
+        """Arrow scan: zero-copy flat token buffer + shared dedupe per
+        batch (same hot loop as agg.build_partials_multi), plus exact local
+        candidate tracking for the distributed heavy-hitter argument."""
+        import pyarrow as pa
+
         states: dict[tuple, cms_mod.CMS] = {}
         acc_u: dict[tuple, list] = {}  # per-batch (uniq, count) arrays
         acc_c: dict[tuple, list] = {}
-        for pdf in iterator:
-            grouped = pdf.groupby(group_cols, sort=False) if group_cols else [((), pdf)]
-            for gkey, sub in grouped:
-                if not isinstance(gkey, tuple):
-                    gkey = (gkey,)
-                flat = agg._extract_values(sub[value_col], numeric=False)
-                if flat.size == 0:
-                    continue
-                st = states.get(gkey)
-                if st is None:
-                    st = cms_mod.CMS(**params)
-                    states[gkey] = st
-                    acc_u[gkey], acc_c[gkey] = [], []
-                uniq, counts = np.unique(flat.astype(np.int64), return_counts=True)
-                st.update_hashes(hash64(uniq.view(np.uint64)), counts=counts)
-                acc_u[gkey].append(uniq)
-                acc_c[gkey].append(counts)
+
+        def ingest(gkey, uniq, counts):
+            st = states.get(gkey)
+            if st is None:
+                st = cms_mod.CMS(**params)
+                states[gkey] = st
+                acc_u[gkey], acc_c[gkey] = [], []
+            uniq64 = uniq.astype(np.int64, copy=False)
+            st.update_hashes(hash64(uniq64.view(np.uint64)), counts=counts)
+            acc_u[gkey].append(uniq64)
+            acc_c[gkey].append(counts)
+
+        for batch in batches:
+            codes, mapping = agg._batch_columns(batch, group_cols)
+            col = batch.column(value_col)
+            flat, lens = agg._flatten_list_column(col)
+            if flat.size == 0:
+                continue
+            if len(mapping) == 1:
+                uniq, counts = agg._unique_counts(flat)
+                ingest(mapping[min(mapping)], uniq, counts)
+            else:
+                tg = np.repeat(codes, lens)
+                for g in sorted(mapping):
+                    sel = flat[tg == g]
+                    if sel.size == 0:
+                        continue
+                    uniq, counts = agg._unique_counts(sel)
+                    ingest(mapping[g], uniq, counts)
         if not states:
             return
         pid = TaskContext.get().partitionId()
@@ -150,9 +167,24 @@ def heavy_hitters(df, k: int = 20, value_col="tokens", group_cols=("source",),
             np.add.at(tot, inv, cc)
             order = np.lexsort((uniq, -tot))[:C]
             rows.append((*gkey, st.to_bytes(), uniq[order].tolist(),
-                         st.n_items, pid))
-        yield pd.DataFrame(rows, columns=group_cols + [
+                         int(st.n_items), pid))
+        pdf = pd.DataFrame(rows, columns=group_cols + [
             "state", "cands", "n_items", "part_id"])
+        try:
+            from pyspark.sql.pandas.types import to_arrow_type
+            gtypes = {c: to_arrow_type(in_schema[c].dataType)
+                      for c in group_cols}
+        except Exception:
+            gtypes = {}
+        arrays = [pa.array(pdf[c].tolist(), type=gtypes.get(c))
+                  for c in group_cols]
+        arrays += [pa.array(pdf["state"].tolist(), pa.binary()),
+                   pa.array(pdf["cands"].tolist(), pa.list_(pa.int64())),
+                   pa.array(pdf["n_items"].tolist(), pa.int64()),
+                   pa.array(pdf["part_id"].tolist(), pa.int64())]
+        yield pa.RecordBatch.from_arrays(
+            arrays, names=group_cols + ["state", "cands", "n_items",
+                                        "part_id"])
 
     def merge(key, pdf):
         merged = registry.merge_blobs(list(pdf["state"]))
@@ -170,7 +202,7 @@ def heavy_hitters(df, k: int = 20, value_col="tokens", group_cols=("source",),
     import math
 
     n_parts = df.rdd.getNumPartitions()
-    partials = df.select(*group_cols, value_col).mapInPandas(partial, schema)
+    partials = df.select(*group_cols, value_col).mapInArrow(partial, schema)
     fanin = 64
     rounds = max(1, math.ceil(math.log(max(n_parts, 2), fanin)))
     merged = partials

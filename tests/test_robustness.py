@@ -1,0 +1,98 @@
+"""Edge-case robustness: empty inputs, null/empty token arrays, singleton
+groups, and blob-format integrity through the full Spark path."""
+
+import numpy as np
+import pytest
+
+from sgp_sketch import agg, queries
+from sgp_sketch.kernels import registry
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string")
+    out = agg.sketch_agg(df, "hll", "tokens", ("source",), {"p": 10})
+    assert out.count() == 0
+
+
+def test_null_and_empty_token_arrays(spark):
+    rows = [("a", [1, 2, 3], 3, "s1"),
+            ("b", None, 0, "s1"),
+            ("c", [], 0, "s1"),
+            ("d", [3, 4], 2, "s2")]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    out = {r["source"]: r for r in
+           agg.sketch_agg(df, "hll", "tokens", ("source",),
+                          {"p": 10}).collect()}
+    est1 = registry.from_bytes(bytes(out["s1"]["state"])).estimate()
+    est2 = registry.from_bytes(bytes(out["s2"]["state"])).estimate()
+    assert round(est1) == 3 and round(est2) == 2
+    assert out["s1"]["n_items"] == 3 and out["s2"]["n_items"] == 2
+
+
+def test_singleton_groups_many(spark):
+    """One doc per group — worst case for per-group batching."""
+    rows = [(f"d{i}", [i, i + 1], 2, f"g{i}") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    out = agg.sketch_agg(df.repartition(7), "hll", "tokens", ("source",),
+                         {"p": 10})
+    got = out.collect()
+    assert len(got) == 50
+    for r in got:
+        assert round(registry.from_bytes(bytes(r["state"])).estimate()) == 2
+
+
+def test_multi_sketch_null_numeric(spark):
+    rows = [("a", [1], 1, "s1", 2.0), ("b", [2], 1, "s1", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string, "
+              "value double")
+    specs = {"hll": {"kind": "hll", "value_col": "tokens", "params": {"p": 10}},
+             "td": {"kind": "tdigest", "value_col": "value", "params": {}}}
+    out = agg.multi_sketch_agg(df, specs, ("source",)).collect()
+    by = {r["sketch"]: r for r in out}
+    assert by["td"]["n_items"] == 1  # null filtered
+    assert round(registry.from_bytes(bytes(by["hll"]["state"])).estimate()) == 2
+
+
+def test_garbage_blob_rejected():
+    with pytest.raises(ValueError):
+        registry.from_bytes(b"XX\x01\x01garbage")
+    with pytest.raises(ValueError):
+        registry.from_bytes(b"SK\x01\xee" + b"\x00" * 32)
+
+
+def test_mismatched_param_merge_rejected():
+    a = registry.make("hll", p=10)
+    b = registry.make("hll", p=12)
+    a.update(np.arange(10, dtype=np.int64).view(np.uint64))
+    b.update(np.arange(10, dtype=np.int64).view(np.uint64))
+    with pytest.raises(ValueError):
+        a.merge(b)
+    c = registry.make("cms", width=1 << 10)
+    with pytest.raises(TypeError):
+        a.merge(c)
+
+
+def test_int64_token_path(spark):
+    """xxhash64-derived bigint tokens exercise the non-packed grouped path
+    (no bincount, no uint32 packing)."""
+    rows = [("a", [2**40 + 1, -(2**40)], 2, "s1"),
+            ("b", [2**40 + 1, 7], 2, "s2")]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<long>, n_tok int, source string")
+    out = {r["source"]: r for r in
+           agg.sketch_agg(df, "hll", "tokens", ("source",),
+                          {"p": 10}).collect()}
+    for s in ("s1", "s2"):
+        assert round(registry.from_bytes(bytes(out[s]["state"])).estimate()) == 2
+
+
+def test_group_count_one_global(spark, tokens_sdf):
+    """Global (no group cols) build returns exactly one row."""
+    out = agg.sketch_agg(tokens_sdf, "hll", "tokens", (), {"p": 12})
+    rows = out.collect()
+    assert len(rows) == 1
+    assert registry.from_bytes(bytes(rows[0]["state"])).estimate() > 0
