@@ -397,6 +397,28 @@ def q_ann_lsh_topk(spark, sf_dir):
     return dedup.ann_topk_lsh(emb.filter("vec_id <> 0"), q, k=5)
 
 
+def q_cosine_pairs(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (brute force, the ground truth
+    the LSH path approximates) — JVM zip_with/aggregate, no Python."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
+                                  (a, x) -> a + x * x)) AS nrm
+            FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(aggregate(zip_with(a.embedding, b.embedding,
+                                        (x, y) -> x * y),
+                               CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+                     / (a.nrm * b.nrm), 3) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE aggregate(zip_with(a.embedding, b.embedding, (x, y) -> x * y),
+                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+              / (a.nrm * b.nrm) >= 0.35
+    """)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: per-source distinct SimHash fingerprints vs
     docs (rolling 64-bit content fingerprint family)."""
@@ -656,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_bucket_pairs": q_embedding_bucket_pairs,
+        "cosine_pairs": q_cosine_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
@@ -845,6 +868,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 2)
                        AS avg_bpe_tokens
             FROM documents GROUP BY source
+        """,
+        "cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 3)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         """,
         "rollup_revenue": """
             SELECT COALESCE(o_orderstatus, '__all__') AS status,

@@ -98,7 +98,7 @@ def _ensure_scaling_table(hi: int) -> tuple[str, int]:
     from sgp_sketch.datagen import write_tokens_table
     from sgp_sketch.session import get_spark
 
-    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "750000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "500000"))
     path = f"/tmp/sgp_bench_tokens_{n_docs}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         log(f"generating scaling table: {n_docs} docs → {path}")
@@ -129,6 +129,21 @@ def _scaling_build(spark, path: str) -> float:
     return time.perf_counter() - t0
 
 
+def _warm(spark):
+    """Spin up the python worker pool + Arrow path so worker-fork time is
+    outside the measured window (one tiny task per core)."""
+    import pyarrow as pa
+
+    def noop(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([b.num_rows], pa.int64())], names=["n"])
+
+    cores = spark.sparkContext.defaultParallelism
+    (spark.range(0, cores * 1000, 1, cores)
+     .mapInArrow(noop, "n long").count())
+
+
 def scaling_probe(pairs=((2, 8), (8, 32))):
     """North-rule evidence: identical job + identical input at local[N] and
     local[4N]; efficiency = (tput_4N/tput_N)/4.
@@ -143,22 +158,28 @@ def scaling_probe(pairs=((2, 8), (8, 32))):
 
     levels = sorted({c for p in pairs for c in p})
     path, n_tok = _ensure_scaling_table(max(levels))
-    tput = {}
-    for cores in levels:
-        spark = get_spark(
-            f"bench-scaling-{cores}", master=f"local[{cores}]",
-            shuffle_partitions=cores,
-            extra_conf={"spark.sql.files.maxPartitionBytes": str(16 << 20)})
-        try:
-            sketch_build_job(spark, SF_DIR)  # warm JVM + python worker pool
-            # best-of-2: the sandbox VM has noisy neighbors; min is the
-            # honest estimate of the machine's capability at each level
-            dt = min(_scaling_build(spark, path), _scaling_build(spark, path))
-            tput[cores] = n_tok / dt
-            log(f"scaling local[{cores}]: {n_tok} tokens in {dt:.2f}s "
-                f"= {n_tok / dt:,.0f} tok/s")
-        finally:
-            spark.stop()
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    best: dict[int, float] = {}
+    # interleaved rounds + per-level min: the sandbox VM has noisy
+    # co-tenants whose bursts last minutes — measuring levels back-to-back
+    # lets one burst bias a single level (observed 2× swings, even
+    # superlinear "efficiency"). Interleaving exposes every level to the
+    # same noise windows; min estimates the machine's actual capability.
+    for r in range(rounds):
+        for cores in levels:
+            spark = get_spark(
+                f"bench-scaling-{cores}-r{r}", master=f"local[{cores}]",
+                shuffle_partitions=cores,
+                extra_conf={"spark.sql.files.maxPartitionBytes": str(16 << 20)})
+            try:
+                _warm(spark)
+                dt = _scaling_build(spark, path)
+                best[cores] = min(best.get(cores, float("inf")), dt)
+                log(f"scaling r{r} local[{cores}]: {dt:.2f}s "
+                    f"({n_tok / dt:,.0f} tok/s)")
+            finally:
+                spark.stop()
+    tput = {c: n_tok / dt for c, dt in best.items()}
     head_lo, head_hi = pairs[0]
     out = {
         "n_tokens": n_tok,
