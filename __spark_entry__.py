@@ -419,6 +419,19 @@ def q_cosine_pairs(spark, sf_dir):
     """)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """ANN top-k via IVF (k-means coarse quantizer + probed inverted
+    lists) — the centroid-pruned counterpart of q_ann_lsh_topk."""
+    from sgp_sketch import dedup
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    C = dedup.ivf_centroids(emb, n_lists=8)
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    return dedup.ann_topk_ivf(emb.filter("vec_id <> 0"), q, C,
+                              k=5, n_probe=3)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: per-source distinct SimHash fingerprints vs
     docs (rolling 64-bit content fingerprint family)."""
@@ -680,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_bucket_pairs": q_embedding_bucket_pairs,
         "cosine_pairs": q_cosine_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
         "hll_distinct_tokens": q_hll_distinct_tokens,

@@ -350,6 +350,80 @@ def embedding_near_duplicates(df, id_col: str = "vec_id",
             .distinct())
 
 
+def ivf_centroids(df, vec_col: str = "embedding", n_lists: int = 16,
+                  n_iter: int = 5, sample: int = 4096, seed: int = 13):
+    """IVF coarse quantizer: k-means centroids trained driver-side on a
+    deterministic sample (numpy Lloyd iterations, kmeans++-style seeding
+    from the sample). At 100 TB the sample is a tiny pushed-down read; the
+    expensive part — assignment — stays distributed. Returns (n_lists, d)
+    ndarray."""
+    rows = (df.select(vec_col).limit(sample).collect())
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    # seed centroids: random distinct sample rows
+    idx = rng.choice(X.shape[0], size=min(n_lists, X.shape[0]),
+                     replace=False)
+    C = X[idx].copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(C.shape[0]):
+            members = X[assign == j]
+            if members.size:
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def ivf_assign(df, centroids: np.ndarray, vec_col: str = "embedding",
+               out_col: str = "list_id"):
+    """Assign each vector to its nearest centroid (vectorized pandas UDF;
+    centroids ride in the closure — KBs, no broadcast needed)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(col):
+        import pandas as pd
+
+        if not len(col):
+            return pd.Series([], dtype="int32")
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        # argmin ||x-c||² = argmax x·c − ||c||²/2 (one GEMM per batch)
+        scores = X @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, assign(vec_col))
+
+
+def ann_topk_ivf(df, query_vec, centroids: np.ndarray,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 k: int = 5, n_probe: int = 4):
+    """IVF search: rank centroids by distance to the query, scan only the
+    `n_probe` nearest inverted lists, exact cosine within them. With the
+    assignment table written partitioned by `list_id`, the scan is
+    partition-pruned to n_probe/n_lists of the data (R6 shard-routed point
+    query, README.md:342)."""
+    from pyspark.sql import functions as F
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d2 = ((C - q[None, :]) ** 2).sum(axis=1)
+    probe_lists = [int(i) for i in np.argsort(d2)[:n_probe]]
+    assigned = ivf_assign(df.select(id_col, vec_col), C, vec_col)
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    dot = F.aggregate(F.zip_with(vec_col, qlit, lambda p, qq: p * qq),
+                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    nrm_v = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0).cast("double"),
+                               lambda acc, v: acc + v * v))
+    nrm_q = float(np.sqrt((q * q).sum()))
+    return (assigned.filter(F.col("list_id").isin(probe_lists))
+            .select(id_col, F.round(dot / (nrm_v * F.lit(nrm_q)), 4)
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col)
+            .limit(k))
+
+
 def ann_topk_lsh(df, query_vec, id_col: str = "vec_id",
                  vec_col: str = "embedding", k: int = 5, n_planes: int = 6,
                  n_tables: int = 6, seed: int = 7):

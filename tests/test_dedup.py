@@ -138,3 +138,21 @@ def test_ann_lsh_finds_planted_neighbor(spark, planted_vectors):
                              k=3).toPandas()
     assert got.vec_id.iloc[0] == 500
     assert got.cosine.iloc[0] > 0.95
+
+
+def test_ivf_ann(spark, planted_vectors):
+    from sgp_sketch.dedup import ann_topk_ivf, ivf_assign, ivf_centroids
+
+    C = ivf_centroids(planted_vectors, n_lists=8)
+    assert C.shape == (8, 32)
+    # assignment covers every vector, deterministic
+    a1 = ivf_assign(planted_vectors, C).toPandas()
+    a2 = ivf_assign(planted_vectors, C).toPandas()
+    assert (a1.sort_values("vec_id").list_id.to_numpy()
+            == a2.sort_values("vec_id").list_id.to_numpy()).all()
+    q = np.asarray(
+        planted_vectors.filter("vec_id = 0").collect()[0]["embedding"])
+    got = ann_topk_ivf(planted_vectors.filter("vec_id <> 0"), q, C,
+                       k=3, n_probe=3).toPandas()
+    assert got.vec_id.iloc[0] == 500          # planted near-duplicate found
+    assert got.cosine.iloc[0] > 0.95
