@@ -221,3 +221,44 @@ def test_shard_load_sums_to_total(spark, tokens_sdf):
     n = tokens_sdf.count()
     load = shard_load(route_hash(tokens_sdf, "doc_id", 16))
     assert load.agg(F.sum("n_docs")).collect()[0][0] == n
+
+
+# ======================================================= property (hypothesis)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(2, 16), st.integers(20, 300), st.floats(0.0, 0.2),
+       st.sampled_from(["ldg", "fennel", "hash"]), st.integers(0, 10**6))
+def test_capacity_and_totals_invariant(k, n_docs, slack, algorithm, seed):
+    """For ANY input: every doc assigned exactly once, shards in range, and
+    (for the greedy algorithms) the reference's capacity bound holds
+    (EdgeCutSGP.java:58 — hash is stateless and unbounded by design)."""
+    rng = np.random.default_rng(seed)
+    docs = [rng.integers(0, 500, size=rng.integers(0, 12)).astype(np.int64)
+            for _ in range(n_docs)]
+    keys = rng.integers(0, 2**63, size=n_docs).astype(np.uint64)
+    cap = n_docs / k * (1.0 + slack)
+    router = GreedyShardRouter(k, cap, algorithm, alpha=0.3,
+                               chunk=int(rng.integers(1, 64)))
+    out = router.assign_batch(keys, docs)
+    assert out.size == n_docs
+    assert ((out >= 0) & (out < k)).all()
+    assert router.sizes.sum() == n_docs
+    if algorithm != "hash":
+        assert router.sizes.max() <= int(np.ceil(cap)), (
+            algorithm, router.sizes, cap)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 10**6), st.integers(1, 64))
+def test_chunk_size_changes_nothing_for_hash(seed, chunk):
+    """Hash routing is stateless: chunking must not affect assignments."""
+    rng = np.random.default_rng(seed)
+    docs = [rng.integers(0, 100, size=5).astype(np.int64) for _ in range(100)]
+    keys = rng.integers(0, 2**63, size=100).astype(np.uint64)
+    a = GreedyShardRouter(8, 1e9, "hash", chunk=chunk).assign_batch(keys, docs)
+    b = GreedyShardRouter(8, 1e9, "hash", chunk=7).assign_batch(keys, docs)
+    np.testing.assert_array_equal(a, b)
