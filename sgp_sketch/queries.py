@@ -234,6 +234,55 @@ def build_membership(df, value_col="tokens", group_cols=("source",),
                           {"n_blocks": n_blocks})
 
 
+def build_sharded_membership(df, n_shards: int = 32, value_col: str = "tokens",
+                             n_blocks: int = 1 << 10):
+    """Token-sharded Bloom filter table: one blob per shard, shard =
+    `pmod(xxhash64(token), n_shards)` (R1 hash routing). Written
+    `partitionBy("shard")`, a point probe reads exactly one shard directory
+    — the reference's partition-aware query routing (R6, README.md:342;
+    memcached lookup replaced by storage-level pruning)."""
+    from pyspark.sql import functions as F
+
+    from . import agg
+
+    # cast to long BEFORE hashing: xxhash64 hashes the binary width, so an
+    # int32 token and the same value as int64 route to different shards —
+    # probes (always long) must see the same bytes the build saw
+    exploded = df.select(
+        F.explode(value_col).alias("t")).select(
+        F.col("t").cast("long").alias("token"))
+    routed = exploded.withColumn(
+        "shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)).cast("int"))
+    return agg.sketch_agg(routed, "bloom", "token", ("shard",),
+                          {"n_blocks": n_blocks})
+
+
+def probe_sharded_membership(spark, blob_path: str, tokens, n_shards: int):
+    """Point membership probes against a shard-partitioned Bloom table:
+    compute each probe's shard (same JVM xxhash64 as the build), read ONLY
+    those shard partitions (PartitionFilters prune the rest), probe the
+    ≤ |probes| blobs locally. → DataFrame(token long, maybe_present bool)."""
+    from pyspark.sql import functions as F
+
+    probes = spark.createDataFrame([(int(t),) for t in tokens], "token long")
+    probes = probes.withColumn(
+        "shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)).cast("int"))
+    plocal = probes.collect()
+    shards = sorted({r["shard"] for r in plocal})
+    blobs = (spark.read.parquet(blob_path)
+             .filter(F.col("shard").isin(shards))
+             .select("shard", "state").collect())
+    filters = {r["shard"]: registry.from_bytes(bytes(r["state"]))
+               for r in blobs}
+    out = []
+    for r in plocal:
+        flt = filters.get(r["shard"])
+        tok = np.array([r["token"]], dtype=np.int64)
+        hit = bool(flt.contains(tok.view(np.uint64))[0]) if flt else False
+        out.append((r["token"], hit))
+    return spark.createDataFrame(out, "token long, maybe_present boolean")
+
+
 def probe_membership(spark, blobs_df, probes, group_cols=("source",)):
     """Probe tokens against per-group Bloom filters.
 
