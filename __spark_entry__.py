@@ -362,6 +362,18 @@ def q_minhash_near_dup(spark, sf_dir):
                                          threshold=0.5)
 
 
+def q_minhash_verified_dupes(spark, sf_dir):
+    """LSH candidates + exact shingle-set verification (the production
+    MinHash dedup architecture) — ORACLE-CHECKED against the all-pairs
+    exact n-gram Jaccard at the same threshold. Candidate recall at
+    jaccard ≥ 0.8 with 16 bands × 4 rows is ≥ 1 − 2·10⁻⁴."""
+    from sgp_sketch import dedup
+
+    _views(spark, sf_dir)
+    return dedup.minhash_near_duplicates(spark.table("documents"),
+                                         threshold=0.8, exact_verify=True)
+
+
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash fingerprint near-dup pairs over the token table."""
     from sgp_sketch import dedup
@@ -689,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "token_count_bpe": q_token_count_bpe,
         "minhash_near_dup": q_minhash_near_dup,
+        "minhash_verified_dupes": q_minhash_verified_dupes,
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_bucket_pairs": q_embedding_bucket_pairs,
         "cosine_pairs": q_cosine_pairs,
@@ -882,6 +895,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 2)
                        AS avg_bpe_tokens
             FROM documents GROUP BY source
+        """,
+        "minhash_verified_dupes": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+                FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_inter
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   ROUND(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.8
         """,
         "cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

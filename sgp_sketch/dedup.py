@@ -178,19 +178,38 @@ def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", sig_col: str = "sig",
 def minhash_near_duplicates(df, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3, k: int = 64,
                             bands: int = 16, threshold: float = 0.5,
-                            max_bucket: int = 1000):
+                            max_bucket: int = 1000,
+                            exact_verify: bool = False):
     """End-to-end MinHash near-dup: shingle → sign → band → candidates →
-    signature-estimated Jaccard (JVM zip_with agreement fraction) ≥ threshold.
+    Jaccard ≥ threshold.
 
-    → DataFrame(doc_a, doc_b, est_jaccard double).
+    Default scoring is the signature estimate (zip_with agreement fraction,
+    JVM-side). `exact_verify=True` switches the verification stage to exact
+    shingle-set Jaccard (array_intersect/array_union over the candidates
+    only) — the classic LSH architecture: approximate candidate generation
+    bounds the pair count, exact verification makes the output
+    deterministic and oracle-comparable. Candidate recall at threshold t is
+    1−(1−t^(k/bands))^bands (≥ 0.999 for t ≥ 0.8 at 16×4).
+
+    → DataFrame(doc_a, doc_b, est_jaccard|jaccard double).
     """
     from pyspark.sql import functions as F
 
-    sigs = minhash_signatures(
-        word_shingles(df.select(id_col, text_col), text_col, n),
-        k=k).select(id_col, "sig")
-    sigs = sigs.cache()
+    shingled = word_shingles(df.select(id_col, text_col), text_col, n)
+    sigs = minhash_signatures(shingled, k=k).select(id_col, "shingles",
+                                                    "sig").cache()
     pairs = lsh_candidate_pairs(sigs, id_col, "sig", bands, k, max_bucket)
+    if exact_verify:
+        sa = sigs.select(F.col(id_col).alias("doc_a"),
+                         F.col("shingles").alias("sh_a"))
+        sb = sigs.select(F.col(id_col).alias("doc_b"),
+                         F.col("shingles").alias("sh_b"))
+        jac = (F.size(F.array_intersect("sh_a", "sh_b"))
+               / F.size(F.array_union("sh_a", "sh_b")))
+        return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+                .withColumn("jaccard", F.round(jac, 4))
+                .filter(F.col("jaccard") >= threshold)
+                .select("doc_a", "doc_b", "jaccard"))
     sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
