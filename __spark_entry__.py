@@ -606,6 +606,19 @@ def q_tdigest_value_quantiles(spark, sf_dir):
                              group_cols=("event_type",), kind="tdigest")
 
 
+def q_vocab_overlap(spark, sf_dir):
+    """HLL inclusion-exclusion pairwise vocabulary overlap between sources
+    — set algebra on KB-sized sketch states, no data rescan (U2/U4 from
+    summaries)."""
+    from sgp_sketch import queries as Q
+
+    toks = _doc_tokens(spark, sf_dir)
+    # limit the pair matrix: 5 sources
+    subset = toks.filter(
+        toks.source.isin([f"src{i}" for i in range(5)]))
+    return Q.vocabulary_overlap(subset, p=12)
+
+
 def q_router_balance(spark, sf_dir):
     """R1/R2/R3 shard routers compared on balance + replication factor —
     the reference's headline experiment (partitioner × metrics grid,
@@ -716,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "router_balance": q_router_balance,
         "salted_token_routing": q_salted_token_routing,
+        "vocab_overlap": q_vocab_overlap,
         "rollup_revenue": q_rollup_revenue,
         "checkpointed_hll": q_checkpointed_hll,
         "streamed_hll": q_streamed_hll,

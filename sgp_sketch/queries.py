@@ -234,6 +234,46 @@ def build_membership(df, value_col="tokens", group_cols=("source",),
                           {"n_blocks": n_blocks})
 
 
+def vocabulary_overlap(df, group_cols=("source",), value_col="tokens",
+                       p: int = 14):
+    """Pairwise distinct-token overlap between groups via HLL
+    inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where A∪B is
+    the kernel merge of the two group blobs (no rescan — sketch algebra on
+    the per-group states). The U2/U4 set-operation family computed from
+    KB-sized summaries instead of data.
+
+    → DataFrame(group_a, group_b, est_a, est_b, est_union, est_overlap,
+    jaccard) for every unordered group pair.
+    """
+    from pyspark.sql import functions as F
+
+    from . import agg
+
+    blobs = agg.sketch_agg(df, "hll", value_col, group_cols, {"p": p})
+    local = [(tuple(r[c] for c in group_cols), bytes(r["state"]))
+             for r in blobs.collect()]
+    local.sort()
+    rows = []
+    for i in range(len(local)):
+        ka, sa = local[i]
+        a = registry.from_bytes(sa)
+        ea = a.estimate()
+        for j in range(i + 1, len(local)):
+            kb, sb = local[j]
+            b = registry.from_bytes(sb)
+            eb = b.estimate()
+            eu = a.merge(b).estimate()
+            inter = max(0.0, ea + eb - eu)
+            rows.append(("|".join(map(str, ka)), "|".join(map(str, kb)),
+                         round(float(ea), 1), round(float(eb), 1),
+                         round(float(eu), 1), round(float(inter), 1),
+                         round(float(inter / eu) if eu else 0.0, 4)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "group_a string, group_b string, est_a double, est_b double, "
+              "est_union double, est_overlap double, jaccard double")
+
+
 def build_sharded_membership(df, n_shards: int = 32, value_col: str = "tokens",
                              n_blocks: int = 1 << 10):
     """Token-sharded Bloom filter table: one blob per shard, shard =

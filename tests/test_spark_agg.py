@@ -146,3 +146,25 @@ def test_sharded_membership_point_reads(spark, tokens_sdf, tmp_path):
     plan = (spark.read.parquet(path).filter(F.col("shard") == 3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan
+
+
+def test_vocabulary_overlap_vs_exact(spark, tokens_sdf, tokens_pdf):
+    """HLL inclusion-exclusion overlap within combined error bound of the
+    three estimates involved."""
+    from sgp_sketch.queries import vocabulary_overlap
+
+    got = vocabulary_overlap(tokens_sdf, p=14).toPandas()
+    exact_sets = {src: set(np.unique(np.concatenate(sub["tokens"].to_numpy())))
+                  for src, sub in tokens_pdf.groupby("source")}
+    bound = 3 * 1.04 / np.sqrt(1 << 14)
+    checked = 0
+    for _, r in got.iterrows():
+        A, B = exact_sets[r.group_a], exact_sets[r.group_b]
+        union = len(A | B)
+        inter = len(A & B)
+        # inclusion-exclusion compounds three estimates; allow 3x the
+        # single-estimate bound, relative to the union size
+        assert abs(r.est_overlap - inter) <= 3 * bound * union + 1, (
+            r.group_a, r.group_b, r.est_overlap, inter)
+        checked += 1
+    assert checked == len(exact_sets) * (len(exact_sets) - 1) // 2
