@@ -212,6 +212,47 @@ def q_one_hop(spark, sf_dir):
     """)
 
 
+def _sp_edges(spark):
+    """Undirected supplier(+10^6)↔part bipartite graph from lineitem."""
+    li = spark.table("lineitem")
+    fwd = li.select((F.col("l_suppkey") + 1_000_000).alias("src"),
+                    F.col("l_partkey").alias("dst"))
+    return fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst"))).distinct()
+
+
+def q_k_hop(spark, sf_dir):
+    """G1/G2 as an iterative operator: vertices within 2 hops of the lowest
+    supplier in the supplier↔part graph, labeled with first-reach depth."""
+    from sgp_sketch.graph import k_hop
+
+    _views(spark, sf_dir)
+    seed = spark.sql(
+        "SELECT MIN(l_suppkey) + 1000000 AS id FROM lineitem")
+    return k_hop(_sp_edges(spark), seed, k=2)
+
+
+def q_bfs_reachability(spark, sf_dir):
+    """G5 bidirectional BFS: shortest-path existence probes between
+    suppliers (shortestPathTest.groovy:169-219 analog)."""
+    from sgp_sketch.graph import bidirectional_bfs
+
+    _views(spark, sf_dir)
+    keys = [r[0] for r in spark.sql(
+        "SELECT DISTINCT l_suppkey FROM lineitem ORDER BY 1 LIMIT 3"
+    ).collect()]
+    edges = _sp_edges(spark).cache()
+    rows = []
+    for t in keys[1:]:
+        out = bidirectional_bfs(edges, keys[0] + 1_000_000, t + 1_000_000,
+                                max_depth=4)
+        rows.append((int(keys[0]), int(t), bool(out["found"]),
+                     out["depth"] if out["depth"] is not None else -1))
+    edges.unpersist()
+    return spark.createDataFrame(
+        rows, "src_supp long, dst_supp long, found boolean, depth int")
+
+
 def q_undirected_closure(spark, sf_dir):
     """U3 undirected closure E ∪ Eᵀ (snap2metis.scala:44): degree in the
     undirected supplier-part co-occurrence graph, top 20."""
@@ -702,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "one_hop": q_one_hop,
         "two_hop": q_two_hop,
+        "k_hop": q_k_hop,
+        "bfs_reachability": q_bfs_reachability,
         "undirected_closure": q_undirected_closure,
         "point_lookup": q_point_lookup,
         "date_rollup": q_date_rollup,
@@ -826,6 +869,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.l_suppkey
             ORDER BY n_cosuppliers DESC, suppkey
             LIMIT 20
+        """,
+        "k_hop": """
+            WITH e AS (
+                SELECT l_suppkey + 1000000 AS src, l_partkey AS dst
+                FROM lineitem
+                UNION
+                SELECT l_partkey, l_suppkey + 1000000 FROM lineitem),
+            s AS (SELECT MIN(l_suppkey) + 1000000 AS id FROM lineitem),
+            h1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN s ON e.src = s.id
+                   WHERE e.dst NOT IN (SELECT id FROM s)),
+            h2 AS (SELECT DISTINCT e.dst AS id FROM e
+                   WHERE e.src IN (SELECT id FROM h1)
+                     AND e.dst NOT IN (SELECT id FROM s)
+                     AND e.dst NOT IN (SELECT id FROM h1))
+            SELECT id, 0 AS hops FROM s
+            UNION ALL SELECT id, 1 AS hops FROM h1
+            UNION ALL SELECT id, 2 AS hops FROM h2
         """,
         "undirected_closure": """
             SELECT node, COUNT(DISTINCT nbr) AS degree FROM (
