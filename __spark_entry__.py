@@ -306,6 +306,20 @@ def q_langid_heuristic(spark, sf_dir):
     """)
 
 
+def q_langid_ngram(spark, sf_dir):
+    """Character-n-gram language-ID (Cavnar-Trenkle-style profiles trained
+    and applied declaratively — no UDF): confusion matrix vs the labeled
+    lang column."""
+    from sgp_sketch import text as T
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").filter("lang IS NOT NULL")
+    profiles = T.train_language_profiles(docs, top=100)
+    pred = T.classify_language(docs, profiles)
+    return (pred.groupBy("lang", "pred_lang").count()
+            .withColumnRenamed("count", "n"))
+
+
 def q_quality_score(spark, sf_dir):
     """Text-analysis op: per-source quality stats (length, word count,
     chars/word)."""
@@ -749,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": q_point_lookup,
         "date_rollup": q_date_rollup,
         "langid_heuristic": q_langid_heuristic,
+        "langid_ngram": q_langid_ngram,
         "quality_score": q_quality_score,
         "dedup_exact": q_dedup_exact,
         "token_histogram": q_token_histogram,

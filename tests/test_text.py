@@ -1,0 +1,47 @@
+"""Language-ID tests: perfect separation on a corpus with distinct
+character distributions; determinism of profiles and predictions."""
+
+import numpy as np
+import pytest
+
+from sgp_sketch import text as T
+
+
+@pytest.fixture(scope="module")
+def lang_corpus(spark):
+    """Three synthetic 'languages' with disjoint alphabets."""
+    rng = np.random.default_rng(31)
+    alphabets = {"aa": "abcde", "bb": "klmno", "cc": "uvwxy"}
+    rows = []
+    i = 0
+    for lang, alpha in alphabets.items():
+        for _ in range(40):
+            words = ["".join(rng.choice(list(alpha), size=5))
+                     for _ in range(12)]
+            rows.append((i, " ".join(words), lang))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_langid_separable(spark, lang_corpus):
+    profiles = T.train_language_profiles(lang_corpus, top=80)
+    assert set(profiles) == {"aa", "bb", "cc"}
+    pred = T.classify_language(lang_corpus, profiles).toPandas()
+    assert (pred.lang == pred.pred_lang).mean() == 1.0
+
+
+def test_langid_deterministic(spark, lang_corpus):
+    p1 = T.train_language_profiles(lang_corpus, top=50)
+    p2 = T.train_language_profiles(lang_corpus, top=50)
+    assert p1 == p2
+    a = T.classify_language(lang_corpus, p1).toPandas().sort_values("doc_id")
+    b = T.classify_language(lang_corpus, p2).toPandas().sort_values("doc_id")
+    assert (a.pred_lang.to_numpy() == b.pred_lang.to_numpy()).all()
+
+
+def test_langid_handles_short_text(spark):
+    df = spark.createDataFrame([(0, "ab", "aa"), (1, "", "bb")],
+                               "doc_id long, text string, lang string")
+    profiles = {"aa": ["abc", "bcd"], "bb": ["klm"]}
+    out = T.classify_language(df, profiles).collect()
+    assert all(r["pred_lang"] in ("aa", "bb") for r in out)
