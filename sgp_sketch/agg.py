@@ -218,8 +218,12 @@ def _batch_columns(batch, group_cols):
     dicts = []
     for c in group_cols:
         enc = pc.dictionary_encode(batch.column(c))
-        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vals = enc.dictionary.to_pylist()
+        indices = enc.indices
+        if indices.null_count:  # null group value → its own dictionary slot
+            indices = indices.fill_null(len(vals))
+            vals = vals + [None]
+        idx = indices.to_numpy(zero_copy_only=False).astype(np.int64)
         codes = codes * len(vals) + idx
         dicts.append(vals)
     mapping = {}

@@ -96,3 +96,17 @@ def test_group_count_one_global(spark, tokens_sdf):
     rows = out.collect()
     assert len(rows) == 1
     assert registry.from_bytes(bytes(rows[0]["state"])).estimate() > 0
+
+
+def test_null_group_values(spark):
+    """Null in a group column must form its own group, not corrupt codes."""
+    rows = [("a", [1, 2], 2, "s1"), ("b", [3], 1, None),
+            ("c", [3, 4], 2, None)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    out = agg.sketch_agg(df, "hll", "tokens", ("source",), {"p": 10})
+    got = {r["source"]: r for r in out.collect()}
+    assert set(got) == {"s1", None}
+    assert round(registry.from_bytes(
+        bytes(got[None]["state"])).estimate()) == 2  # distinct {3, 4}
+    assert got[None]["n_items"] == 3                 # 3 occurrences
