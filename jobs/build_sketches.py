@@ -81,21 +81,21 @@ def main(argv=None) -> int:
 
         return doc_tokens_from(df)
 
-    manifests = {}
-    for name, spec in specs.items():
-        ck = os.path.join(args.ckpt_dir, name)
-        manifests[name] = checkpoint.build_checkpointed(
-            spark, input_path, spec["kind"], spec["value_col"], group_cols,
-            spec["params"], ckpt_dir=ck,
-            files_per_slice=args.files_per_slice, prepare=prepare)
-        final = checkpoint.finalize(spark, ck, group_cols)
-        (final.write.mode("overwrite")
-         .parquet(os.path.join(args.output, name)))
+    # ONE scan per slice builds every sketch (multi_sketch_agg): the
+    # checkpoint granularity costs a read per slice, not per sketch
+    manifest = checkpoint.build_checkpointed_multi(
+        spark, input_path, specs, group_cols, ckpt_dir=args.ckpt_dir,
+        files_per_slice=args.files_per_slice, prepare=prepare)
+    final = checkpoint.finalize_multi(spark, args.ckpt_dir, group_cols)
+    (final.write.mode("overwrite").partitionBy("sketch")
+     .parquet(os.path.join(args.output, "sketches")))
 
     summary = {
         "seconds": round(time.perf_counter() - t0, 2),
-        "sketches": {n: {"built": m["built"], "skipped": m["skipped"]}
-                     for n, m in manifests.items()},
+        "n_slices": manifest["n_slices"],
+        "built": len(manifest["built"]),
+        "skipped": len(manifest["skipped"]),
+        "sketches": sorted(specs),
         "output": args.output,
     }
     print(json.dumps(summary))

@@ -90,10 +90,18 @@ def slice_complete(ckpt_dir: str, sl: dict) -> bool:
 
 
 def build_slice(spark, sl: dict, kind: str, value_col: str, group_cols,
-                params: dict | None, ckpt_dir: str, prepare=None) -> dict:
-    """Build + persist one slice's per-group blobs; returns its lineage."""
+                params: dict | None, ckpt_dir: str, prepare=None,
+                base_path: str | None = None) -> dict:
+    """Build + persist one slice's per-group blobs; returns its lineage.
+
+    `base_path` (the table root) lets Spark recover hive-partition columns
+    (e.g. source=...) when reading individual data files of a partitioned
+    table — without it a slice read silently drops those columns."""
     t0 = time.perf_counter()
-    df = spark.read.parquet(*sl["files"])
+    reader = spark.read
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    df = reader.parquet(*sl["files"])
     if prepare is not None:
         df = prepare(df)
     blobs = agg.sketch_agg(df, kind, value_col, group_cols, params)
@@ -153,7 +161,7 @@ def build_checkpointed(spark, input_path: str, kind: str, value_col: str,
             skipped.append(sl["slice_id"])
             continue
         build_slice(spark, sl, kind, value_col, group_cols, params,
-                    ckpt_dir, prepare=prepare)
+                    ckpt_dir, prepare=prepare, base_path=input_path)
         built.append(sl["slice_id"])
     manifest = {
         "version": _LINEAGE_VERSION,
@@ -166,6 +174,92 @@ def build_checkpointed(spark, input_path: str, kind: str, value_col: str,
     with open(os.path.join(ckpt_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return manifest
+
+
+def build_slice_multi(spark, sl: dict, specs: dict, group_cols,
+                      ckpt_dir: str, prepare=None,
+                      base_path: str | None = None) -> dict:
+    """One slice, ALL sketches in one scan (multi_sketch_agg): the
+    production shape — checkpoint granularity costs one read per slice, not
+    one per (slice × sketch)."""
+    t0 = time.perf_counter()
+    reader = spark.read
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    df = reader.parquet(*sl["files"])
+    if prepare is not None:
+        df = prepare(df)
+    blobs = agg.multi_sketch_agg(df, specs, group_cols)
+    sdir = _slice_dir(ckpt_dir, sl["slice_id"])
+    blobs.write.mode("overwrite").parquet(sdir)
+    written = spark.read.parquet(sdir).collect()
+    groups = []
+    for r in written:
+        d = r.asDict()
+        groups.append({
+            "group": {c: d[c] for c in group_cols},
+            "sketch": d["sketch"],
+            "n_items": int(d["n_items"]),
+            "state_sha256": hashlib.sha256(bytes(d["state"])).hexdigest(),
+        })
+    lineage = {
+        "version": _LINEAGE_VERSION,
+        "slice_id": sl["slice_id"], "index": sl["index"],
+        "files": sl["files"],
+        "sketch_type": "multi",
+        "params": {n: s.get("params") or {} for n, s in specs.items()},
+        "group_cols": list(group_cols),
+        "groups": sorted(groups, key=lambda g: (
+            g["sketch"], json.dumps(g["group"], sort_keys=True))),
+        "n_items": sum(g["n_items"] for g in groups),
+        "seconds": round(time.perf_counter() - t0, 3),
+    }
+    with open(_lineage_path(ckpt_dir, sl["slice_id"]), "w") as fh:
+        json.dump(lineage, fh, indent=1)
+    with open(os.path.join(ckpt_dir, "metrics.jsonl"), "a") as fh:
+        fh.write(json.dumps({"slice_id": sl["slice_id"], "kind": "multi",
+                             "n_items": lineage["n_items"],
+                             "seconds": lineage["seconds"],
+                             "n_files": len(sl["files"])}) + "\n")
+    return lineage
+
+
+def build_checkpointed_multi(spark, input_path: str, specs: dict,
+                             group_cols=("source",), ckpt_dir: str = "./ckpt",
+                             files_per_slice: int = 8, prepare=None) -> dict:
+    """Resumable one-scan-per-slice build of the full sketch suite."""
+    os.makedirs(os.path.join(ckpt_dir, "slices"), exist_ok=True)
+    files = list_input_files(spark, input_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet data files under {input_path}")
+    slices = plan_slices(files, files_per_slice)
+    skipped, built = [], []
+    for sl in slices:
+        if slice_complete(ckpt_dir, sl):
+            skipped.append(sl["slice_id"])
+            continue
+        build_slice_multi(spark, sl, specs, group_cols, ckpt_dir,
+                          prepare=prepare, base_path=input_path)
+        built.append(sl["slice_id"])
+    manifest = {
+        "version": _LINEAGE_VERSION,
+        "input_path": input_path, "kind": "multi",
+        "specs": {n: {"kind": s["kind"], "value_col": s["value_col"],
+                      "params": s.get("params") or {}}
+                  for n, s in specs.items()},
+        "group_cols": list(group_cols),
+        "n_slices": len(slices), "built": built, "skipped": skipped,
+        "slice_ids": [s["slice_id"] for s in slices],
+    }
+    with open(os.path.join(ckpt_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+def finalize_multi(spark, ckpt_dir: str, group_cols=("source",)):
+    """Merged blobs per (group × sketch) from a multi-spec checkpoint."""
+    return finalize(spark, ckpt_dir,
+                    group_cols=tuple(group_cols) + ("sketch",))
 
 
 def finalize(spark, ckpt_dir: str, group_cols=("source",)):

@@ -86,3 +86,33 @@ def test_lineage_contents(spark, multi_file_input, tmp_path):
     assert lin["n_items"] > 0
     assert all(len(g["state_sha256"]) == 64 for g in lin["groups"])
     assert os.path.exists(os.path.join(ckpt, "metrics.jsonl"))
+
+
+def test_multi_checkpoint_equals_direct(spark, multi_file_input, tmp_path):
+    """One-scan-per-slice multi-sketch checkpoint: finalized blobs byte-equal
+    a direct multi_sketch_agg build."""
+    specs = {"hll": {"kind": "hll", "value_col": "tokens",
+                     "params": {"p": 12}},
+             "kll": {"kind": "kll", "value_col": "n_tok", "params": {}}}
+    ckpt = str(tmp_path / "mckpt")
+    m = checkpoint.build_checkpointed_multi(
+        spark, multi_file_input, specs, ("source",), ckpt_dir=ckpt,
+        files_per_slice=2)
+    assert m["n_slices"] >= 2 and not m["skipped"]
+    final = {(r["source"], r["sketch"]): bytes(r["state"])
+             for r in checkpoint.finalize_multi(spark, ckpt).collect()}
+    direct = {(r["source"], r["sketch"]): bytes(r["state"])
+              for r in agg.multi_sketch_agg(
+                  spark.read.parquet(multi_file_input), specs,
+                  ("source",)).collect()}
+    # HLL byte-equal; KLL only rank-equivalent (merge-order-sensitive)
+    for k, v in direct.items():
+        if k[1] == "hll":
+            assert final[k] == v, k
+        else:
+            assert k in final
+    # resume is a no-op
+    m2 = checkpoint.build_checkpointed_multi(
+        spark, multi_file_input, specs, ("source",), ckpt_dir=ckpt,
+        files_per_slice=2)
+    assert not m2["built"]
