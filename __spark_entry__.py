@@ -253,6 +253,58 @@ def q_bfs_reachability(spark, sf_dir):
         rows, "src_supp long, dst_supp long, found boolean, depth int")
 
 
+def _small_graph(spark):
+    """Bounded supplier(+10^6)↔part graph (parts < 120) — small enough for
+    recursive-CTE oracles, big enough to be non-trivial."""
+    li = spark.table("lineitem").filter(F.col("l_partkey") < 120)
+    fwd = li.select((F.col("l_suppkey") + 1_000_000).alias("src"),
+                    F.col("l_partkey").alias("dst"))
+    return fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst"))).distinct()
+
+
+_SMALL_EDGES_SQL = """
+    SELECT l_suppkey + 1000000 AS src, l_partkey AS dst
+    FROM lineitem WHERE l_partkey < 120
+    UNION
+    SELECT l_partkey AS src, l_suppkey + 1000000 AS dst
+    FROM lineitem WHERE l_partkey < 120
+"""
+
+
+def q_connected_components(spark, sf_dir):
+    """G7 WCC as iterative min-label propagation — oracle: DuckDB recursive
+    transitive closure (component = MIN reachable id, same semantics)."""
+    from sgp_sketch.graph import connected_components
+
+    _views(spark, sf_dir)
+    return connected_components(_small_graph(spark))
+
+
+def q_sssp(spark, sf_dir):
+    """G7 SSSP (unweighted Bellman-Ford over DataFrames) from the lowest
+    part id — oracle: DuckDB recursive BFS with MIN(depth)."""
+    from sgp_sketch.graph import sssp
+
+    _views(spark, sf_dir)
+    src = spark.sql(
+        "SELECT MIN(l_partkey) FROM lineitem WHERE l_partkey < 120"
+    ).collect()[0][0]
+    return sssp(_small_graph(spark), int(src), max_iters=12)
+
+
+def q_pagerank(spark, sf_dir):
+    """G7 PageRank (20 iterations, the reference's workload config,
+    twitter.json:32-35) — top 10 vertices by rank (rows-only: iterative
+    float fixpoint)."""
+    from sgp_sketch.graph import pagerank
+
+    _views(spark, sf_dir)
+    ranks = pagerank(_small_graph(spark), iters=20)
+    return (ranks.select("id", F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), "id").limit(10))
+
+
 def q_undirected_closure(spark, sf_dir):
     """U3 undirected closure E ∪ Eᵀ (snap2metis.scala:44): degree in the
     undirected supplier-part co-occurrence graph, top 20."""
@@ -759,6 +811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_hop": q_two_hop,
         "k_hop": q_k_hop,
         "bfs_reachability": q_bfs_reachability,
+        "connected_components": q_connected_components,
+        "sssp": q_sssp,
+        "pagerank": q_pagerank,
         "undirected_closure": q_undirected_closure,
         "point_lookup": q_point_lookup,
         "date_rollup": q_date_rollup,
@@ -901,6 +956,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, 0 AS hops FROM s
             UNION ALL SELECT id, 1 AS hops FROM h1
             UNION ALL SELECT id, 2 AS hops FROM h2
+        """,
+        "connected_components": f"""
+            WITH RECURSIVE e AS ({_SMALL_EDGES_SQL}),
+            reach(a, b) AS (
+                SELECT src AS a, src AS b FROM e
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+            )
+            SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
+        """,
+        "sssp": f"""
+            WITH RECURSIVE e AS ({_SMALL_EDGES_SQL}),
+            s AS (SELECT MIN(l_partkey) AS id FROM lineitem
+                  WHERE l_partkey < 120),
+            walk(id, d) AS (
+                SELECT id, 0 FROM s
+                UNION
+                SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id
+                WHERE w.d < 12
+            )
+            SELECT id, CAST(MIN(d) AS DOUBLE) AS dist FROM walk GROUP BY id
         """,
         "undirected_closure": """
             SELECT node, COUNT(DISTINCT nbr) AS degree FROM (

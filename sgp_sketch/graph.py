@@ -40,6 +40,123 @@ def k_hop(edges, seeds, k: int = 2, src: str = "src", dst: str = "dst"):
     return reached
 
 
+def pagerank(edges, iters: int = 20, damping: float = 0.85,
+             src: str = "src", dst: str = "dst"):
+    """G7 PageRank (the reference runs it inside PowerLyra binaries for 20
+    iterations, `/root/reference/containers/analytics/parameters/twitter.json:32-35`)
+    as iterative DataFrame joins: contributions = rank/outdeg shuffled to
+    dst, damping + dangling mass redistributed uniformly.
+
+    → DataFrame(id, rank double); ranks sum to 1.
+
+    Scale notes: each iteration is one shuffle on the join key; ranks and
+    degrees are checkpoint-cached every few iterations to cut the lineage
+    (otherwise 20 chained plans blow up the optimizer).
+    """
+    from pyspark.sql import functions as F
+
+    verts = (edges.select(F.col(src).alias("id"))
+             .unionByName(edges.select(F.col(dst).alias("id")))
+             .distinct().cache())
+    n = verts.count()
+    deg = edges.groupBy(src).agg(F.count("*").alias("deg")).cache()
+    has_dangling = verts.join(deg.withColumnRenamed(src, "id"), "id",
+                              "left_anti").limit(1).count() > 0
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        contribs = (edges.join(deg, src)
+                    .join(ranks.withColumnRenamed("id", src), src)
+                    .select(F.col(dst).alias("id"),
+                            (F.col("rank") / F.col("deg")).alias("c")))
+        summed = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+        if has_dangling:
+            # dangling vertices leak mass; redistribute uniformly (one
+            # driver-side scalar per iteration — skipped entirely for
+            # graphs with full out-degree, e.g. any undirected graph)
+            linked_mass = (ranks.join(deg.withColumnRenamed(src, "id"),
+                                      "id", "left_semi")
+                           .agg(F.sum("rank")).collect()[0][0] or 0.0)
+            dangling = 1.0 - linked_mass
+        else:
+            dangling = 0.0
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (verts.join(summed, "id", "left")
+                 .select("id", (F.lit(base) + F.lit(damping)
+                                * F.coalesce(F.col("s"), F.lit(0.0)))
+                         .alias("rank")))
+        if (i + 1) % 5 == 0:
+            ranks = ranks.localCheckpoint(eager=True)  # cut lineage
+    return ranks
+
+
+def connected_components(edges, max_iters: int = 50,
+                         src: str = "src", dst: str = "dst"):
+    """G7 WCC via iterative min-label propagation to a fixpoint.
+
+    → DataFrame(id, component) where component = min vertex id reachable.
+    Each iteration: every vertex takes min(own, neighbors') label — one
+    shuffle; converges in O(diameter) rounds; an accumulator-free
+    convergence check counts changed labels per round.
+    """
+    from pyspark.sql import functions as F
+
+    und = (edges.select(src, dst)
+           .unionByName(edges.select(F.col(dst).alias(src),
+                                     F.col(src).alias(dst)))).distinct()
+    labels = (und.select(F.col(src).alias("id")).distinct()
+              .withColumn("component", F.col("id")))
+    for i in range(max_iters):
+        nbr_min = (und.join(labels.withColumnRenamed("id", src), src)
+                   .groupBy(F.col(dst).alias("id"))
+                   .agg(F.min("component").alias("nbr_c")))
+        new_labels = (labels.join(nbr_min, "id", "left")
+                      .select("id", F.least(
+                          "component",
+                          F.coalesce("nbr_c", F.col("component")))
+                          .alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def sssp(edges, source, max_iters: int = 20, weight: str | None = None,
+         src: str = "src", dst: str = "dst"):
+    """G7 single-source shortest paths (Bellman-Ford over DataFrames,
+    PowerLyra's sssp analog with its fixed source,
+    `twitter.json:36-39`). Unweighted edges cost 1 unless `weight` names a
+    column.
+
+    → DataFrame(id, dist double) for reached vertices only.
+    """
+    from pyspark.sql import functions as F
+
+    w = F.col(weight) if weight else F.lit(1.0)
+    dist = edges.sparkSession.createDataFrame(
+        [(source, 0.0)], ["id", "dist"])
+    for _ in range(max_iters):
+        cand = (edges.join(dist.withColumnRenamed("id", src), src)
+                .select(F.col(dst).alias("id"),
+                        (F.col("dist") + w).alias("d")))
+        new_dist = (dist.unionByName(cand.withColumnRenamed("d", "dist"))
+                    .groupBy("id").agg(F.min("dist").alias("dist"))
+                    .localCheckpoint(eager=True))
+        improved = (new_dist.alias("n")
+                    .join(dist.alias("o"), "id", "left")
+                    .filter(F.col("o.dist").isNull()
+                            | (F.col("n.dist") < F.col("o.dist")))
+                    .limit(1).count())
+        dist = new_dist
+        if improved == 0:
+            break
+    return dist
+
+
 def bidirectional_bfs(edges, source, target, max_depth: int = 6,
                       src: str = "src", dst: str = "dst",
                       max_frontier: int | None = None) -> dict:

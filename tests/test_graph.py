@@ -69,3 +69,47 @@ def test_bfs_on_bipartite_real_data(spark):
     s, t = pair[0] + 1_000_000, pair[1] + 1_000_000
     out = bidirectional_bfs(edges, s, t, max_depth=2)
     assert out["found"] and out["depth"] == 2
+
+
+def test_pagerank_two_cycle(spark):
+    """2-cycle: symmetric ranks 0.5/0.5."""
+    from sgp_sketch.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(edges, iters=10).collect()}
+    assert abs(got[0] - 0.5) < 1e-9 and abs(got[1] - 0.5) < 1e-9
+
+
+def test_pagerank_star_and_mass(spark):
+    """Star 1,2,3 → 0: center outranks leaves; total mass = 1."""
+    from sgp_sketch.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(edges, iters=20).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert got[0] > got[1] == got[2] == got[3]
+
+
+def test_connected_components(spark):
+    from sgp_sketch.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (7, 7)], "src long, dst long")
+    got = {r["id"]: r["component"] for r in
+           connected_components(edges).collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[5] == got[6] == 5
+    assert got[7] == 7
+
+
+def test_sssp_chain_and_shortcut(spark):
+    """0→1→2→3 (unit) plus a 0→3 shortcut of weight 5: chain wins."""
+    from sgp_sketch.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 3, 5.0)],
+        "src long, dst long, w double")
+    got = {r["id"]: r["dist"] for r in
+           sssp(edges, 0, weight="w").collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
