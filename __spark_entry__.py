@@ -372,6 +372,18 @@ def q_langid_ngram(spark, sf_dir):
             .withColumnRenamed("count", "n"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source sampling (hash-order ranking, no rand()):
+    sampled counts per source — ORACLE-CHECKED (count = min(cap, group
+    size); membership determinism is gated in tests)."""
+    from sgp_sketch.text import sample_stratified
+
+    _views(spark, sf_dir)
+    sampled = sample_stratified(spark.table("documents"), 10)
+    return (sampled.groupBy("source")
+            .agg(F.count("*").alias("n_sampled")))
+
+
 def q_quality_score(spark, sf_dir):
     """Text-analysis op: per-source quality stats (length, word count,
     chars/word)."""
@@ -819,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_rollup": q_date_rollup,
         "langid_heuristic": q_langid_heuristic,
         "langid_ngram": q_langid_ngram,
+        "stratified_sample": q_stratified_sample,
         "quality_score": q_quality_score,
         "dedup_exact": q_dedup_exact,
         "token_histogram": q_token_histogram,
@@ -1007,6 +1020,10 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'en_like' ELSE 'other' END AS pred_lang
                 FROM documents) t
             GROUP BY source, pred_lang
+        """,
+        "stratified_sample": """
+            SELECT source, LEAST(10, COUNT(*)) AS n_sampled
+            FROM documents GROUP BY source
         """,
         "quality_score": """
             SELECT source,

@@ -13,6 +13,27 @@ classifier as literal arrays, the broadcast-small-dim pattern (J3)."""
 from __future__ import annotations
 
 
+def sample_stratified(df, n_per_group: int, group_col: str = "source",
+                      key_col: str = "doc_id", salt: int = 0):
+    """Deterministic per-group sample: rank rows by `xxhash64(salt, key)`
+    within each group, keep the first `n_per_group`. Hash-order ranking is
+    a uniform pseudo-random draw that is reproducible across runs and
+    cluster sizes — the training-data mixing primitive (no
+    `rand()`/`sample()`: those break retry/resume determinism).
+
+    At scale the window ranks within groups after one shuffle on the group
+    key; for very hot groups switch to an approximate pre-filter
+    (`pmod(hash, K) < K*n/size`) before the exact window.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    h = F.xxhash64(F.lit(salt), F.col(key_col))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (df.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n_per_group).drop("_r"))
+
+
 def _char_trigrams(text_col, n: int = 3):
     from pyspark.sql import functions as F
 

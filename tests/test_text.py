@@ -45,3 +45,24 @@ def test_langid_handles_short_text(spark):
     profiles = {"aa": ["abc", "bcd"], "bb": ["klm"]}
     out = T.classify_language(df, profiles).collect()
     assert all(r["pred_lang"] in ("aa", "bb") for r in out)
+
+
+def test_stratified_sample_deterministic(spark):
+    from sgp_sketch.text import sample_stratified
+
+    rows = [(f"d{i}", f"g{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    a = sample_stratified(df, 5).toPandas().sort_values("doc_id")
+    b = sample_stratified(df.repartition(13), 5).toPandas().sort_values("doc_id")
+    assert a.doc_id.tolist() == b.doc_id.tolist()  # partitioning-invariant
+    assert (a.groupby("source").size() == 5).all()
+    c = sample_stratified(df, 5, salt=1).toPandas()
+    assert set(c.doc_id) != set(a.doc_id)  # salt selects a different draw
+
+
+def test_stratified_sample_caps_at_group_size(spark):
+    from sgp_sketch.text import sample_stratified
+
+    df = spark.createDataFrame([("a", "g"), ("b", "g")],
+                               "doc_id string, source string")
+    assert sample_stratified(df, 10).count() == 2
