@@ -11,7 +11,7 @@ The load-bearing invariants for distributed execution:
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
-from sgp_sketch.kernels import bloom, cms, hll, kll, tdigest
+from sgp_sketch.kernels import bloom, cms, hll, kll, registry, tdigest
 
 SETTINGS = dict(max_examples=25, deadline=None)
 
@@ -139,3 +139,20 @@ def test_kll_serde_identity(v):
 def test_tdigest_serde_identity(v):
     t = tdigest.TDigest(delta=50).update(v)
     assert tdigest.TDigest.from_bytes(t.to_bytes()).to_bytes() == t.to_bytes()
+
+
+@given(st.integers(0, 10**6), st.sampled_from(["hll", "cms", "bloom"]))
+@settings(max_examples=20, deadline=None)
+def test_merge_identity(seed, kind):
+    """merge(a, empty) == a byte-exactly for the byte-stable kinds
+    (SURVEY §5.2.2 identity law)."""
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1 << 40, size=500).astype(np.int64)
+    a = registry.make(kind)
+    a.update(vals.view(np.uint64))
+    empty = registry.make(kind)
+    left = a.merge(empty).to_bytes()
+    right = empty.merge(a).to_bytes()
+    # n_items differs only if empty contributed items — it didn't
+    assert left == a.to_bytes()
+    assert right == a.to_bytes()
