@@ -305,9 +305,8 @@ def build_partials_multi(df, specs: dict, group_cols=("source",)):
     def acc(batches):
         import pyarrow as pa
 
-        states: dict[tuple, object] = {}   # (gcode-tuple-key, name) → state
+        states: dict[tuple, object] = {}   # (gkey-tuple, name) → state
         counts: dict[tuple, int] = {}
-        gmaps: dict[tuple, tuple] = {}     # gkey cache (tuple of values)
 
         def state_for(gkey, name):
             key = (gkey, name)
@@ -342,6 +341,13 @@ def build_partials_multi(df, specs: dict, group_cols=("source",)):
                 vc, kind = spec["value_col"], spec["kind"]
                 shape, flat, tg = col_cache[vc]
                 if kind in hash_kinds:
+                    if flat.dtype.kind == "f":
+                        # nullable integer scalar columns arrive as float
+                        # (+NaN) from Arrow: drop nulls, restore int64
+                        mask = ~np.isnan(flat)
+                        flat = flat[mask].astype(np.int64)
+                        if tg is not None:
+                            tg = tg[mask]
                     if vc not in stats_cache:
                         if single:
                             uniq, ucounts = _unique_counts(flat)
