@@ -341,6 +341,34 @@ def q_date_rollup(spark, sf_dir):
     """)
 
 
+def q_daily_distinct_users(spark, sf_dir):
+    """A4 × time dimension: exact per-day distinct users over the events
+    stream table — the exact counterpart of q_hll_daily_users."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(CAST(ts AS DATE) AS STRING) AS d,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
+    """)
+
+
+def q_hll_daily_users(spark, sf_dir):
+    """Per-day HLL distinct-user sketches over events (sketch × event-time
+    bucketing): day-keyed blobs merge associatively into weekly/monthly
+    rollups without rescanning — the time-windowed sketch pattern."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch import agg
+    from sgp_sketch import queries as Q
+
+    _views(spark, sf_dir)
+    ev = spark.table("events").select(
+        F.col("ts").cast("date").cast("string").alias("d"), "user_id")
+    blobs = agg.sketch_agg(ev, "hll", "user_id", ("d",), {"p": 14})
+    est = Q._estimate_udf()
+    return blobs.select("d", F.round(est("state"), 1).alias("est_users"))
+
+
 def q_langid_heuristic(spark, sf_dir):
     """Text-analysis op: stopword-ratio language heuristic (training-data
     pipeline), exactly mirrored in SQL."""
@@ -829,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "undirected_closure": q_undirected_closure,
         "point_lookup": q_point_lookup,
         "date_rollup": q_date_rollup,
+        "daily_distinct_users": q_daily_distinct_users,
+        "hll_daily_users": q_hll_daily_users,
         "langid_heuristic": q_langid_heuristic,
         "langid_ngram": q_langid_ngram,
         "stratified_sample": q_stratified_sample,
@@ -1010,6 +1040,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "daily_distinct_users": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         "langid_heuristic": f"""
             SELECT source, pred_lang, COUNT(*) AS n FROM (

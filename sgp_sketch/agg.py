@@ -16,6 +16,13 @@ bytes to as many tasks as there are groups (8 sources ⇒ 8 tasks for 100 TB).
 Partials shuffle only #partitions × #groups blobs — the only full-data pass
 is the embarrassingly-parallel scan.
 
+Grouping-cardinality tradeoff: the partial model shines for low-cardinality
+group keys (sources, days). For high-cardinality keys the partial count is
+#partitions × #groups; sparse blob encoding (HLL sparse mode, CMS/Bloom COO)
+keeps small per-group states at KBs, but beyond ~10^5 groups per partition
+prefer the raw-shuffle groupBy path — at that point each group's data is
+small enough that shuffling it raw is the cheaper plan.
+
 All kernels run vectorized numpy over Arrow batches; no per-row Python in the
 scan path (BASELINE.json input_hint).
 """
