@@ -168,3 +168,13 @@ def test_vocabulary_overlap_vs_exact(spark, tokens_sdf, tokens_pdf):
             r.group_a, r.group_b, r.est_overlap, inter)
         checked += 1
     assert checked == len(exact_sets) * (len(exact_sets) - 1) // 2
+
+
+def test_heavy_hitters_global(spark, tokens_sdf, tokens_pdf):
+    """Ungrouped top-k: the candidate union + merged-CMS ranking must find
+    the global exact top-5."""
+    got = queries.heavy_hitters(tokens_sdf, k=5, group_cols=()).toPandas()
+    flat = np.concatenate(tokens_pdf["tokens"].to_numpy())
+    uniq, counts = np.unique(flat, return_counts=True)
+    exact_top = set(uniq[np.lexsort((uniq, -counts))[:5]].tolist())
+    assert set(got.token.tolist()) == exact_top

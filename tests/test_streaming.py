@@ -69,3 +69,30 @@ def test_stateful_running_estimate(spark, stream_input, tokens_pdf, tmp_path):
         exact = len(np.unique(np.concatenate(sub["tokens"].to_numpy())))
         est = float(final.loc[final.source == src, "est_distinct"].iloc[0])
         assert abs(est - exact) / exact <= bound, (src, est, exact)
+
+
+def test_stream_picks_up_late_files(spark, tokens_sdf, tmp_path):
+    """Incremental ingest: restart after new files arrive processes ONLY the
+    new data; merged estimate equals a batch build over the union."""
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ck")
+    first = tokens_sdf.filter("source <= 'f'")
+    second = tokens_sdf.filter("source > 'f'")
+    first.coalesce(1).write.mode("append").parquet(inp)
+    q = streaming.stream_sketch_build(spark, inp, state, SPECS,
+                                      checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(state).count()
+    second.coalesce(1).write.mode("append").parquet(inp)
+    q2 = streaming.stream_sketch_build(spark, inp, state, SPECS,
+                                       checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(state).count() > n1
+    streamed = {r["source"]: bytes(r["state"])
+                for r in streaming.streamed_estimates(spark, state).collect()}
+    batch = {r["source"]: bytes(r["state"])
+             for r in agg.sketch_agg(spark.read.parquet(inp), "hll",
+                                     "tokens", ("source",),
+                                     {"p": 12}).collect()}
+    assert streamed == batch
