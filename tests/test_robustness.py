@@ -110,3 +110,26 @@ def test_null_group_values(spark):
     assert round(registry.from_bytes(
         bytes(got[None]["state"])).estimate()) == 2  # distinct {3, 4}
     assert got[None]["n_items"] == 3                 # 3 occurrences
+
+
+def test_kernel_throughput_floor():
+    """Anti-regression guard (SURVEY §7.4.4): the shared scan prep + all
+    three hash-sketch updates must sustain well over 0.5M tokens/sec on one
+    core — a per-row-Python regression would land orders of magnitude
+    below this deliberately loose floor (noisy-VM safe)."""
+    import time
+
+    from sgp_sketch.agg import _prep_tokens
+
+    rng = np.random.default_rng(2)
+    flat = ((rng.zipf(1.2, 2_000_000) - 1) % (1 << 20)).astype(np.int32)
+    hll = registry.make("hll", p=14)
+    cms = registry.make("cms", depth=4, width=1 << 14)
+    blm = registry.make("bloom", n_blocks=1 << 12)
+    t0 = time.perf_counter()
+    uniq, counts, h = _prep_tokens(flat)
+    cms.update_hashes(h, counts=counts)
+    hll.update_hashes(h, assume_unique=True)
+    blm.update_hashes(h, assume_unique=True, n_raw=flat.size)
+    dt = time.perf_counter() - t0
+    assert flat.size / dt > 500_000, f"{flat.size / dt:,.0f} tok/s"
