@@ -23,12 +23,69 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
 import time
 
 from . import agg
 
 _LINEAGE_VERSION = 1
+
+
+def _fs_path(spark, path: str):
+    """(FileSystem, Path) for `path` via the Hadoop FS gateway — the same
+    resolution Spark's own readers use, so lineage/manifest/metrics I/O
+    works on any configured scheme (file:, hdfs:, s3a:), not just the
+    driver's local disk."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p
+
+
+def _fs_exists(spark, path: str) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def _fs_mkdirs(spark, path: str) -> None:
+    fs, p = _fs_path(spark, path)
+    fs.mkdirs(p)
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Atomic-enough small-file write: create(overwrite=True) + close.
+    Object stores commit on close; posix FS truncates then writes — both
+    fine for the KB-sized lineage/manifest JSON this is used for."""
+    fs, p = _fs_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str:
+    jvm = spark.sparkContext._jvm
+    fs, p = _fs_path(spark, path)
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
+def _append_jsonl(spark, path: str, record: dict) -> None:
+    """FS-agnostic append for the tiny metrics log: read-modify-write,
+    since `FileSystem.append` is unsupported on object stores. Single
+    driver writer per build — no concurrent-appender contract."""
+    prev = _fs_read_text(spark, path) if _fs_exists(spark, path) else ""
+    _fs_write_text(spark, path, prev + json.dumps(record) + "\n")
+
+
+def _join(*parts: str) -> str:
+    """URI-safe path join (os.path.join would mangle scheme-qualified
+    paths on non-posix separators; '/' is the Hadoop Path separator)."""
+    return "/".join(p.rstrip("/") for p in parts)
 
 
 def list_input_files(spark, path: str) -> list[str]:
@@ -37,10 +94,7 @@ def list_input_files(spark, path: str) -> list[str]:
     Uses the Hadoop FS API via the JVM gateway so it works for any
     configured filesystem (local, HDFS, S3A) — driver-side metadata only.
     """
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
+    fs, p = _fs_path(spark, path)
     if fs.isFile(p):
         return [p.toString()]
     out = []
@@ -67,26 +121,25 @@ def plan_slices(files: list[str], files_per_slice: int = 8) -> list[dict]:
 
 
 def _slice_dir(ckpt_dir: str, sid: str) -> str:
-    return os.path.join(ckpt_dir, "slices", sid)
+    return _join(ckpt_dir, "slices", sid)
 
 
 def _lineage_path(ckpt_dir: str, sid: str) -> str:
-    return os.path.join(ckpt_dir, "slices", f"{sid}.lineage.json")
+    return _join(ckpt_dir, "slices", f"{sid}.lineage.json")
 
 
-def slice_complete(ckpt_dir: str, sl: dict) -> bool:
+def slice_complete(spark, ckpt_dir: str, sl: dict) -> bool:
     lp = _lineage_path(ckpt_dir, sl["slice_id"])
-    if not os.path.exists(lp):
+    if not _fs_exists(spark, lp):
         return False
     try:
-        with open(lp) as fh:
-            lin = json.load(fh)
-    except (OSError, json.JSONDecodeError):
+        lin = json.loads(_fs_read_text(spark, lp))
+    except (OSError, ValueError):
         return False
     return (lin.get("version") == _LINEAGE_VERSION
             and lin.get("files") == sl["files"]
-            and os.path.exists(os.path.join(_slice_dir(ckpt_dir, sl["slice_id"]),
-                                            "_SUCCESS")))
+            and _fs_exists(spark, _join(_slice_dir(ckpt_dir, sl["slice_id"]),
+                                        "_SUCCESS")))
 
 
 def build_slice(spark, sl: dict, kind: str, value_col: str, group_cols,
@@ -130,13 +183,13 @@ def build_slice(spark, sl: dict, kind: str, value_col: str, group_cols,
         "n_items": sum(g["n_items"] for g in groups),
         "seconds": round(time.perf_counter() - t0, 3),
     }
-    with open(_lineage_path(ckpt_dir, sl["slice_id"]), "w") as fh:
-        json.dump(lineage, fh, indent=1)
-    with open(os.path.join(ckpt_dir, "metrics.jsonl"), "a") as fh:
-        fh.write(json.dumps({"slice_id": sl["slice_id"], "kind": kind,
-                             "n_items": lineage["n_items"],
-                             "seconds": lineage["seconds"],
-                             "n_files": len(sl["files"])}) + "\n")
+    _fs_write_text(spark, _lineage_path(ckpt_dir, sl["slice_id"]),
+                   json.dumps(lineage, indent=1))
+    _append_jsonl(spark, _join(ckpt_dir, "metrics.jsonl"),
+                  {"slice_id": sl["slice_id"], "kind": kind,
+                   "n_items": lineage["n_items"],
+                   "seconds": lineage["seconds"],
+                   "n_files": len(sl["files"])})
     return lineage
 
 
@@ -150,18 +203,21 @@ def build_checkpointed(spark, input_path: str, kind: str, value_col: str,
     (e.g. documents → tokens). Returns a summary dict; call `finalize` for
     the merged per-group blob DataFrame.
     """
-    os.makedirs(os.path.join(ckpt_dir, "slices"), exist_ok=True)
+    _fs_mkdirs(spark, _join(ckpt_dir, "slices"))
     files = list_input_files(spark, input_path)
     if not files:
         raise FileNotFoundError(f"no parquet data files under {input_path}")
+    # basePath (hive-partition recovery) is only legal for directory inputs
+    fs, p = _fs_path(spark, input_path)
+    base = input_path if not fs.isFile(p) else None
     slices = plan_slices(files, files_per_slice)
     skipped, built = [], []
     for sl in slices:
-        if slice_complete(ckpt_dir, sl):
+        if slice_complete(spark, ckpt_dir, sl):
             skipped.append(sl["slice_id"])
             continue
         build_slice(spark, sl, kind, value_col, group_cols, params,
-                    ckpt_dir, prepare=prepare, base_path=input_path)
+                    ckpt_dir, prepare=prepare, base_path=base)
         built.append(sl["slice_id"])
     manifest = {
         "version": _LINEAGE_VERSION,
@@ -171,8 +227,8 @@ def build_checkpointed(spark, input_path: str, kind: str, value_col: str,
         "n_slices": len(slices), "built": built, "skipped": skipped,
         "slice_ids": [s["slice_id"] for s in slices],
     }
-    with open(os.path.join(ckpt_dir, "manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1)
+    _fs_write_text(spark, _join(ckpt_dir, "manifest.json"),
+                   json.dumps(manifest, indent=1))
     return manifest
 
 
@@ -214,13 +270,13 @@ def build_slice_multi(spark, sl: dict, specs: dict, group_cols,
         "n_items": sum(g["n_items"] for g in groups),
         "seconds": round(time.perf_counter() - t0, 3),
     }
-    with open(_lineage_path(ckpt_dir, sl["slice_id"]), "w") as fh:
-        json.dump(lineage, fh, indent=1)
-    with open(os.path.join(ckpt_dir, "metrics.jsonl"), "a") as fh:
-        fh.write(json.dumps({"slice_id": sl["slice_id"], "kind": "multi",
-                             "n_items": lineage["n_items"],
-                             "seconds": lineage["seconds"],
-                             "n_files": len(sl["files"])}) + "\n")
+    _fs_write_text(spark, _lineage_path(ckpt_dir, sl["slice_id"]),
+                   json.dumps(lineage, indent=1))
+    _append_jsonl(spark, _join(ckpt_dir, "metrics.jsonl"),
+                  {"slice_id": sl["slice_id"], "kind": "multi",
+                   "n_items": lineage["n_items"],
+                   "seconds": lineage["seconds"],
+                   "n_files": len(sl["files"])})
     return lineage
 
 
@@ -228,18 +284,20 @@ def build_checkpointed_multi(spark, input_path: str, specs: dict,
                              group_cols=("source",), ckpt_dir: str = "./ckpt",
                              files_per_slice: int = 8, prepare=None) -> dict:
     """Resumable one-scan-per-slice build of the full sketch suite."""
-    os.makedirs(os.path.join(ckpt_dir, "slices"), exist_ok=True)
+    _fs_mkdirs(spark, _join(ckpt_dir, "slices"))
     files = list_input_files(spark, input_path)
     if not files:
         raise FileNotFoundError(f"no parquet data files under {input_path}")
+    fs, p = _fs_path(spark, input_path)
+    base = input_path if not fs.isFile(p) else None
     slices = plan_slices(files, files_per_slice)
     skipped, built = [], []
     for sl in slices:
-        if slice_complete(ckpt_dir, sl):
+        if slice_complete(spark, ckpt_dir, sl):
             skipped.append(sl["slice_id"])
             continue
         build_slice_multi(spark, sl, specs, group_cols, ckpt_dir,
-                          prepare=prepare, base_path=input_path)
+                          prepare=prepare, base_path=base)
         built.append(sl["slice_id"])
     manifest = {
         "version": _LINEAGE_VERSION,
@@ -251,8 +309,8 @@ def build_checkpointed_multi(spark, input_path: str, specs: dict,
         "n_slices": len(slices), "built": built, "skipped": skipped,
         "slice_ids": [s["slice_id"] for s in slices],
     }
-    with open(os.path.join(ckpt_dir, "manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1)
+    _fs_write_text(spark, _join(ckpt_dir, "manifest.json"),
+                   json.dumps(manifest, indent=1))
     return manifest
 
 
@@ -265,8 +323,8 @@ def finalize_multi(spark, ckpt_dir: str, group_cols=("source",)):
 def finalize(spark, ckpt_dir: str, group_cols=("source",)):
     """Merge all slice blobs → one blob row per group (tree of slice states;
     each slice is itself a tree-merged state, so depth stays O(log))."""
-    with open(os.path.join(ckpt_dir, "manifest.json")) as fh:
-        manifest = json.load(fh)
+    manifest = json.loads(_fs_read_text(spark, _join(ckpt_dir,
+                                                     "manifest.json")))
     dirs = [_slice_dir(ckpt_dir, sid) for sid in manifest["slice_ids"]]
     blobs = spark.read.parquet(*dirs)
     return agg.merge_across(blobs, group_cols=tuple(group_cols))

@@ -32,26 +32,39 @@ from . import agg
 def stream_sketch_build(spark, input_path: str, state_dir: str,
                         specs: dict, group_cols=("source",),
                         checkpoint_dir: str | None = None,
-                        schema=None, available_now: bool = True):
-    """File-stream → per-micro-batch partial sketch blobs appended to a
+                        schema=None, available_now: bool = True,
+                        prepare=None, reader_options: dict | None = None):
+    """File-stream → per-micro-batch partial sketch blobs written to a
     parquet state table. Returns the StreamingQuery (caller awaits it).
 
-    Exactly-once: Spark's streaming checkpoint (offsets) + idempotent blob
-    append keyed by batch_id — a restarted query reprocesses no batch
-    because foreachBatch batch ids are stable per checkpoint.
-    """
-    from pyspark.sql import functions as F
+    Exactly-once: foreachBatch is at-least-once (a crash between the data
+    write and the streaming-checkpoint commit replays the batch), so the
+    sink must be idempotent, not merely keyed. Each batch overwrites its
+    own deterministic `state_dir/batch_id=N` directory — a replay rewrites
+    the same path instead of appending duplicate blob rows, so CMS/KLL
+    counts and Bloom n_items cannot double under replay.
 
+    `prepare` (optional) maps each raw micro-batch DataFrame to the sketch
+    input shape (e.g. documents → tokens) before aggregation, so callers
+    can stream directly from a source table without staging a copy.
+    `reader_options` (e.g. {"pathGlobFilter": "documents.parquet"}) let a
+    stream select one table out of a directory of tables — the file-stream
+    source only accepts directory paths.
+    """
+    opts = reader_options or {}
     if schema is None:
-        schema = spark.read.parquet(input_path).schema
-    stream = spark.readStream.schema(schema).parquet(input_path)
+        schema = spark.read.options(**opts).parquet(input_path).schema
+    stream = spark.readStream.schema(schema).options(**opts) \
+        .parquet(input_path)
 
     def sink(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
+        if prepare is not None:
+            batch_df = prepare(batch_df)
         blobs = agg.multi_sketch_agg(batch_df, specs, group_cols)
-        (blobs.withColumn("batch_id", F.lit(int(batch_id)))
-         .write.mode("append").parquet(state_dir))
+        (blobs.write.mode("overwrite")
+         .parquet(f"{state_dir}/batch_id={int(batch_id)}"))
 
     writer = stream.writeStream.foreachBatch(sink)
     if checkpoint_dir:
@@ -63,7 +76,9 @@ def stream_sketch_build(spark, input_path: str, state_dir: str,
 
 def streamed_estimates(spark, state_dir: str, group_cols=("source",)):
     """Current merged blobs from the streaming state table — one row per
-    (group × sketch), identical to a batch build over the same inputs."""
+    (group × sketch), identical to a batch build over the same inputs.
+    `batch_id` is recovered as a hive-partition column of the state layout
+    (one directory per micro-batch — see stream_sketch_build)."""
     blobs = spark.read.parquet(state_dir)
     return agg.merge_across(blobs.drop("batch_id"),
                             group_cols=tuple(group_cols) + ("sketch",))

@@ -88,6 +88,28 @@ def test_lineage_contents(spark, multi_file_input, tmp_path):
     assert os.path.exists(os.path.join(ckpt, "metrics.jsonl"))
 
 
+def test_ckpt_dir_uri_scheme(spark, multi_file_input, tmp_path):
+    """Lineage/manifest/metrics I/O goes through the Hadoop FS gateway, so a
+    scheme-qualified ckpt_dir (file:///…, and by the same code path s3a://…)
+    works end-to-end: build, resume-as-no-op, finalize."""
+    ckpt = "file://" + str(tmp_path / "uri_ckpt")
+    m1 = checkpoint.build_checkpointed(
+        spark, multi_file_input, "hll", "tokens", ("source",), {"p": 12},
+        ckpt_dir=ckpt, files_per_slice=2)
+    assert m1["built"] and not m1["skipped"]
+    m2 = checkpoint.build_checkpointed(
+        spark, multi_file_input, "hll", "tokens", ("source",), {"p": 12},
+        ckpt_dir=ckpt, files_per_slice=2)
+    assert not m2["built"] and sorted(m2["skipped"]) == sorted(m1["built"])
+    final = {r["source"]: bytes(r["state"])
+             for r in checkpoint.finalize(spark, ckpt).collect()}
+    direct = {r["source"]: bytes(r["state"])
+              for r in agg.sketch_agg(spark.read.parquet(multi_file_input),
+                                      "hll", "tokens", ("source",),
+                                      {"p": 12}).collect()}
+    assert final == direct
+
+
 def test_multi_checkpoint_equals_direct(spark, multi_file_input, tmp_path):
     """One-scan-per-slice multi-sketch checkpoint: finalized blobs byte-equal
     a direct multi_sketch_agg build."""
