@@ -625,6 +625,94 @@ def q_rollup_revenue(spark, sf_dir):
 _STATEFUL_Q_CACHE: dict = {}
 
 
+def q_event_deltas(spark, sf_dir):
+    """W2 lag/delta window: day-over-day event-count delta per event type
+    (`lag().over(Window)`), the incremental-counter-delta analog of the
+    reference's per-round operation-count diffs
+    (PartitioningTwoHopTest.groovy:98-109, ldbc_run.py:46-55)."""
+    from pyspark.sql.window import Window
+
+    _views(spark, sf_dir)
+    daily = (spark.table("events")
+             .groupBy("event_type",
+                      F.col("ts").cast("date").cast("string").alias("day"))
+             .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (daily.select(
+        "event_type", "day", "n",
+        (F.col("n") - F.lag("n").over(w)).cast("long").alias("delta"))
+        .filter(F.col("delta").isNotNull()))  # first day has no prior
+
+
+def q_ts_epoch_parse(spark, sf_dir):
+    """F4 format-string timestamp parsing: string → to_timestamp(fmt) →
+    epoch millis, the reference's `yyyy-MM-dd'T'HH:mm:ss.SSS` GMT-to-epoch
+    conversion (csv-converter.scala:36-37, SNBParser.groovy:204-207).
+    The string column is produced by date_format so the parse direction is
+    the part under test; aggregated per type for a compact stable result."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH s AS (
+            SELECT event_type,
+                   date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS") AS ts_str
+            FROM events),
+        p AS (
+            SELECT event_type,
+                   unix_millis(to_timestamp(ts_str,
+                       "yyyy-MM-dd'T'HH:mm:ss.SSS")) AS epoch_ms
+            FROM s)
+        SELECT event_type, MIN(epoch_ms) AS min_ms, MAX(epoch_ms) AS max_ms,
+               COUNT(*) AS n
+        FROM p GROUP BY event_type
+    """)
+
+
+# staged CSV copies for the S2 ingest path, keyed by sf_dir
+_CSV_STAGE: dict = {}
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """S2 delimited-text ingest + S6 single-file sink: nation is exported
+    once per sf_dir as ONE `|`-separated CSV file with header
+    (`coalesce(1)`, the reference's single-output-file sink), then read
+    back with an explicit schema and the reference loader's options
+    (header, sep='|', nullValue — csv-converter.scala:31-34 semantics).
+    The oracle reads the original parquet: a hash match proves the CSV
+    round-trip is lossless."""
+    import tempfile
+
+    _views(spark, sf_dir)
+    if sf_dir not in _CSV_STAGE:
+        out = tempfile.mkdtemp(prefix="sgp_csv_") + "/nation_csv"
+        (spark.table("nation").coalesce(1).write
+         .options(header=True, sep="|", nullValue="\\N")
+         .csv(out))
+        _CSV_STAGE[sf_dir] = out
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    return (spark.read.schema(schema)
+            .options(header=True, sep="|", nullValue="\\N")
+            .csv(_CSV_STAGE[sf_dir])
+            .orderBy("n_nationkey"))
+
+
+def q_partition_introspection(spark, sf_dir):
+    """G4 partition-of-query introspection: after hash-routing events to
+    shards and repartitioning BY the shard column, `spark_partition_id()`
+    exposes which physical partition serves each shard — and every shard
+    must live in exactly one (n_phys = 1), the property the reference
+    checks by asking JanusGraph which physical partition held a vertex
+    (PartitioningTwoHopTest.groovy:158,206-209)."""
+    _views(spark, sf_dir)
+    routed = (spark.table("events")
+              .withColumn("shard",
+                          F.pmod("user_id", F.lit(16)).cast("int"))
+              .repartition(8, F.col("shard")))
+    return (routed.withColumn("phys", F.spark_partition_id())
+            .groupBy("shard")
+            .agg(F.countDistinct("phys").alias("n_phys"),
+                 F.count("*").alias("n_rows")))
+
+
 def q_checkpointed_hll(spark, sf_dir):
     """M4 resumable build through the public checkpoint API: slice-wise
     build + finalize, estimates per source (byte-equal to a direct build —
@@ -911,6 +999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "checkpointed_hll": q_checkpointed_hll,
         "streamed_hll": q_streamed_hll,
+        "event_deltas": q_event_deltas,
+        "ts_epoch_parse": q_ts_epoch_parse,
+        "csv_roundtrip": q_csv_roundtrip,
+        "partition_introspection": q_partition_introspection,
     }
 
 
@@ -1178,5 +1270,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, vec_id
             LIMIT 5
+        """,
+        "bfs_reachability": """
+            WITH RECURSIVE e AS (
+                SELECT l_suppkey + 1000000 AS src, l_partkey AS dst
+                FROM lineitem
+                UNION
+                SELECT l_partkey AS src, l_suppkey + 1000000 AS dst
+                FROM lineitem
+            ),
+            k AS (SELECT DISTINCT l_suppkey AS s FROM lineitem
+                  ORDER BY 1 LIMIT 3),
+            kk AS (SELECT ROW_NUMBER() OVER (ORDER BY s) AS rn, s FROM k),
+            src AS (SELECT s FROM kk WHERE rn = 1),
+            walk(id, d) AS (
+                SELECT s + 1000000, 0 FROM src
+                UNION
+                SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id
+                WHERE w.d < 4
+            ),
+            md AS (SELECT id, MIN(d) AS d FROM walk GROUP BY id)
+            SELECT CAST((SELECT s FROM src) AS BIGINT) AS src_supp,
+                   CAST(t.s AS BIGINT) AS dst_supp,
+                   (md.d IS NOT NULL) AS found,
+                   CAST(COALESCE(md.d, -1) AS INT) AS depth
+            FROM (SELECT s FROM kk WHERE rn > 1) t
+            LEFT JOIN md ON md.id = t.s + 1000000
+        """,
+        "event_deltas": """
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS STRING) AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2)
+            SELECT * FROM (
+                SELECT event_type, day, n,
+                       CAST(n - LAG(n) OVER (PARTITION BY event_type
+                                             ORDER BY day) AS BIGINT) AS delta
+                FROM daily)
+            WHERE delta IS NOT NULL
+        """,
+        "ts_epoch_parse": """
+            WITH p AS (
+                SELECT event_type,
+                       epoch_ms(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%g'),
+                                         '%Y-%m-%dT%H:%M:%S.%g')) AS epoch_ms
+                FROM events)
+            SELECT event_type, MIN(epoch_ms) AS min_ms, MAX(epoch_ms) AS max_ms,
+                   COUNT(*) AS n
+            FROM p GROUP BY event_type
+        """,
+        "csv_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey
+            FROM nation ORDER BY n_nationkey
+        """,
+        "partition_introspection": """
+            SELECT CAST(user_id % 16 AS INT) AS shard,
+                   CAST(1 AS BIGINT) AS n_phys,
+                   COUNT(*) AS n_rows
+            FROM events GROUP BY 1
         """,
     }

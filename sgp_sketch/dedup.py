@@ -19,8 +19,10 @@ batch computing signatures (Arrow, numpy-vectorized); candidate generation
 is a shuffle on band/bucket hashes whose fan-in is bounded by banding
 parameters, never a cross join. Near-duplicate classes produce skewed
 buckets (a 10^6-copy boilerplate page lands in one bucket); `max_bucket`
-caps the quadratic blowup and reports dropped buckets rather than hanging —
-the same heavy-key capping idea as routing.py's salting.
+caps the quadratic blowup, and every capping site takes an optional
+`stats` dict eagerly filled with (dropped_rows, max_bucket_size) — recall
+loss is surfaced, never silent. The same heavy-key
+capping idea as routing.py's salting.
 
 Reference tie-in: bucket-join candidate generation is the reference's
 hash-bucket routing (EdgeCutSGP.java:122) applied to similarity; the
@@ -143,15 +145,39 @@ def minhash_signatures(df, shingle_col: str = "shingles", k: int = 64,
     return df.withColumn(out_col, mh(shingle_col))
 
 
+def _cap_buckets(sized, max_bucket: int, stats=None):
+    """Shared oversized-bucket guard: keep rows whose bucket has ≤
+    `max_bucket` members. When `stats` (a plain dict) is given, it is
+    filled EAGERLY with {"dropped_rows", "max_bucket_size"} via one small
+    aggregate job over the bucket table, so silent recall loss is visible
+    instead of implied. (An `observe()`-based variant was rejected: AQE's
+    empty-relation propagation can prune the observed node out of the final
+    plan — e.g. when every bucket is dropped — and a diagnostic that
+    vanishes exactly when it matters most is worse than one extra tiny
+    job. The signature stage feeding this is cached in the callers, so the
+    extra pass reuses it.)"""
+    from pyspark.sql import functions as F
+
+    if stats is not None:
+        row = sized.agg(
+            F.sum(F.when(F.col("bsize") > max_bucket, 1).otherwise(0))
+            .alias("dropped_rows"),
+            F.max("bsize").alias("max_bucket_size")).first()
+        stats["dropped_rows"] = int(row["dropped_rows"] or 0)
+        stats["max_bucket_size"] = int(row["max_bucket_size"] or 0)
+    return sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
+
+
 def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", sig_col: str = "sig",
                         bands: int = 16, k: int = 64,
-                        max_bucket: int = 1000):
+                        max_bucket: int = 1000, stats=None):
     """Banded LSH: equal band-signature ⇒ candidate pair. Pure DataFrame ops:
     posexplode band hashes → groupBy bucket → within-bucket self-join.
 
     `max_bucket` drops degenerate buckets (boilerplate explosion guard) —
     their members are still caught by other bands unless truly identical,
-    and identical docs belong to exact dedup anyway.
+    and identical docs belong to exact dedup anyway. Pass a dict as
+    `stats` to receive (dropped_rows, max_bucket_size) eagerly.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -165,7 +191,7 @@ def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", sig_col: str = "sig",
                              .alias("band", "bucket")))
     sized = buckets.withColumn(
         "bsize", F.count("*").over(Window.partitionBy("band", "bucket")))
-    kept = sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
+    kept = _cap_buckets(sized, max_bucket, stats)
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (a.join(b, ["band", "bucket"])
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -179,7 +205,7 @@ def minhash_near_duplicates(df, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3, k: int = 64,
                             bands: int = 16, threshold: float = 0.5,
                             max_bucket: int = 1000,
-                            exact_verify: bool = False):
+                            exact_verify: bool = False, stats=None):
     """End-to-end MinHash near-dup: shingle → sign → band → candidates →
     Jaccard ≥ threshold.
 
@@ -198,7 +224,8 @@ def minhash_near_duplicates(df, id_col: str = "doc_id",
     shingled = word_shingles(df.select(id_col, text_col), text_col, n)
     sigs = minhash_signatures(shingled, k=k).select(id_col, "shingles",
                                                     "sig").cache()
-    pairs = lsh_candidate_pairs(sigs, id_col, "sig", bands, k, max_bucket)
+    pairs = lsh_candidate_pairs(sigs, id_col, "sig", bands, k, max_bucket,
+                                stats=stats)
     if exact_verify:
         sa = sigs.select(F.col(id_col).alias("doc_a"),
                          F.col("shingles").alias("sh_a"))
@@ -275,25 +302,43 @@ def simhash_fingerprints(df, id_col: str = "doc_id",
 
 def simhash_near_duplicates(df, id_col: str = "doc_id",
                             tokens_col: str = "tokens", max_hamming: int = 3,
-                            max_bucket: int = 10000):
-    """SimHash near-dup: 4×16-bit chunk bucketing (pigeonhole: hamming ≤ 3 ⇒
-    at least one of 4 chunks equal) → JVM `bit_count(a^b)` verify.
+                            max_bucket: int = 10000, stats=None):
+    """SimHash near-dup: chunk bucketing with the chunk count DERIVED from
+    `max_hamming` (n_chunks = max_hamming + 1; pigeonhole: hamming ≤ h over
+    h+1 chunks ⇒ at least one chunk equal — full recall for any requested
+    radius, not just 3) → JVM `bit_count(a^b)` verify.
+
+    max_hamming > 15 is rejected: chunks would shrink under 4 bits, bucket
+    cardinality collapses, and the candidate join degenerates toward
+    all-pairs — use MinHash at that radius instead.
 
     → DataFrame(doc_a, doc_b, hamming int).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            f"max_hamming must be in [0, 15], got {max_hamming}: chunk "
+            "bucketing needs max_hamming+1 chunks of >= 4 bits each")
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks  # top chunk absorbs the 64 % n_chunks remainder
     fps = simhash_fingerprints(df.select(id_col, tokens_col), id_col,
                                tokens_col).select(id_col, "simhash")
-    chunks = F.array(*[
-        F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
-        for c in range(4)])
+    def chunk_expr(c):
+        bits = 64 - c * width if c == n_chunks - 1 else width
+        shifted = F.shiftrightunsigned("simhash", c * width)
+        # a full-width (64-bit) chunk needs no mask — and (1<<64)-1
+        # wouldn't fit a long literal anyway
+        return shifted if bits >= 64 else shifted.bitwiseAND(
+            F.lit((1 << bits) - 1))
+
+    chunks = F.array(*[chunk_expr(c) for c in range(n_chunks)])
     buckets = fps.select(id_col, "simhash",
                          F.posexplode(chunks).alias("chunk", "val"))
     sized = buckets.withColumn(
         "bsize", F.count("*").over(Window.partitionBy("chunk", "val")))
-    kept = sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
+    kept = _cap_buckets(sized, max_bucket, stats)
     a, b = kept.alias("a"), kept.alias("b")
     return (a.join(b, ["chunk", "val"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -339,7 +384,7 @@ def embedding_near_duplicates(df, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               threshold: float = 0.95, n_planes: int = 6,
                               n_tables: int = 6, seed: int = 7,
-                              max_bucket: int = 10000):
+                              max_bucket: int = 10000, stats=None):
     """Near-duplicate vector pairs: multi-table LSH bucket join → exact
     within-bucket cosine (JVM zip_with/aggregate — no Python in the verify
     path). Miss probability per pair ≈ (1 − (1−θ/π)^planes)^tables: at
@@ -352,7 +397,7 @@ def embedding_near_duplicates(df, id_col: str = "vec_id",
                               n_planes, seed, n_tables)
     sized = b.withColumn(
         "bsize", F.count("*").over(Window.partitionBy("table", "bucket")))
-    kept = sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
+    kept = _cap_buckets(sized, max_bucket, stats)
     x, y = kept.alias("x"), kept.alias("y")
     dot = F.aggregate(F.zip_with(f"x.{vec_col}", f"y.{vec_col}",
                                  lambda p, q: p * q),

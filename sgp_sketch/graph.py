@@ -19,11 +19,19 @@ caps of the reference's workload runner (`run-driver.sh:20-29`).
 from __future__ import annotations
 
 
-def k_hop(edges, seeds, k: int = 2, src: str = "src", dst: str = "dst"):
+def k_hop(edges, seeds, k: int = 2, src: str = "src", dst: str = "dst",
+          step_metrics: list | None = None):
     """G1/G2 generalization: the set of vertices reachable in exactly ≤ k
     hops from `seeds` (DataFrame with column `id`). Returns
     DataFrame(id, hops int) — first hop count at which each vertex was
-    reached."""
+    reached.
+
+    `step_metrics` (optional, pass a list) turns on per-expansion traversal
+    profiling via `df.observe`: one {"depth": d, "frontier": n} dict is
+    appended per hop — the declarative analog of the reference's per-step
+    timing loop (PartitioningTwoHopTest.groovy:162-169). Costs one full
+    count action per hop instead of the lazy isEmpty probe."""
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     frontier = seeds.select(F.col("id")).distinct()
@@ -32,7 +40,15 @@ def k_hop(edges, seeds, k: int = 2, src: str = "src", dst: str = "dst"):
         nxt = (edges.join(frontier.withColumnRenamed("id", src), src)
                .select(F.col(dst).alias("id")).distinct()
                .join(reached.select("id"), "id", "left_anti"))
-        if nxt.isEmpty():
+        if step_metrics is not None:
+            obs = Observation(f"k_hop_step_{depth}")
+            observed = nxt.observe(obs, F.count(F.lit(1)).alias("frontier"))
+            observed.count()
+            n_new = int(obs.get["frontier"])
+            step_metrics.append({"depth": depth, "frontier": n_new})
+            if n_new == 0:
+                break
+        elif nxt.isEmpty():
             break
         reached = reached.unionByName(
             nxt.withColumn("hops", F.lit(depth)))
@@ -166,8 +182,16 @@ def bidirectional_bfs(edges, source, target, max_depth: int = 6,
     `targetNext.contains(id)` scan (shortestPathTest.groovy:198-206).
 
     Returns {"found": bool, "depth": int | None, "expansions": int,
-    "truncated": bool}.
+    "truncated": bool, "frontier_sizes": list[int]} — frontier sizes are
+    measured per expansion via `df.observe` (G3 traversal profiling, the
+    PartitioningTwoHopTest.groovy:162-169 analog; the observed count also
+    materializes the frontier cache, replacing the lazy isEmpty probe).
+
+    Every cached frontier is unpersisted on exit (try/finally), so repeated
+    probes — e.g. a reachability loop over many (source, target) pairs —
+    don't accumulate executor storage.
     """
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     spark = edges.sparkSession
@@ -176,40 +200,49 @@ def bidirectional_bfs(edges, source, target, max_depth: int = 6,
     fwd_seen, bwd_seen = fwd, bwd
     rev = edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
     depth, expansions, truncated = 0, 0, False
+    sizes: list[int] = []
     if source == target:
         return {"found": True, "depth": 0, "expansions": 0,
-                "truncated": False}
-    while depth < max_depth:
-        # expand the (heuristically) cheaper side: alternate
-        if depth % 2 == 0:
-            nxt = (edges.join(fwd.withColumnRenamed("id", src), src)
-                   .select(F.col(dst).alias("id")).distinct()
-                   .join(fwd_seen, "id", "left_anti"))
+                "truncated": False, "frontier_sizes": sizes}
+    cached = []
+
+    def result(found, d):
+        return {"found": found, "depth": d, "expansions": expansions,
+                "truncated": truncated, "frontier_sizes": sizes}
+
+    try:
+        while depth < max_depth:
+            # expand the (heuristically) cheaper side: alternate
+            if depth % 2 == 0:
+                nxt = (edges.join(fwd.withColumnRenamed("id", src), src)
+                       .select(F.col(dst).alias("id")).distinct()
+                       .join(fwd_seen, "id", "left_anti"))
+            else:
+                nxt = (rev.join(bwd.withColumnRenamed("id", src), src)
+                       .select(F.col(dst).alias("id")).distinct()
+                       .join(bwd_seen, "id", "left_anti"))
             if max_frontier is not None:
                 if nxt.limit(max_frontier + 1).count() > max_frontier:
                     truncated = True
                     nxt = nxt.limit(max_frontier)
             nxt = nxt.cache()
-            fwd, fwd_seen = nxt, fwd_seen.unionByName(nxt)
-        else:
-            nxt = (rev.join(bwd.withColumnRenamed("id", src), src)
-                   .select(F.col(dst).alias("id")).distinct()
-                   .join(bwd_seen, "id", "left_anti"))
-            if max_frontier is not None:
-                if nxt.limit(max_frontier + 1).count() > max_frontier:
-                    truncated = True
-                    nxt = nxt.limit(max_frontier)
-            nxt = nxt.cache()
-            bwd, bwd_seen = nxt, bwd_seen.unionByName(nxt)
-        depth += 1
-        expansions += 1
-        if nxt.isEmpty():
-            return {"found": False, "depth": None, "expansions": expansions,
-                    "truncated": truncated}
-        # frontier meet: any vertex reached from both ends?
-        meet = not fwd_seen.join(bwd_seen, "id", "left_semi").isEmpty()
-        if meet:
-            return {"found": True, "depth": depth, "expansions": expansions,
-                    "truncated": truncated}
-    return {"found": False, "depth": None, "expansions": expansions,
-            "truncated": truncated}
+            cached.append(nxt)
+            if depth % 2 == 0:
+                fwd, fwd_seen = nxt, fwd_seen.unionByName(nxt)
+            else:
+                bwd, bwd_seen = nxt, bwd_seen.unionByName(nxt)
+            depth += 1
+            expansions += 1
+            obs = Observation(f"bfs_step_{depth}")
+            nxt.observe(obs, F.count(F.lit(1)).alias("frontier")).count()
+            n_new = int(obs.get["frontier"])
+            sizes.append(n_new)
+            if n_new == 0:
+                return result(False, None)
+            # frontier meet: any vertex reached from both ends?
+            if not fwd_seen.join(bwd_seen, "id", "left_semi").isEmpty():
+                return result(True, depth)
+        return result(False, None)
+    finally:
+        for c in cached:
+            c.unpersist()

@@ -244,34 +244,48 @@ def vocabulary_overlap(df, group_cols=("source",), value_col="tokens",
 
     → DataFrame(group_a, group_b, est_a, est_b, est_union, est_overlap,
     jaccard) for every unordered group pair.
+
+    Distributed shape: the KB-sized blob table self-joins on
+    `group_a < group_b` (G² *pair rows*, spread over the cluster — never
+    collected to the driver) and a pandas UDF merges each pair's two blobs.
+    High-cardinality group columns (days, domains) therefore scale like any
+    other join, instead of an O(G²) driver loop over collected state.
     """
+    import pandas as pd
     from pyspark.sql import functions as F
 
     from . import agg
 
     blobs = agg.sketch_agg(df, "hll", value_col, group_cols, {"p": p})
-    local = [(tuple(r[c] for c in group_cols), bytes(r["state"]))
-             for r in blobs.collect()]
-    local.sort()
-    rows = []
-    for i in range(len(local)):
-        ka, sa = local[i]
-        a = registry.from_bytes(sa)
-        ea = a.estimate()
-        for j in range(i + 1, len(local)):
-            kb, sb = local[j]
-            b = registry.from_bytes(sb)
-            eb = b.estimate()
-            eu = a.merge(b).estimate()
-            inter = max(0.0, ea + eb - eu)
-            rows.append(("|".join(map(str, ka)), "|".join(map(str, kb)),
-                         round(float(ea), 1), round(float(eb), 1),
-                         round(float(eu), 1), round(float(inter), 1),
-                         round(float(inter / eu) if eu else 0.0, 4)))
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        rows, "group_a string, group_b string, est_a double, est_b double, "
-              "est_union double, est_overlap double, jaccard double")
+    keyed = blobs.select(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+        .alias("group"), "state")
+
+    @F.pandas_udf("array<double>")
+    def pair_est(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(sa, sb):
+            a = registry.from_bytes(bytes(ba))
+            b = registry.from_bytes(bytes(bb))
+            out.append([float(a.estimate()), float(b.estimate()),
+                        float(a.merge(b).estimate())])
+        return pd.Series(out)
+
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (a.join(b, F.col("a.group") < F.col("b.group"))
+             .select(F.col("a.group").alias("group_a"),
+                     F.col("b.group").alias("group_b"),
+                     pair_est(F.col("a.state"), F.col("b.state")).alias("e")))
+    eu = F.col("e")[2]
+    inter = F.greatest(F.lit(0.0), F.col("e")[0] + F.col("e")[1] - eu)
+    return pairs.select(
+        "group_a", "group_b",
+        F.round(F.col("e")[0], 1).alias("est_a"),
+        F.round(F.col("e")[1], 1).alias("est_b"),
+        F.round(eu, 1).alias("est_union"),
+        F.round(inter, 1).alias("est_overlap"),
+        F.round(F.when(eu > 0, inter / eu).otherwise(0.0), 4)
+        .alias("jaccard"))
 
 
 def build_sharded_membership(df, n_shards: int = 32, value_col: str = "tokens",

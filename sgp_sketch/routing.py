@@ -300,39 +300,50 @@ def assign_shards(df, n_shards: int = 16, algorithm: str = "ldg",
     the batch-streaming variant of EdgeCutSGP.streamingPartition).
 
     Returns DataFrame (doc_id string, shard int). Each input partition runs
-    an independent `GreedyShardRouter`; capacity is apportioned per partition.
+    an independent `GreedyShardRouter`.
+
+    Zero extra Spark jobs: per-partition capacity is derived from the
+    partition's OWN doc count (Arrow batches buffered once inside the task
+    — bounded by `spark.sql.files.maxPartitionBytes`, the same memory
+    envelope applyInPandas lives under), so there is no up-front count job
+    and no blanket repartition of the input. Local capacities sum to the
+    global capacity `total/n_shards·(1+slack)` whatever the partition-size
+    skew, so the balance invariant holds without equal partitions — the
+    reference instead knows n a priori from its properties file
+    (EdgeCutSGP.java:266-285). Fennel's α uses caller-supplied
+    `total_docs` when given, else the partition's own statistics (α is a
+    score-scale constant; balance is capacity-enforced either way).
     """
     from pyspark.sql import functions as F
 
     src = df.select(F.col("doc_id").cast("string").alias("doc_id"), "tokens")
-    if total_docs is None:
-        agg_row = df.select(F.count("*"), F.sum("n_tok") if "n_tok" in df.columns
-                            else F.sum(F.size("tokens"))).collect()[0]
-        total_docs, total_occ = int(agg_row[0]), int(agg_row[1] or 0)
-    else:
-        total_occ = total_docs * 32  # caller-supplied scale hint
-    n_parts = max(1, src.rdd.getNumPartitions())
-    # per-partition capacity apportioning needs near-equal partitions; a
-    # round-robin repartition guarantees it (the reference instead reads one
-    # stream with n known a priori from its properties file,
-    # EdgeCutSGP.java:266-285)
-    src = src.repartition(n_parts)
-    capacity = total_docs / n_parts / n_shards * (1.0 + slack)
-    alpha = fennel_alpha(n_shards, total_occ, total_docs)
+    global_alpha = (fennel_alpha(n_shards, total_docs * 32, total_docs)
+                    if total_docs is not None else None)
 
     def route(iterator):
         import pandas as pd
 
         from sgp_sketch.kernels.hashing import hash_str_array
 
+        batches = [(hash_str_array(pdf["doc_id"].tolist()),
+                    [np.asarray(t if t is not None else (), dtype=np.int64)
+                     for t in pdf["tokens"]],
+                    pdf["doc_id"]) for pdf in iterator]
+        n_local = sum(len(ids) for _, _, ids in batches)
+        if not n_local:
+            return
+        capacity = max(1.0, n_local / n_shards * (1.0 + slack))
+        if global_alpha is not None:
+            alpha = global_alpha
+        else:
+            occ_local = sum(sum(a.size for a in arrs)
+                            for _, arrs, _ in batches)
+            alpha = fennel_alpha(n_shards, occ_local, n_local)
         router = GreedyShardRouter(n_shards, capacity, algorithm,
                                    gamma=gamma, alpha=alpha, chunk=chunk)
-        for pdf in iterator:
-            arrs = [np.asarray(t if t is not None else (), dtype=np.int64)
-                    for t in pdf["tokens"]]
-            keys = hash_str_array(pdf["doc_id"].tolist())
+        for keys, arrs, ids in batches:
             shard = router.assign_batch(keys, arrs)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+            yield pd.DataFrame({"doc_id": ids,
                                 "shard": shard.astype(np.int32)})
 
     return src.mapInPandas(route, "doc_id string, shard int")

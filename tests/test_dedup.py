@@ -156,3 +156,54 @@ def test_ivf_ann(spark, planted_vectors):
                        k=3, n_probe=3).toPandas()
     assert got.vec_id.iloc[0] == 500          # planted near-duplicate found
     assert got.cosine.iloc[0] > 0.95
+
+
+def test_simhash_max_hamming_guard():
+    """Radii the chunk scheme can't serve with full recall are rejected,
+    not silently under-recalled."""
+    import pytest
+
+    # validation fires before any Spark work (df may be anything)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_duplicates(None, max_hamming=16)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_duplicates(None, max_hamming=-1)
+
+
+def test_simhash_pigeonhole_recall_radius_5(spark):
+    """With max_hamming=5 the derived 6-chunk bucketing must catch a pair
+    at hamming exactly 5 — the radius the old fixed 4x16 scheme lost."""
+    from pyspark.sql import functions as F
+
+    # two fingerprints differing in exactly 5 bits, one per 12-bit chunk
+    # region for 5 of the 6 chunks — no chunk-collision shortcut except
+    # the untouched one (pigeonhole's worst case)
+    base = np.uint64(0x0123456789ABCDEF)
+    flipped = base
+    for b in (0, 13, 26, 39, 52):  # five different 12-bit chunks
+        flipped = flipped ^ (np.uint64(1) << np.uint64(b))
+    fps = spark.createDataFrame(
+        [(1, [0], int(np.int64(base.view(np.int64)))),
+         (2, [0], int(np.int64(flipped.view(np.int64))))],
+        "doc_id long, tokens array<long>, simhash long")
+    # drive the bucketing path with crafted fingerprints: bypass the
+    # fingerprint stage, keep everything downstream real
+    import sgp_sketch.dedup as D
+
+    orig = D.simhash_fingerprints
+    try:
+        D.simhash_fingerprints = lambda df, *a, **k: fps
+        got = D.simhash_near_duplicates(fps, max_hamming=5).collect()
+    finally:
+        D.simhash_fingerprints = orig
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in got] == [(1, 2, 5)]
+
+
+def test_lsh_dropped_bucket_stats(spark, planted_docs):
+    """max_bucket capping reports (dropped_rows, max_bucket_size) through
+    the stats dict instead of losing recall silently."""
+    m = {}
+    dedup.minhash_near_duplicates(planted_docs, threshold=0.4,
+                                  max_bucket=1, stats=m)
+    assert m["dropped_rows"] > 0          # clone buckets exceed cap=1
+    assert m["max_bucket_size"] >= 2

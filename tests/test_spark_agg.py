@@ -170,6 +170,28 @@ def test_vocabulary_overlap_vs_exact(spark, tokens_sdf, tokens_pdf):
     assert checked == len(exact_sets) * (len(exact_sets) - 1) // 2
 
 
+def test_vocabulary_overlap_matches_kernel_merge(spark, tokens_sdf):
+    """The distributed blob-self-join path must reproduce exactly what a
+    driver-side kernel merge of the collected blobs produces (the shape it
+    replaced) — same pairs, same estimates."""
+    from sgp_sketch import agg
+    from sgp_sketch.kernels import registry
+    from sgp_sketch.queries import vocabulary_overlap
+
+    got = {(r.group_a, r.group_b): (r.est_a, r.est_b, r.est_union)
+           for r in vocabulary_overlap(tokens_sdf, p=14).collect()}
+    blobs = sorted((r["source"], bytes(r["state"]))
+                   for r in agg.sketch_agg(tokens_sdf, "hll", "tokens",
+                                           ("source",), {"p": 14}).collect())
+    want = {}
+    for i, (ka, sa) in enumerate(blobs):
+        for kb, sb in blobs[i + 1:]:
+            a, b = registry.from_bytes(sa), registry.from_bytes(sb)
+            want[(ka, kb)] = (round(a.estimate(), 1), round(b.estimate(), 1),
+                              round(a.merge(b).estimate(), 1))
+    assert got == want
+
+
 def test_heavy_hitters_global(spark, tokens_sdf, tokens_pdf):
     """Ungrouped top-k: the candidate union + merged-CMS ranking must find
     the global exact top-5."""
