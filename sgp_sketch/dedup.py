@@ -460,14 +460,55 @@ def ivf_assign(df, centroids: np.ndarray, vec_col: str = "embedding",
     return df.withColumn(out_col, assign(vec_col))
 
 
+def ivf_write_index(df, centroids: np.ndarray, path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Persist the IVF index: vectors + their list assignment, written
+    `partitionBy("list_id")` so probes read only the probed lists'
+    directories (storage-level pruning — the layout the ann_topk_ivf
+    docstring promises; at 100 TB this is what turns n_probe/n_lists into
+    an actual IO reduction instead of a post-scan filter)."""
+    assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ann_topk_ivf_indexed(spark, index_path: str, query_vec,
+                         centroids: np.ndarray, id_col: str = "vec_id",
+                         vec_col: str = "embedding", k: int = 5,
+                         n_probe: int = 4):
+    """IVF search against a persisted `ivf_write_index` layout: rank
+    centroids by distance to the query, then read ONLY the n_probe nearest
+    list directories (PartitionFilters prune the rest before any IO —
+    verify with .explain()); exact cosine within them."""
+    from pyspark.sql import functions as F
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d2 = ((C - q[None, :]) ** 2).sum(axis=1)
+    probe_lists = [int(i) for i in np.argsort(d2)[:n_probe]]
+    lists = spark.read.parquet(index_path).filter(
+        F.col("list_id").isin(probe_lists))
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    dot = F.aggregate(F.zip_with(vec_col, qlit, lambda p, qq: p * qq),
+                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    nrm_v = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0).cast("double"),
+                               lambda acc, v: acc + v * v))
+    nrm_q = float(np.sqrt((q * q).sum()))
+    return (lists.select(id_col, F.round(dot / (nrm_v * F.lit(nrm_q)), 4)
+                         .alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col)
+            .limit(k))
+
+
 def ann_topk_ivf(df, query_vec, centroids: np.ndarray,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  k: int = 5, n_probe: int = 4):
-    """IVF search: rank centroids by distance to the query, scan only the
-    `n_probe` nearest inverted lists, exact cosine within them. With the
-    assignment table written partitioned by `list_id`, the scan is
-    partition-pruned to n_probe/n_lists of the data (R6 shard-routed point
-    query, README.md:342)."""
+    """IVF search, inline variant: rank centroids by distance to the
+    query, assign + filter in one plan, exact cosine within the `n_probe`
+    nearest lists. For repeated queries at scale use `ivf_write_index` +
+    `ann_topk_ivf_indexed`: the persisted partitionBy("list_id") layout
+    turns the list filter into storage-level partition pruning (R6
+    shard-routed point query, README.md:342) instead of a full-scan
+    assignment recomputed per query."""
     from pyspark.sql import functions as F
 
     q = np.asarray(query_vec, dtype=np.float64)

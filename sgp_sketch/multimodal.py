@@ -8,13 +8,18 @@ payload bytes make exactly one JVM→Python hop per stage. Partitioning is by
 same storage-level predicate the reference gets from its label filter,
 `/root/reference/src/main/java/ca/uwaterloo/cs/sgp/streaming/EdgeCutSGP.java:84-92`).
 
-The container ships no codec libraries, so REAL external decoding (JPEG/PNG/
-FLAC/H.264) is STUBBED: `decode_external` raises NotImplementedError unless
-PIL/soundfile are importable. The test surface instead uses the SGPM
-deterministic synthetic container (self-describing header + raw samples), so
-the Spark-side plumbing — schemas, batch shapes, UDF signatures, numpy
-kernels (block-mean resize, RMS/ZCR, frame sampling) — is fully real and
-tested end-to-end.
+Codec layers, honest about what's real here:
+  * REAL interchange formats with stdlib-only parsers — RIFF/WAVE PCM
+    (`encode_wav`/`decode_wav` via the `wave` module) and 24-bit BMP
+    (`encode_bmp`/`decode_bmp`, hand-parsed headers). These are actual
+    on-disk formats any player/viewer opens, round-trip-tested and driven
+    end-to-end through the feature stages (decoder= parameter).
+  * COMPRESSED formats (JPEG/PNG/FLAC/H.264) need PIL/soundfile, which this
+    container doesn't ship: `decode_external` raises a clearly-marked
+    NotImplementedError for them and activates automatically where those
+    libs exist.
+  * The SGPM deterministic synthetic container (below) remains the bulk
+    test surface for batch shapes and video framing.
 
 SGPM container layout (little-endian):
     magic  4s  b"SGPM"
@@ -86,10 +91,84 @@ def decode_video(buf: bytes) -> np.ndarray:
     return px.reshape(n, h, w)
 
 
+# ------------------------------------------------- real formats, stdlib-only
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono PCM → a real RIFF/WAVE file (stdlib `wave` — no external
+    libs). This is the actual interchange format, not the SGPM container."""
+    import io
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE (PCM) → (int16 samples, sample_rate), stdlib `wave`."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(buf), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        frames = w.readframes(w.getnframes())
+        data = np.frombuffer(frames, dtype="<i2")
+        if w.getnchannels() > 1:
+            data = data.reshape(-1, w.getnchannels()).mean(
+                axis=1).astype(np.int16)
+        return data, w.getframerate()
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 → a real 24-bit uncompressed BMP (bottom-up
+    rows, BGR order, 4-byte row padding — the on-disk format any image
+    viewer opens)."""
+    h, w = pixels.shape[:2]
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    bgr = pixels[..., ::-1]  # RGB → BGR
+    for y in range(h - 1, -1, -1):
+        body += bgr[y].astype(np.uint8).tobytes() + b"\x00" * pad
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return head + info + bytes(body)
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) RGB uint8."""
+    magic, _sz, _r1, _r2, off = struct.unpack_from("<2sIHHI", buf, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP file")
+    hsize, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported "
+                         f"(bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)
+    rows = rows.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR → RGB
+
+
 def decode_external(buf: bytes, fmt: str):
-    """Real-world codec hook. The sandbox ships no image/audio libraries, so
-    this is a clearly-marked stub: it activates only if PIL / soundfile are
-    importable in the deployment environment."""
+    """Real-world codec hook. WAV and BMP decode with stdlib-only parsers
+    above (fully exercised in tests); compressed formats (JPEG/PNG/FLAC)
+    need PIL / soundfile and raise a clearly-marked NotImplementedError
+    when those aren't importable (they are not in this sandbox)."""
+    if fmt == "wav":
+        return decode_wav(buf)
+    if fmt == "bmp":
+        return decode_bmp(buf)
     if fmt in ("jpeg", "png", "webp"):
         try:
             import io
@@ -98,10 +177,10 @@ def decode_external(buf: bytes, fmt: str):
         except ImportError as exc:
             raise NotImplementedError(
                 f"external image codec ({fmt}) needs PIL — not available "
-                "in this environment; SGPM synthetic media exercises the "
-                "Spark plumbing instead") from exc
+                "in this environment; use BMP (stdlib path) or SGPM "
+                "synthetic media instead") from exc
         return np.asarray(Image.open(io.BytesIO(buf)))
-    if fmt in ("wav", "flac", "ogg"):
+    if fmt in ("flac", "ogg"):
         try:
             import io
 
@@ -109,7 +188,8 @@ def decode_external(buf: bytes, fmt: str):
         except ImportError as exc:
             raise NotImplementedError(
                 f"external audio codec ({fmt}) needs soundfile — not "
-                "available in this environment") from exc
+                "available in this environment; use WAV (stdlib path)"
+            ) from exc
         return soundfile.read(io.BytesIO(buf))
     raise NotImplementedError(f"no codec for format {fmt!r}")
 
@@ -195,9 +275,12 @@ IMAGE_FEATURES_SCHEMA = ("media_id string, width int, height int, "
                          "thumb array<double>")
 
 
-def image_feature_stage(df, thumb: int = 4):
+def image_feature_stage(df, thumb: int = 4, decoder=decode_image):
     """Decode + feature-extract + resize for image rows. One Arrow hop;
-    filter `kind='image'` BEFORE this stage so only image bytes ship."""
+    filter `kind='image'` BEFORE this stage so only image bytes ship.
+    `decoder` picks the payload format: decode_image (SGPM container,
+    default) or decode_bmp (real on-disk BMP, stdlib parser) — the stage
+    itself is format-agnostic."""
 
     def extract(iterator):
         import pandas as pd
@@ -205,7 +288,7 @@ def image_feature_stage(df, thumb: int = 4):
         for pdf in iterator:
             out = []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_image(bytes(buf))
+                px = decoder(bytes(buf))
                 h, w = px.shape[:2]
                 means = px.reshape(-1, px.shape[2]).mean(axis=0) \
                     if px.ndim == 3 else np.repeat(px.mean(), 3)
@@ -226,14 +309,17 @@ AUDIO_FEATURES_SCHEMA = ("media_id string, sample_rate int, duration_ms int, "
                          "rms double, zcr double, peak double")
 
 
-def audio_feature_stage(df):
+def audio_feature_stage(df, decoder=decode_audio):
+    """`decoder` maps payload bytes → (samples, sample_rate): decode_audio
+    (SGPM, default) or decode_wav (real RIFF/WAVE, stdlib parser)."""
+
     def extract(iterator):
         import pandas as pd
 
         for pdf in iterator:
             out = []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
-                samples, sr = decode_audio(bytes(buf))
+                samples, sr = decoder(bytes(buf))
                 f = audio_features(samples, sr)
                 out.append((mid, sr, f["duration_ms"], round(f["rms"], 5),
                             round(f["zcr"], 5), round(f["peak"], 5)))

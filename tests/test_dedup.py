@@ -207,3 +207,27 @@ def test_lsh_dropped_bucket_stats(spark, planted_docs):
                                   max_bucket=1, stats=m)
     assert m["dropped_rows"] > 0          # clone buckets exceed cap=1
     assert m["max_bucket_size"] >= 2
+
+
+def test_ivf_indexed_matches_inline(spark, planted_vectors):
+    """Persisted IVF index (partitionBy list_id) must return the same
+    top-k as the inline path, and the probe plan must show PartitionFilters
+    (storage-level pruning, not a post-scan filter)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    C = dedup.ivf_centroids(planted_vectors, n_lists=4)
+    q = planted_vectors.filter("vec_id = 0").collect()[0]["embedding"]
+    base = planted_vectors.filter("vec_id <> 0")
+    inline = dedup.ann_topk_ivf(base, q, C, k=5, n_probe=2).collect()
+
+    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+    dedup.ivf_write_index(base, C, path)
+    indexed = dedup.ann_topk_ivf_indexed(spark, path, q, C, k=5,
+                                         n_probe=2).collect()
+    assert [(r.vec_id, r.cosine) for r in indexed] == \
+           [(r.vec_id, r.cosine) for r in inline]
+    plan = (spark.read.parquet(path).filter(F.col("list_id").isin([0, 1]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [list_id" in plan

@@ -113,3 +113,27 @@ def test_sssp_chain_and_shortcut(spark):
     got = {r["id"]: r["dist"] for r in
            sssp(edges, 0, weight="w").collect()}
     assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_k_hop_step_metrics(spark, chain_edges):
+    """G3 traversal profiling: observe()-measured frontier sizes per hop
+    match the exact expansion counts."""
+    from sgp_sketch.graph import k_hop
+
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    metrics = []
+    got = {r["id"]: r["hops"] for r in
+           k_hop(chain_edges, seeds, k=3, step_metrics=metrics).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    assert metrics == [{"depth": 1, "frontier": 1},
+                       {"depth": 2, "frontier": 1},
+                       {"depth": 3, "frontier": 1}]
+
+
+def test_bfs_reports_frontier_sizes(spark, chain_edges):
+    from sgp_sketch.graph import bidirectional_bfs
+
+    out = bidirectional_bfs(chain_edges, 0, 4, max_depth=4)
+    assert out["found"]
+    assert len(out["frontier_sizes"]) == out["expansions"]
+    assert all(n >= 1 for n in out["frontier_sizes"])

@@ -1,6 +1,7 @@
-"""Multimodal plumbing tests: SGPM codec round-trips, numpy feature kernels,
-and the Spark mapInPandas stages (schema, batch shape, row expansion) over
-the synthetic media table. External codecs must raise the documented stub."""
+"""Multimodal plumbing tests: SGPM + real-format (WAV/BMP, stdlib) codec
+round-trips, numpy feature kernels, and the Spark mapInPandas stages
+(schema, batch shape, row expansion) over synthetic media. Compressed
+external codecs must raise the documented stub."""
 
 import numpy as np
 import pytest
@@ -35,11 +36,57 @@ def test_codec_rejects_wrong_kind():
         mm.decode_audio(img)
 
 
-def test_external_codec_is_stubbed():
+def test_external_compressed_codecs_are_stubbed():
+    """Compressed formats need PIL/soundfile (absent here): clearly-marked
+    NotImplementedError, never a silent wrong answer."""
     with pytest.raises(NotImplementedError):
         mm.decode_external(b"\xff\xd8\xff", "jpeg")
     with pytest.raises(NotImplementedError):
-        mm.decode_external(b"RIFF", "wav")
+        mm.decode_external(b"fLaC", "flac")
+
+
+def test_wav_roundtrip_stdlib():
+    """Real RIFF/WAVE PCM: encode → decode_external('wav') → identical
+    samples + rate, stdlib only."""
+    rng = np.random.default_rng(3)
+    samples = (rng.standard_normal(4000) * 2000).astype(np.int16)
+    buf = mm.encode_wav(samples, 16000)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    got, sr = mm.decode_external(buf, "wav")
+    assert sr == 16000
+    np.testing.assert_array_equal(got, samples)
+
+
+def test_bmp_roundtrip_stdlib():
+    """Real 24-bit BMP (odd width forces row padding): encode →
+    decode_external('bmp') → identical RGB pixels."""
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    buf = mm.encode_bmp(px)
+    assert buf[:2] == b"BM"
+    got = mm.decode_external(buf, "bmp")
+    np.testing.assert_array_equal(got, px)
+
+
+def test_feature_stages_on_real_formats(spark):
+    """End-to-end: WAV and BMP payloads flow through the SAME mapInPandas
+    feature stages as SGPM media (decoder= swap), producing identical
+    features to the raw arrays."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    samples = (rng.standard_normal(8000) * 2500).astype(np.int16)
+    rows = [("bmp:0", "image", mm.encode_bmp(px), 30, 20, 3,
+             None, None, None, "cam0"),
+            ("wav:0", "audio", mm.encode_wav(samples, 8000), None, None,
+             None, 8000, 8000, None, "mic0")]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    img = mm.image_feature_stage(df, decoder=mm.decode_bmp).collect()[0]
+    assert (img.width, img.height) == (30, 20)
+    assert abs(img.mean_r - px[..., 0].mean()) < 1e-6
+    aud = mm.audio_feature_stage(df, decoder=mm.decode_wav).collect()[0]
+    ref = mm.audio_features(samples, 8000)
+    assert aud.duration_ms == ref["duration_ms"]
+    assert abs(aud.rms - ref["rms"]) < 1e-4
 
 
 def test_block_mean_resize_constant_image():

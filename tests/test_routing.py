@@ -262,3 +262,23 @@ def test_chunk_size_changes_nothing_for_hash(seed, chunk):
     a = GreedyShardRouter(8, 1e9, "hash", chunk=chunk).assign_batch(keys, docs)
     b = GreedyShardRouter(8, 1e9, "hash", chunk=7).assign_batch(keys, docs)
     np.testing.assert_array_equal(a, b)
+
+
+def test_range_partitioned_export(spark, tokens_sdf):
+    """R7 range partitioning: repartitionByRange on n_tok gives physical
+    partitions whose [min, max] key ranges are non-overlapping and ordered
+    — the ordered-export layout (writer-side clustering for range-pruned
+    reads)."""
+    from pyspark.sql import functions as F
+
+    ranged = (tokens_sdf.select("doc_id", "n_tok")
+              .repartitionByRange(4, F.col("n_tok")))
+    stats = (ranged.withColumn("p", F.spark_partition_id())
+             .groupBy("p").agg(F.min("n_tok").alias("lo"),
+                               F.max("n_tok").alias("hi"),
+                               F.count("*").alias("n"))
+             .orderBy("p").collect())
+    assert 2 <= len(stats) <= 4
+    assert sum(r["n"] for r in stats) == tokens_sdf.count()
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev["hi"] <= cur["lo"]  # ordered, non-overlapping ranges
