@@ -625,6 +625,33 @@ def q_rollup_revenue(spark, sf_dir):
 _STATEFUL_Q_CACHE: dict = {}
 
 
+def q_windowed_stream_counts(spark, sf_dir):
+    """§2.11 event-time streaming: watermarked 1-day tumbling-window event
+    counts over a file stream of the events table (availableNow), flattened
+    to (day, n_events). Tumbling windows are epoch-aligned, so the DuckDB
+    oracle is a date_trunc('day') batch aggregation — the stream must agree
+    with batch exactly."""
+    from sgp_sketch import streaming
+
+    key = ("windowed_stream", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        win = streaming.windowed_stream_agg(
+            spark, sf_dir, window="1 day", watermark="1 day",
+            reader_options={"pathGlobFilter": "events.parquet"})
+        name = f"win_agg_{abs(hash(sf_dir)) % 10**8}"
+        q = (win.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        _STATEFUL_Q_CACHE[key] = (
+            spark.table(name)
+            .select(F.col("win.start").cast("date").cast("string")
+                    .alias("day"),
+                    "n_events")
+            .collect())
+    return spark.createDataFrame(_STATEFUL_Q_CACHE[key],
+                                 "day string, n_events bigint")
+
+
 def q_event_deltas(spark, sf_dir):
     """W2 lag/delta window: day-over-day event-count delta per event type
     (`lag().over(Window)`), the incremental-counter-delta analog of the
@@ -999,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "checkpointed_hll": q_checkpointed_hll,
         "streamed_hll": q_streamed_hll,
+        "windowed_stream_counts": q_windowed_stream_counts,
         "event_deltas": q_event_deltas,
         "ts_epoch_parse": q_ts_epoch_parse,
         "csv_roundtrip": q_csv_roundtrip,
@@ -1296,6 +1324,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(md.d, -1) AS INT) AS depth
             FROM (SELECT s FROM kk WHERE rn > 1) t
             LEFT JOIN md ON md.id = t.s + 1000000
+        """,
+        "windowed_stream_counts": """
+            SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+                       AS day,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
         """,
         "event_deltas": """
             WITH daily AS (

@@ -20,8 +20,10 @@ blobs so far. Two idiomatic Spark surfaces:
     of a state table.
 
 Both run with availableNow triggers in tests (bounded file streams);
-processing-time triggers are a config change, watermarks stay unused
-(nothing to map from the reference — no event-time semantics there).
+processing-time triggers are a config change. Event-time semantics (the
+reference has none) are covered by `windowed_stream_agg`: watermarked
+tumbling-window aggregation over the events table, state bounded by the
+watermark horizon.
 """
 
 from __future__ import annotations
@@ -82,6 +84,37 @@ def streamed_estimates(spark, state_dir: str, group_cols=("source",)):
     blobs = spark.read.parquet(state_dir)
     return agg.merge_across(blobs.drop("batch_id"),
                             group_cols=tuple(group_cols) + ("sketch",))
+
+
+def windowed_stream_agg(spark, input_path: str, window: str = "1 day",
+                        watermark: str = "1 day", ts_col: str = "ts",
+                        key_col: str = "user_id", schema=None,
+                        reader_options: dict | None = None):
+    """Event-time tumbling-window aggregation with a watermark for late
+    data: per window, event count + approx-distinct keys. Returns the
+    streaming DataFrame (caller attaches a sink and trigger).
+
+    The watermark bounds streaming state: windows older than
+    (max event time − watermark) are finalized and their state dropped, so
+    an unbounded stream holds O(windows inside the horizon) state, not
+    O(all history) — the property that makes event-time aggregation viable
+    on an infinite 100-TB/day feed. `approx_count_distinct` is Spark's
+    built-in HLL++; for mergeable cross-run state use the blob path
+    (stream_sketch_build grouped by the window day) instead.
+    """
+    from pyspark.sql import functions as F
+
+    opts = reader_options or {}
+    if schema is None:
+        schema = spark.read.options(**opts).parquet(input_path).schema
+    stream = spark.readStream.schema(schema).options(**opts) \
+        .parquet(input_path)
+    # watermarks require TIMESTAMP (with zone); parquet NTZ columns cast
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("win"))
+            .agg(F.count("*").alias("n_events"),
+                 F.approx_count_distinct(key_col).alias("approx_keys")))
 
 
 def running_distinct_stream(spark, input_path: str, p: int = 12,

@@ -96,3 +96,30 @@ def test_stream_picks_up_late_files(spark, tokens_sdf, tmp_path):
                                      "tokens", ("source",),
                                      {"p": 12}).collect()}
     assert streamed == batch
+
+
+def test_windowed_stream_agg_matches_batch(spark):
+    """Watermarked event-time tumbling windows over the events table:
+    streamed (availableNow, complete mode) results equal the same window
+    aggregation computed in batch."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    win = streaming.windowed_stream_agg(
+        spark, sf, window="1 day", watermark="1 day",
+        reader_options={"pathGlobFilter": "events.parquet"})
+    q = (win.writeStream.format("memory").queryName("win_agg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["win"]["start"], r["win"]["end"]): (r["n_events"],
+                                                  r["approx_keys"])
+           for r in spark.table("win_agg").collect()}
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    want = {(r["win"]["start"], r["win"]["end"]): (r["n_events"],
+                                                   r["approx_keys"])
+            for r in ev.groupBy(F.window("ts", "1 day").alias("win"))
+            .agg(F.count("*").alias("n_events"),
+                 F.approx_count_distinct("user_id").alias("approx_keys"))
+            .collect()}
+    assert got == want and len(got) >= 2
