@@ -158,7 +158,7 @@ def scaling_probe(pairs=((2, 8), (8, 32))):
 
     levels = sorted({c for p in pairs for c in p})
     path, n_tok = _ensure_scaling_table(max(levels))
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
     times: dict[int, list] = {c: [] for c in levels}
     # The sandbox VM has noisy co-tenants whose bursts last minutes —
     # measuring levels back-to-back lets one burst bias a single level
