@@ -16,14 +16,24 @@ sandbox ships no iceberg-spark-runtime jar, so (SURVEY.md §7.4.5):
 
 `write_layout` produces the same directory shape plus a minimal snapshot
 manifest JSON (file list, row counts, schema) so resumable builds and
-audits can diff snapshots without a catalog service.
+audits can diff snapshots without a catalog service. All filesystem access
+goes through the Hadoop FS gateway (checkpoint._fs_path and friends), so
+layout paths may be scheme-qualified (file://, hdfs://, s3a://) — same
+contract as the checkpoint store.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
+
+from .checkpoint import (_fs_exists, _fs_mkdirs, _fs_path, _fs_read_text,
+                         _fs_write_text, _join, list_input_files)
+
+
+def _is_dir(spark, path: str) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.exists(p)) and not bool(fs.isFile(p))
 
 
 def load_table(spark, ref: str):
@@ -32,14 +42,14 @@ def load_table(spark, ref: str):
     Order: Iceberg/catalog table name (contains no path separator) →
     Iceberg-layout dir → plain parquet dir/file.
     """
-    if "/" not in ref and not os.path.exists(ref):
+    if "/" not in ref and not _fs_exists(spark, ref):
         try:
             return spark.read.format("iceberg").load(ref)
         except Exception:
             return spark.table(ref)
-    data_dir = os.path.join(ref, "data")
-    meta_dir = os.path.join(ref, "metadata")
-    if os.path.isdir(data_dir) and os.path.isdir(meta_dir):
+    data_dir = _join(ref, "data")
+    meta_dir = _join(ref, "metadata")
+    if _is_dir(spark, data_dir) and _is_dir(spark, meta_dir):
         return spark.read.parquet(data_dir)
     return spark.read.parquet(ref)
 
@@ -48,26 +58,27 @@ def write_layout(df, path: str, mode: str = "overwrite",
                  partition_by=None) -> dict:
     """Write an Iceberg-layout-shaped directory: parquet under `data/`,
     snapshot manifest JSON under `metadata/`. Returns the manifest."""
-    data_dir = os.path.join(path, "data")
-    meta_dir = os.path.join(path, "metadata")
+    spark = df.sparkSession
+    data_dir = _join(path, "data")
+    meta_dir = _join(path, "metadata")
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_dir)
-    os.makedirs(meta_dir, exist_ok=True)
+    _fs_mkdirs(spark, meta_dir)
+    fs, _ = _fs_path(spark, data_dir)
     files = []
-    for dirpath, _dirs, names in os.walk(data_dir):
-        for n in sorted(names):
-            if n.endswith(".parquet"):
-                full = os.path.join(dirpath, n)
-                files.append({
-                    "path": os.path.relpath(full, path),
-                    "bytes": os.path.getsize(full),
-                })
-    existing = [f for f in os.listdir(meta_dir)
-                if f.startswith("v") and f.endswith(".metadata.json")]
-    version = 1 + max((int(f[1:].split(".")[0]) for f in existing),
-                      default=0)
+    for full in list_input_files(spark, data_dir):
+        _, p = _fs_path(spark, full)
+        # manifest paths are layout-relative so the snapshot stays valid
+        # when the table directory is moved/mirrored
+        rel = full.split("/data/", 1)[-1]
+        files.append({"path": _join("data", rel),
+                      "bytes": int(fs.getFileStatus(p).getLen())})
+    version = 1
+    if _fs_exists(spark, _join(meta_dir, "version-hint.text")):
+        version = 1 + int(_fs_read_text(
+            spark, _join(meta_dir, "version-hint.text")).strip())
     manifest = {
         "format": "sgp-sketch-layout/1 (Iceberg-layout-shaped; use real "
                   "Iceberg runtime in production)",
@@ -79,8 +90,7 @@ def write_layout(df, path: str, mode: str = "overwrite",
         "total_bytes": sum(f["bytes"] for f in files),
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _fs_write_text(spark, _join(meta_dir, f"v{version}.metadata.json"),
+                   json.dumps(manifest, indent=1))
+    _fs_write_text(spark, _join(meta_dir, "version-hint.text"), str(version))
     return manifest

@@ -33,3 +33,12 @@ def test_plain_parquet_fallback(spark, tokens_sdf, tmp_path):
     path = str(tmp_path / "plain")
     tokens_sdf.limit(5).write.parquet(path)
     assert catalog.load_table(spark, path).count() == 5
+
+
+def test_layout_uri_scheme(spark, tokens_sdf, tmp_path):
+    """Scheme-qualified layout paths work end-to-end (Hadoop FS gateway,
+    same contract as the checkpoint store)."""
+    path = "file://" + str(tmp_path / "uri_tbl")
+    m = catalog.write_layout(tokens_sdf.limit(10), path)
+    assert m["version"] == 1 and m["n_files"] > 0
+    assert catalog.load_table(spark, path).count() == 10

@@ -1,0 +1,48 @@
+"""spark-submit job entries, smoke-tested as real subprocesses (each job
+owns its SparkSession and stops it — in-process runs would tear down the
+shared test session). Local --master to keep them small."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def run_job(script, *args, timeout=240):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", script), *args],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_build_sketches_job(tmp_path):
+    out = run_job(
+        "build_sketches.py", "--input", SF, "--table", "documents",
+        "--ckpt-dir", str(tmp_path / "ckpt"),
+        "--output", str(tmp_path / "sketches"),
+        "--sketch", "hll:tokens:p=13", "--files-per-slice", "1",
+        "--master", "local[4]")
+    assert os.path.exists(tmp_path / "ckpt" / "manifest.json")
+
+
+def test_stream_sketches_job(tmp_path):
+    out = run_job(
+        "stream_sketches.py", "--input", SF, "--glob", "documents.parquet",
+        "--state-dir", str(tmp_path / "state"),
+        "--checkpoint-dir", str(tmp_path / "sckpt"),
+        "--available-now", "--sketch", "hll:tokens:p=13",
+        "--master", "local[4]")
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["n_blob_groups"] == 20  # 20 sources x 1 sketch
+    # resume with same checkpoint: no new input -> state unchanged
+    out2 = run_job(
+        "stream_sketches.py", "--input", SF, "--glob", "documents.parquet",
+        "--state-dir", str(tmp_path / "state"),
+        "--checkpoint-dir", str(tmp_path / "sckpt"),
+        "--available-now", "--sketch", "hll:tokens:p=13",
+        "--master", "local[4]")
+    assert json.loads(out2.strip().splitlines()[-1])["n_blob_groups"] == 20
