@@ -21,6 +21,10 @@ def get_spark(app_name: str = "sgp_sketch", master: str | None = None,
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         # runtime skew-join splitting: the AQE complement to our
+         # writer-side salting (routing.route_tokens_salted) — near-dup
+         # LSH buckets and token joins are exactly the skew shapes it fixes
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
          .config("spark.driver.memory",

@@ -156,3 +156,31 @@ def test_merge_identity(seed, kind):
     # n_items differs only if empty contributed items — it didn't
     assert left == a.to_bytes()
     assert right == a.to_bytes()
+
+
+# ------------------------------------------------- real-format codecs
+
+@given(n=st.integers(1, 3000), sr=st.sampled_from([8000, 16000, 44100]),
+       seed=st.integers(0, 2**31 - 1))
+@settings(**SETTINGS)
+def test_wav_roundtrip_property(n, sr, seed):
+    from sgp_sketch import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, n, dtype=np.int16)
+    got, got_sr = mm.decode_wav(mm.encode_wav(samples, sr))
+    assert got_sr == sr
+    np.testing.assert_array_equal(got, samples)
+
+
+@given(h=st.integers(1, 40), w=st.integers(1, 40),
+       seed=st.integers(0, 2**31 - 1))
+@settings(**SETTINGS)
+def test_bmp_roundtrip_property(h, w, seed):
+    """Any (h, w) — including widths forcing 1-3 bytes of row padding —
+    must round-trip pixel-exactly."""
+    from sgp_sketch import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(mm.decode_bmp(mm.encode_bmp(px)), px)
