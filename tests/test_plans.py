@@ -1,0 +1,82 @@
+"""Physical-plan invariants across the driver query surface — the
+would-this-survive-100-TB regression net:
+
+  * no CartesianProduct anywhere (the one nested-loop join allowed is
+    knn_bruteforce's 1-row broadcast: BroadcastNestedLoopJoin BuildRight)
+  * exact-path (oracle-checked) queries are fully declarative — no Python
+    evaluation node may appear in their plans (Python belongs to the
+    sketch/signature paths only)
+  * column pruning reaches the scan: documents-table word queries read
+    only the columns they use, never the whole row
+
+Plans are inspected lazily (no execution), so the whole surface checks in
+seconds.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+            "FlatMapGroupsInPandas", "MapInArrow", "PythonMapInArrow")
+
+# oracle-checked queries that legitimately run Python or per-invocation
+# side jobs (stateful builds / staged CSV / collected results)
+EXEMPT = {
+    "checkpointed_hll", "streamed_hll",         # collected memoized rows
+    "windowed_stream_counts",                   # streaming memory sink
+    "csv_roundtrip",                            # staged CSV side effect
+    "bfs_reachability", "connected_components", # driver-looped graph algos
+    "sssp", "pagerank", "k_hop",
+    "minhash_verified_dupes",                   # signature pandas UDF
+    "langid_heuristic", "stratified_sample",
+}
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    sf = "/root/testdata/sf0.001"
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    out = {}
+    for name, fn in qs.items():
+        if name in EXEMPT or name not in oracles:
+            continue
+        out[name] = _plan(fn(spark, sf))
+    return out
+
+
+def test_no_cartesian_product(plans):
+    offenders = {n for n, p in plans.items() if "CartesianProduct" in p}
+    assert not offenders, offenders
+
+
+def test_exact_queries_are_declarative(plans):
+    """Every oracle-checked query plan must stay JVM-side end to end."""
+    offenders = {n: [k for k in PY_NODES if k in p]
+                 for n, p in plans.items() if any(k in p for k in PY_NODES)}
+    assert not offenders, offenders
+
+
+def test_column_pruning_reaches_scan(plans):
+    """distinct_words needs only (source, text): the documents scan must
+    not read doc_id/lang/n_chars."""
+    scan = [ln for ln in plans["distinct_words"].splitlines()
+            if "FileScan" in ln and "documents" in ln]
+    assert scan and "ReadSchema" in scan[0]
+    assert "doc_id" not in scan[0] and "n_chars" not in scan[0]
+
+
+def test_broadcast_join_has_no_fact_shuffle(spark):
+    """broadcast_join_agg: the only Exchange below the aggregate is the
+    tiny post-agg hash exchange — the orders fact table itself is never
+    shuffled (both dims broadcast)."""
+    p = _plan(entry.q_broadcast_join_agg(spark, "/root/testdata/sf0.001"))
+    assert p.count("BroadcastExchange") == 2
+    # exactly one data Exchange: the partial->final agg on n_name
+    non_broadcast = [ln for ln in p.splitlines()
+                     if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert len(non_broadcast) == 1, non_broadcast
