@@ -46,6 +46,9 @@ def main(argv=None) -> int:
     ap.add_argument("--group-cols", default="source")
     ap.add_argument("--available-now", action="store_true",
                     help="drain currently-available files, then stop")
+    ap.add_argument("--compact", action="store_true",
+                    help="fold completed batch dirs into one snapshot "
+                         "after the run (O(1) state-table size)")
     ap.add_argument("--timeout-sec", type=int, default=0,
                     help="max seconds to run (0 = until terminated)")
     ap.add_argument("--master", default=None)
@@ -83,12 +86,17 @@ def main(argv=None) -> int:
     else:
         q.awaitTermination()
 
+    compacted = (streaming.compact_state(spark, args.state_dir,
+                                         group_cols=group_cols)
+                 if args.compact else None)
     final = streaming.streamed_estimates(spark, args.state_dir,
                                          group_cols=group_cols)
     n_groups = final.count()
     summary = {"state_dir": args.state_dir, "n_blob_groups": int(n_groups),
                "specs": sorted(specs), "seconds":
                round(time.perf_counter() - t0, 2)}
+    if compacted is not None:
+        summary["compacted"] = compacted
     print(json.dumps(summary), flush=True)
     spark.stop()
     return 0

@@ -36,12 +36,25 @@ def _is_dir(spark, path: str) -> bool:
     return bool(fs.exists(p)) and not bool(fs.isFile(p))
 
 
-def load_table(spark, ref: str):
+def load_table(spark, ref: str, schema=None, csv_options: dict | None = None):
     """Resolve `ref` to a DataFrame.
 
     Order: Iceberg/catalog table name (contains no path separator) →
-    Iceberg-layout dir → plain parquet dir/file.
+    Iceberg-layout dir → delimited text (`.csv`/`.tsv`/`.txt` suffix, or
+    any path when `schema`/`csv_options` is given — the reference's
+    primary raw-dump ingest, csv-converter.scala:31-34 defaults: header,
+    '|' separator, \\N nulls) → plain parquet dir/file.
     """
+    looks_csv = ref.rstrip("/").rsplit(".", 1)[-1] in ("csv", "tsv", "txt")
+    if looks_csv or schema is not None or csv_options is not None:
+        opts = {"header": True, "sep": "|", "nullValue": "\\N"}
+        opts.update(csv_options or {})
+        reader = spark.read.options(**opts)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", True)
+        return reader.csv(ref)
     if "/" not in ref and not _fs_exists(spark, ref):
         try:
             return spark.read.format("iceberg").load(ref)

@@ -86,6 +86,54 @@ def streamed_estimates(spark, state_dir: str, group_cols=("source",)):
                             group_cols=tuple(group_cols) + ("sketch",))
 
 
+def compact_state(spark, state_dir: str, group_cols=("source",)) -> dict:
+    """Fold completed micro-batch blob directories into one snapshot so an
+    unbounded stream keeps O(1) state-table size instead of one directory
+    per batch forever.
+
+    Safety under at-least-once replay: Spark's offsets checkpoint
+    guarantees a COMMITTED batch id is never re-emitted; the only batch
+    that can replay after a crash is the latest (possibly-uncommitted)
+    one. So the fold covers every batch id EXCEPT the maximum, merges
+    their blobs (kernel associativity ⇒ byte-exact), overwrites the
+    smallest folded id's directory with the merged rows, and deletes the
+    other folded directories. `streamed_estimates` output is byte-identical
+    before and after. Run any time; a replayed max-id batch still
+    overwrites only its own directory.
+
+    Returns {"folded": n_batches_folded, "kept": n_dirs_after}.
+    """
+    from pyspark.sql import functions as F
+
+    from .checkpoint import _fs_path
+
+    fs, root = _fs_path(spark, state_dir)
+    ids = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("batch_id="):
+            ids.append(int(name.split("=", 1)[1]))
+    ids.sort()
+    if len(ids) <= 2:
+        return {"folded": 0, "kept": len(ids)}
+    fold, keep_max = ids[:-1], ids[-1]
+    blobs = (spark.read.parquet(state_dir)
+             .filter(F.col("batch_id").isin(fold)).drop("batch_id"))
+    merged = agg.merge_across(blobs, group_cols=tuple(group_cols)
+                              + ("sketch",))
+    # materialize BEFORE touching directories: merged reads the dirs that
+    # are about to be overwritten/deleted
+    rows = merged.collect()
+    snap_dir = f"{state_dir}/batch_id={fold[0]}"
+    spark.createDataFrame(rows, merged.schema).write.mode(
+        "overwrite").parquet(snap_dir)
+    for b in fold[1:]:
+        p_fs, p = _fs_path(spark, f"{state_dir}/batch_id={b}")
+        p_fs.delete(p, True)
+    return {"folded": len(fold), "kept": 2,
+            "snapshot_batch_id": fold[0], "live_batch_id": keep_max}
+
+
 def windowed_stream_agg(spark, input_path: str, window: str = "1 day",
                         watermark: str = "1 day", ts_col: str = "ts",
                         key_col: str = "user_id", schema=None,

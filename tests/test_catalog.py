@@ -42,3 +42,17 @@ def test_layout_uri_scheme(spark, tokens_sdf, tmp_path):
     m = catalog.write_layout(tokens_sdf.limit(10), path)
     assert m["version"] == 1 and m["n_files"] > 0
     assert catalog.load_table(spark, path).count() == 10
+
+
+def test_csv_resolution(spark, tokens_sdf, tmp_path):
+    """S2 ingest through the catalog: '|'-separated CSV with header,
+    explicit schema, reference-loader defaults."""
+    path = str(tmp_path / "tbl.csv")
+    (tokens_sdf.limit(12).selectExpr("doc_id", "n_tok", "source")
+     .coalesce(1).write.options(header=True, sep="|").csv(path))
+    back = catalog.load_table(spark, path,
+                              schema="doc_id string, n_tok int, "
+                                     "source string")
+    assert back.count() == 12
+    assert back.schema.simpleString() == \
+        "struct<doc_id:string,n_tok:int,source:string>"

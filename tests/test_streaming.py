@@ -123,3 +123,33 @@ def test_windowed_stream_agg_matches_batch(spark):
                  F.approx_count_distinct("user_id").alias("approx_keys"))
             .collect()}
     assert got == want and len(got) >= 2
+
+
+def test_compact_state_preserves_estimates(spark, stream_input, tmp_path):
+    """Folding completed batch dirs must leave streamed_estimates
+    byte-identical and shrink the state table to snapshot + live batch."""
+    state_dir = str(tmp_path / "cstate")
+    q = streaming.stream_sketch_build(
+        spark, stream_input, state_dir, SPECS,
+        checkpoint_dir=str(tmp_path / "cckpt"),
+        available_now=True,
+        reader_options={"maxFilesPerTrigger": 1})  # force >=3 batches
+    q.awaitTermination(120)
+    before = {(r["source"], r["sketch"]): bytes(r["state"])
+              for r in streaming.streamed_estimates(spark,
+                                                    state_dir).collect()}
+    import os
+    n_dirs_before = len([d for d in os.listdir(state_dir)
+                         if d.startswith("batch_id=")])
+    out = streaming.compact_state(spark, state_dir)
+    n_dirs_after = len([d for d in os.listdir(state_dir)
+                        if d.startswith("batch_id=")])
+    after = {(r["source"], r["sketch"]): bytes(r["state"])
+             for r in streaming.streamed_estimates(spark,
+                                                   state_dir).collect()}
+    assert after == before
+    if n_dirs_before > 2:
+        assert out["folded"] == n_dirs_before - 1
+        assert n_dirs_after == 2
+    else:
+        assert out["folded"] == 0
