@@ -641,7 +641,10 @@ def q_windowed_stream_counts(spark, sf_dir):
         name = f"win_agg_{abs(hash(sf_dir)) % 10**8}"
         q = (win.writeStream.format("memory").queryName(name)
              .outputMode("complete").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("windowed stream did not drain in 300s — "
+                               "refusing to memoize partial results")
         _STATEFUL_Q_CACHE[key] = (
             spark.table(name)
             .select(F.col("win.start").cast("date").cast("string")
@@ -804,7 +807,9 @@ def q_streamed_hll(spark, sf_dir):
                 checkpoint_dir=f"{work}/ckpt", available_now=True,
                 prepare=doc_tokens_from,
                 reader_options={"pathGlobFilter": "documents.parquet"})
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                q.stop()  # never rmtree under a live query
+                raise RuntimeError("streaming build did not drain in 300s")
             est = Q._estimate_udf()
             final = streaming.streamed_estimates(spark, f"{work}/state")
             _STATEFUL_Q_CACHE[key] = (

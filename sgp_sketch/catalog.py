@@ -79,19 +79,38 @@ def write_layout(df, path: str, mode: str = "overwrite",
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_dir)
     _fs_mkdirs(spark, meta_dir)
-    fs, _ = _fs_path(spark, data_dir)
+    fs, data_p = _fs_path(spark, data_dir)
+    # fully-qualified prefix so relativization never splits on an
+    # ancestor directory that happens to be named "data"
+    qdata = fs.makeQualified(data_p).toString().rstrip("/")
     files = []
     for full in list_input_files(spark, data_dir):
         _, p = _fs_path(spark, full)
         # manifest paths are layout-relative so the snapshot stays valid
         # when the table directory is moved/mirrored
-        rel = full.split("/data/", 1)[-1]
+        rel = (full[len(qdata) + 1:] if full.startswith(qdata + "/")
+               else full.rsplit("/", 1)[-1])
         files.append({"path": _join("data", rel),
                       "bytes": int(fs.getFileStatus(p).getLen())})
-    version = 1
+    # version = 1 + max over BOTH existing manifest files and the hint:
+    # a crash between manifest write and hint update must not let the
+    # next writer reuse (and destroy) an existing snapshot number
+    mfs, meta_p = _fs_path(spark, meta_dir)
+    seen = []
+    for status in mfs.listStatus(meta_p):
+        name = status.getPath().getName()
+        if name.startswith("v") and name.endswith(".metadata.json"):
+            try:
+                seen.append(int(name[1:].split(".")[0]))
+            except ValueError:
+                pass
     if _fs_exists(spark, _join(meta_dir, "version-hint.text")):
-        version = 1 + int(_fs_read_text(
-            spark, _join(meta_dir, "version-hint.text")).strip())
+        try:
+            seen.append(int(_fs_read_text(
+                spark, _join(meta_dir, "version-hint.text")).strip()))
+        except ValueError:
+            pass
+    version = 1 + max(seen, default=0)
     manifest = {
         "format": "sgp-sketch-layout/1 (Iceberg-layout-shaped; use real "
                   "Iceberg runtime in production)",

@@ -134,7 +134,10 @@ def slice_complete(spark, ckpt_dir: str, sl: dict) -> bool:
         return False
     try:
         lin = json.loads(_fs_read_text(spark, lp))
-    except (OSError, ValueError):
+    except Exception:
+        # FS-gateway reads surface JVM IOExceptions as Py4JJavaError, not
+        # OSError; ANY unreadable/corrupt lineage means "rebuild this
+        # slice", never "abort the resumable build"
         return False
     return (lin.get("version") == _LINEAGE_VERSION
             and lin.get("files") == sl["files"]

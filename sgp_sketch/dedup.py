@@ -154,11 +154,13 @@ def _cap_buckets(sized, max_bucket: int, stats=None):
     empty-relation propagation can prune the observed node out of the final
     plan — e.g. when every bucket is dropped — and a diagnostic that
     vanishes exactly when it matters most is worse than one extra tiny
-    job. The signature stage feeding this is cached in the callers, so the
-    extra pass reuses it.)"""
+    job.) The bucket table is cached for the stats pass so the upstream
+    fingerprint/signature stage runs once, not once per consumer — the
+    downstream self-join reads it twice anyway and reuses the same cache."""
     from pyspark.sql import functions as F
 
     if stats is not None:
+        sized = sized.cache()
         row = sized.agg(
             F.sum(F.when(F.col("bsize") > max_bucket, 1).otherwise(0))
             .alias("dropped_rows"),

@@ -29,31 +29,42 @@ def k_hop(edges, seeds, k: int = 2, src: str = "src", dst: str = "dst",
     `step_metrics` (optional, pass a list) turns on per-expansion traversal
     profiling via `df.observe`: one {"depth": d, "frontier": n} dict is
     appended per hop — the declarative analog of the reference's per-step
-    timing loop (PartitioningTwoHopTest.groovy:162-169). Costs one full
-    count action per hop instead of the lazy isEmpty probe."""
+    timing loop (PartitioningTwoHopTest.groovy:162-169). Each frontier is
+    cached for its observed count and reused by the next expansion; the
+    final result is materialized (localCheckpoint) before the caches are
+    released, so nothing is computed twice and nothing stays pinned."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     frontier = seeds.select(F.col("id")).distinct()
     reached = frontier.withColumn("hops", F.lit(0))
-    for depth in range(1, k + 1):
-        nxt = (edges.join(frontier.withColumnRenamed("id", src), src)
-               .select(F.col(dst).alias("id")).distinct()
-               .join(reached.select("id"), "id", "left_anti"))
-        if step_metrics is not None:
-            obs = Observation(f"k_hop_step_{depth}")
-            observed = nxt.observe(obs, F.count(F.lit(1)).alias("frontier"))
-            observed.count()
-            n_new = int(obs.get["frontier"])
-            step_metrics.append({"depth": depth, "frontier": n_new})
-            if n_new == 0:
+    cached = []
+    try:
+        for depth in range(1, k + 1):
+            nxt = (edges.join(frontier.withColumnRenamed("id", src), src)
+                   .select(F.col(dst).alias("id")).distinct()
+                   .join(reached.select("id"), "id", "left_anti"))
+            if step_metrics is not None:
+                nxt = nxt.cache()
+                cached.append(nxt)
+                obs = Observation(f"k_hop_step_{depth}")
+                nxt.observe(obs,
+                            F.count(F.lit(1)).alias("frontier")).count()
+                n_new = int(obs.get["frontier"])
+                step_metrics.append({"depth": depth, "frontier": n_new})
+                if n_new == 0:
+                    break
+            elif nxt.isEmpty():
                 break
-        elif nxt.isEmpty():
-            break
-        reached = reached.unionByName(
-            nxt.withColumn("hops", F.lit(depth)))
-        frontier = nxt
-    return reached
+            reached = reached.unionByName(
+                nxt.withColumn("hops", F.lit(depth)))
+            frontier = nxt
+        if cached:
+            reached = reached.localCheckpoint(eager=True)
+        return reached
+    finally:
+        for c in cached:
+            c.unpersist()
 
 
 def pagerank(edges, iters: int = 20, damping: float = 0.85,

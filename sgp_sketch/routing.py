@@ -303,13 +303,16 @@ def assign_shards(df, n_shards: int = 16, algorithm: str = "ldg",
     an independent `GreedyShardRouter`.
 
     Zero extra Spark jobs: per-partition capacity is derived from the
-    partition's OWN doc count (Arrow batches buffered once inside the task
-    — bounded by `spark.sql.files.maxPartitionBytes`, the same memory
-    envelope applyInPandas lives under), so there is no up-front count job
-    and no blanket repartition of the input. Local capacities sum to the
-    global capacity `total/n_shards·(1+slack)` whatever the partition-size
-    skew, so the balance invariant holds without equal partitions — the
-    reference instead knows n a priori from its properties file
+    partition's OWN doc count, so there is no up-front count job and no
+    blanket repartition of the input. The task buffers its partition once
+    to count it — as columnar Arrow buffers (flat int64 values + lengths,
+    zero-copy via mapInArrow), NOT per-row Python objects, so the held
+    memory ≈ the decompressed columnar size of one scan split (the
+    minimum any counting pass could hold; per-row pandas lists would be
+    several times larger). Local capacities sum to the global capacity
+    `total/n_shards·(1+slack)` whatever the partition-size skew, so the
+    balance invariant holds without equal partitions — the reference
+    instead knows n a priori from its properties file
     (EdgeCutSGP.java:266-285). Fennel's α uses caller-supplied
     `total_docs` when given, else the partition's own statistics (α is a
     score-scale constant; balance is capacity-enforced either way).
@@ -320,33 +323,39 @@ def assign_shards(df, n_shards: int = 16, algorithm: str = "ldg",
     global_alpha = (fennel_alpha(n_shards, total_docs * 32, total_docs)
                     if total_docs is not None else None)
 
-    def route(iterator):
-        import pandas as pd
+    def route(batches):
+        import pyarrow as pa
 
+        from sgp_sketch.agg import _flatten_list_column
         from sgp_sketch.kernels.hashing import hash_str_array
 
-        batches = [(hash_str_array(pdf["doc_id"].tolist()),
-                    [np.asarray(t if t is not None else (), dtype=np.int64)
-                     for t in pdf["tokens"]],
-                    pdf["doc_id"]) for pdf in iterator]
-        n_local = sum(len(ids) for _, _, ids in batches)
+        buf = []
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            flat, lens = _flatten_list_column(b.column("tokens"))
+            buf.append((ids, hash_str_array(ids),
+                        np.asarray(flat, dtype=np.int64), lens))
+        n_local = sum(len(ids) for ids, _, _, _ in buf)
         if not n_local:
             return
         capacity = max(1.0, n_local / n_shards * (1.0 + slack))
         if global_alpha is not None:
             alpha = global_alpha
         else:
-            occ_local = sum(sum(a.size for a in arrs)
-                            for _, arrs, _ in batches)
+            occ_local = sum(int(lens.sum()) for _, _, _, lens in buf)
             alpha = fennel_alpha(n_shards, occ_local, n_local)
         router = GreedyShardRouter(n_shards, capacity, algorithm,
                                    gamma=gamma, alpha=alpha, chunk=chunk)
-        for keys, arrs, ids in batches:
+        for ids, keys, flat, lens in buf:
+            # zero-copy per-row views into the flat buffer
+            arrs = np.split(flat, np.cumsum(lens)[:-1])
             shard = router.assign_batch(keys, arrs)
-            yield pd.DataFrame({"doc_id": ids,
-                                "shard": shard.astype(np.int32)})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()),
+                 pa.array(shard.astype(np.int32))],
+                names=["doc_id", "shard"])
 
-    return src.mapInPandas(route, "doc_id string, shard int")
+    return src.mapInArrow(route, "doc_id string, shard int")
 
 
 # ------------------------------------------------------------------ metrics

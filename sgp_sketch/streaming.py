@@ -76,13 +76,66 @@ def stream_sketch_build(spark, input_path: str, state_dir: str,
     return writer.start()
 
 
+_MARKER_PREFIX = "_compaction.v"
+
+
+def _marker_versions(spark, state_dir: str) -> list[int]:
+    from .checkpoint import _fs_path
+
+    fs, root = _fs_path(spark, state_dir)
+    if not fs.exists(root):
+        return []
+    out = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if (name.startswith(_MARKER_PREFIX) and name.endswith(".json")
+                and not status.isDirectory()):
+            out.append(int(name[len(_MARKER_PREFIX):-len(".json")]))
+    return sorted(out)
+
+
+def _read_marker(spark, state_dir: str):
+    """Highest-version compaction pointer {snapshot: negative id,
+    upto: M}, or None. Markers are versioned files (`_compaction.v3.json`)
+    committed by rename-into-place, so a reader never sees a partial
+    marker and there is never a window with no marker visible — a crashed
+    writer just leaves two versions and readers take the max. A
+    present-but-unparseable marker raises: silently ignoring it would
+    drop the snapshot's data."""
+    import json
+
+    from .checkpoint import _fs_read_text, _join
+
+    versions = _marker_versions(spark, state_dir)
+    if not versions:
+        return None
+    return json.loads(_fs_read_text(
+        spark, _join(state_dir, f"{_MARKER_PREFIX}{versions[-1]}.json")))
+
+
+def _live_blobs(spark, state_dir: str):
+    """State-table rows that are CURRENT under the compaction protocol:
+    without a marker, only non-negative batch dirs count (a negative dir
+    is an uncommitted snapshot from a crashed compaction); with a marker,
+    the named snapshot plus every batch id above `upto`. This rule is what
+    makes compact_state crash-safe at every step."""
+    from pyspark.sql import functions as F
+
+    blobs = spark.read.parquet(state_dir)
+    marker = _read_marker(spark, state_dir)
+    if marker is None:
+        return blobs.filter(F.col("batch_id") >= 0)
+    return blobs.filter((F.col("batch_id") == int(marker["snapshot"]))
+                        | (F.col("batch_id") > int(marker["upto"])))
+
+
 def streamed_estimates(spark, state_dir: str, group_cols=("source",)):
     """Current merged blobs from the streaming state table — one row per
     (group × sketch), identical to a batch build over the same inputs.
     `batch_id` is recovered as a hive-partition column of the state layout
-    (one directory per micro-batch — see stream_sketch_build)."""
-    blobs = spark.read.parquet(state_dir)
-    return agg.merge_across(blobs.drop("batch_id"),
+    (one directory per micro-batch — see stream_sketch_build); compacted
+    snapshots are resolved through the `_compaction.json` pointer."""
+    return agg.merge_across(_live_blobs(spark, state_dir).drop("batch_id"),
                             group_cols=tuple(group_cols) + ("sketch",))
 
 
@@ -91,21 +144,30 @@ def compact_state(spark, state_dir: str, group_cols=("source",)) -> dict:
     unbounded stream keeps O(1) state-table size instead of one directory
     per batch forever.
 
-    Safety under at-least-once replay: Spark's offsets checkpoint
-    guarantees a COMMITTED batch id is never re-emitted; the only batch
-    that can replay after a crash is the latest (possibly-uncommitted)
-    one. So the fold covers every batch id EXCEPT the maximum, merges
-    their blobs (kernel associativity ⇒ byte-exact), overwrites the
-    smallest folded id's directory with the merged rows, and deletes the
-    other folded directories. `streamed_estimates` output is byte-identical
-    before and after. Run any time; a replayed max-id batch still
-    overwrites only its own directory.
+    Crash-safe snapshot-pointer commit (every step leaves
+    `streamed_estimates` byte-identical):
 
-    Returns {"folded": n_batches_folded, "kept": n_dirs_after}.
+      1. merge the live set minus the max non-negative batch id (the only
+         batch at-least-once replay can re-emit) into a NEW snapshot dir
+         `batch_id=-(M+1)` — negative ⇒ invisible until committed;
+      2. commit by renaming a tmp file into the NEXT marker version
+         `_compaction.v<k+1>.json` = {snapshot: -(M+1), upto: M} (rename
+         to a fresh name is atomic; readers take the highest version, so
+         no step ever exposes a missing or partial marker);
+      3. garbage-collect the superseded dirs (old snapshot + ids ≤ M) —
+         already invisible, so a crash mid-GC only leaves dead files.
+
+    A crash before 2 leaves an orphan negative dir (ignored, rewritten by
+    the next run); after 2, the new snapshot is authoritative and the old
+    dirs are dead. Kernel merge associativity makes the fold byte-exact.
+
+    Returns {"folded": n_batches_folded, "kept": n_dirs_after, ...}.
     """
+    import json
+
     from pyspark.sql import functions as F
 
-    from .checkpoint import _fs_path
+    from .checkpoint import _fs_path, _fs_write_text, _join
 
     fs, root = _fs_path(spark, state_dir)
     ids = []
@@ -113,25 +175,47 @@ def compact_state(spark, state_dir: str, group_cols=("source",)) -> dict:
         name = status.getPath().getName()
         if status.isDirectory() and name.startswith("batch_id="):
             ids.append(int(name.split("=", 1)[1]))
-    ids.sort()
-    if len(ids) <= 2:
-        return {"folded": 0, "kept": len(ids)}
-    fold, keep_max = ids[:-1], ids[-1]
+    marker = _read_marker(spark, state_dir)
+    if marker is None:
+        live = sorted(i for i in ids if i >= 0)
+    else:
+        live = sorted(i for i in ids
+                      if i == int(marker["snapshot"])
+                      or i > int(marker["upto"]))
+    nonneg = [i for i in live if i >= 0]
+    if not nonneg or len(live) <= 2:
+        return {"folded": 0, "kept": len(live)}
+    keep_max = max(nonneg)
+    fold = [i for i in live if i != keep_max]
+    if len(fold) < 2:
+        return {"folded": 0, "kept": len(live)}
+    upto = max(i for i in fold if i >= 0)
+    snap_id = -(upto + 1)
+
     blobs = (spark.read.parquet(state_dir)
              .filter(F.col("batch_id").isin(fold)).drop("batch_id"))
     merged = agg.merge_across(blobs, group_cols=tuple(group_cols)
                               + ("sketch",))
-    # materialize BEFORE touching directories: merged reads the dirs that
-    # are about to be overwritten/deleted
-    rows = merged.collect()
-    snap_dir = f"{state_dir}/batch_id={fold[0]}"
-    spark.createDataFrame(rows, merged.schema).write.mode(
-        "overwrite").parquet(snap_dir)
-    for b in fold[1:]:
+    merged.write.mode("overwrite").parquet(
+        f"{state_dir}/batch_id={snap_id}")                       # step 1
+    versions = _marker_versions(spark, state_dir)
+    next_v = (versions[-1] + 1) if versions else 1
+    tmp = _join(state_dir, f"_compaction.tmp.{next_v}")
+    _fs_write_text(spark, tmp, json.dumps({"snapshot": snap_id,
+                                           "upto": upto}))
+    _, tmp_p = _fs_path(spark, tmp)
+    _, dst_p = _fs_path(
+        spark, _join(state_dir, f"{_MARKER_PREFIX}{next_v}.json"))
+    fs.rename(tmp_p, dst_p)                                      # step 2
+    for v in versions:                                           # step 3
+        p_fs, p = _fs_path(
+            spark, _join(state_dir, f"{_MARKER_PREFIX}{v}.json"))
+        p_fs.delete(p, False)
+    for b in fold:
         p_fs, p = _fs_path(spark, f"{state_dir}/batch_id={b}")
         p_fs.delete(p, True)
-    return {"folded": len(fold), "kept": 2,
-            "snapshot_batch_id": fold[0], "live_batch_id": keep_max}
+    return {"folded": len(fold), "kept": 2, "snapshot_batch_id": snap_id,
+            "live_batch_id": keep_max}
 
 
 def windowed_stream_agg(spark, input_path: str, window: str = "1 day",

@@ -153,3 +153,52 @@ def test_compact_state_preserves_estimates(spark, stream_input, tmp_path):
         assert n_dirs_after == 2
     else:
         assert out["folded"] == 0
+
+
+def test_compact_state_crash_windows(spark, stream_input, tmp_path):
+    """Every step of the compaction protocol must leave streamed_estimates
+    unchanged: an uncommitted (orphan) snapshot dir is invisible, and a
+    committed marker survives unfinished garbage collection."""
+    import os
+    import shutil
+
+    state_dir = str(tmp_path / "crstate")
+    q = streaming.stream_sketch_build(
+        spark, stream_input, state_dir, SPECS,
+        checkpoint_dir=str(tmp_path / "crckpt"), available_now=True,
+        reader_options={"maxFilesPerTrigger": 1})
+    q.awaitTermination(120)
+    baseline = {(r["source"], r["sketch"]): bytes(r["state"])
+                for r in streaming.streamed_estimates(spark,
+                                                      state_dir).collect()}
+
+    # crash BEFORE marker commit: orphan negative snapshot dir, no marker
+    orphan = os.path.join(state_dir, "batch_id=-7")
+    src_dir = next(os.path.join(state_dir, d) for d in os.listdir(state_dir)
+                   if d.startswith("batch_id=") and "=-" not in d)
+    shutil.copytree(src_dir, orphan)
+    got = {(r["source"], r["sketch"]): bytes(r["state"])
+           for r in streaming.streamed_estimates(spark,
+                                                 state_dir).collect()}
+    assert got == baseline  # orphan is invisible
+    shutil.rmtree(orphan)
+
+    # full compaction, then simulate crash DURING GC by resurrecting a
+    # folded batch dir: the marker makes it dead, estimates unchanged
+    backup = str(tmp_path / "backup_batch")
+    shutil.copytree(src_dir, backup)  # src_dir may be folded away below
+    out = streaming.compact_state(spark, state_dir)
+    assert out["folded"] >= 2
+    dead = os.path.join(state_dir, "batch_id=0")
+    if not os.path.exists(dead):
+        shutil.copytree(backup, dead)
+    got = {(r["source"], r["sketch"]): bytes(r["state"])
+           for r in streaming.streamed_estimates(spark,
+                                                 state_dir).collect()}
+    assert got == baseline
+    # and compaction is idempotent / converges
+    assert streaming.compact_state(spark, state_dir)["folded"] in (0, 2)
+    got = {(r["source"], r["sketch"]): bytes(r["state"])
+           for r in streaming.streamed_estimates(spark,
+                                                 state_dir).collect()}
+    assert got == baseline
