@@ -625,6 +625,18 @@ def q_rollup_revenue(spark, sf_dir):
 _STATEFUL_Q_CACHE: dict = {}
 
 
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end corpus curation (exact dedup → LSH+exact-verify near-dup
+    removal → quality filter → stratified sample) with a per-source funnel
+    of counts after each stage — the composed training-data pipeline,
+    ORACLE-CHECKED stage by stage (the near-dup stage's oracle is the
+    exact all-pairs n-gram Jaccard)."""
+    from sgp_sketch.pipeline import curate_corpus
+
+    _views(spark, sf_dir)
+    return curate_corpus(spark.table("documents"))["funnel"]
+
+
 def q_windowed_stream_counts(spark, sf_dir):
     """§2.11 event-time streaming: watermarked 1-day tumbling-window event
     counts over a file stream of the events table (availableNow), flattened
@@ -1031,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "checkpointed_hll": q_checkpointed_hll,
         "streamed_hll": q_streamed_hll,
+        "curation_funnel": q_curation_funnel,
         "windowed_stream_counts": q_windowed_stream_counts,
         "event_deltas": q_event_deltas,
         "ts_epoch_parse": q_ts_epoch_parse,
@@ -1329,6 +1342,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(md.d, -1) AS INT) AS depth
             FROM (SELECT s FROM kk WHERE rn > 1) t
             LEFT JOIN md ON md.id = t.s + 1000000
+        """,
+        "curation_funnel": """
+            WITH exact AS (
+                SELECT * FROM documents
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                           ORDER BY doc_id) = 1),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM exact),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+                FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams
+                      GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_inter
+                FROM grams a JOIN grams b ON a.g = b.g
+                                          AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            removed AS (
+                SELECT DISTINCT doc_b AS doc_id FROM inter
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.8),
+            near AS (SELECT e.* FROM exact e
+                     ANTI JOIN removed r ON e.doc_id = r.doc_id),
+            quality AS (
+                SELECT * FROM near
+                WHERE len(string_split(text, ' ')) BETWEEN 20 AND 90
+                  AND n_chars / len(string_split(text, ' ')) <= 8.0)
+            SELECT i.source,
+                   i.c AS n_input,
+                   COALESCE(e.c, 0) AS n_exact,
+                   COALESCE(n.c, 0) AS n_near,
+                   COALESCE(q.c, 0) AS n_quality,
+                   LEAST(CAST(10 AS BIGINT), COALESCE(q.c, 0)) AS n_sampled
+            FROM (SELECT source, COUNT(*) c FROM documents
+                  GROUP BY source) i
+            LEFT JOIN (SELECT source, COUNT(*) c FROM exact
+                       GROUP BY source) e ON i.source = e.source
+            LEFT JOIN (SELECT source, COUNT(*) c FROM near
+                       GROUP BY source) n ON i.source = n.source
+            LEFT JOIN (SELECT source, COUNT(*) c FROM quality
+                       GROUP BY source) q ON i.source = q.source
         """,
         "windowed_stream_counts": """
             SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)

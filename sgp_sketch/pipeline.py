@@ -1,0 +1,65 @@
+"""End-to-end corpus curation: the composed training-data pipeline a
+100-TB corpus goes through before tokenization, built from this library's
+operators — every stage deterministic, distributed, and (at test scale)
+exactly reproducible by a DuckDB oracle:
+
+  1. exact dedup        keep the lowest doc_id per md5(text) (global)
+  2. near-dup removal   MinHash+LSH candidates, EXACT shingle-Jaccard
+                        verify (dedup.minhash_near_duplicates
+                        exact_verify=True); drop the higher doc_id of
+                        every pair at/above the threshold
+  3. quality filter     word-count band + chars-per-word cap (declarative
+                        predicates — the length/punctuation-style gates)
+  4. stratified sample  deterministic hash-rank per source
+                        (text.sample_stratified, no rand())
+
+Scale shape: stage 1 is one hash shuffle; stage 2 is the banded LSH join
+(never all-pairs); stages 3-4 are a filter and one ranking window. The
+funnel (per-source row counts after each stage) is the pipeline's audit
+artifact — drops are attributable to a stage, never silent.
+"""
+
+from __future__ import annotations
+
+
+def curate_corpus(docs, jaccard_threshold: float = 0.8,
+                  min_words: int = 20, max_words: int = 90,
+                  max_chars_per_word: float = 8.0,
+                  sample_per_source: int = 10):
+    """documents(doc_id, text, source, n_chars, ...) → dict of stage
+    DataFrames: {"exact", "near", "quality", "sampled", "funnel"}.
+    `funnel` has one row per source: n_input, n_exact, n_near, n_quality,
+    n_sampled."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from . import dedup
+    from .text import sample_stratified
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (docs.withColumn("_r", F.row_number().over(w))
+             .filter(F.col("_r") == 1).drop("_r"))
+
+    pairs = dedup.minhash_near_duplicates(
+        exact, threshold=jaccard_threshold, exact_verify=True)
+    removed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    near = exact.join(removed, "doc_id", "left_anti")
+
+    words = F.size(F.split(F.col("text"), " "))
+    quality = near.filter(
+        words.between(min_words, max_words)
+        & (F.col("n_chars") / words <= max_chars_per_word))
+
+    sampled = sample_stratified(quality, sample_per_source)
+
+    def counts(df, name):
+        return df.groupBy("source").agg(F.count("*").alias(name))
+
+    funnel = (counts(docs, "n_input")
+              .join(counts(exact, "n_exact"), "source", "left")
+              .join(counts(near, "n_near"), "source", "left")
+              .join(counts(quality, "n_quality"), "source", "left")
+              .join(counts(sampled, "n_sampled"), "source", "left")
+              .fillna(0))
+    return {"exact": exact, "near": near, "quality": quality,
+            "sampled": sampled, "funnel": funnel}

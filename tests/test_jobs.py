@@ -46,3 +46,15 @@ def test_stream_sketches_job(tmp_path):
         "--available-now", "--sketch", "hll:tokens:p=13",
         "--master", "local[4]")
     assert json.loads(out2.strip().splitlines()[-1])["n_blob_groups"] == 20
+
+
+def test_curate_corpus_job(tmp_path):
+    out = run_job(
+        "curate_corpus.py", "--input", SF, "--table", "documents",
+        "--output", str(tmp_path / "curated"), "--sample", "5",
+        "--master", "local[4]")
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["n_curated"] > 0
+    funnel = json.loads((tmp_path / "curated" / "funnel.json").read_text())
+    assert all(f["n_sampled"] <= 5 for f in funnel["funnel"])
+    assert os.path.isdir(tmp_path / "curated" / "documents")

