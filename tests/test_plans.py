@@ -28,7 +28,7 @@ EXEMPT = {
     "csv_roundtrip",                            # staged CSV side effect
     "bfs_reachability", "connected_components", # driver-looped graph algos
     "sssp", "pagerank", "k_hop",
-    "minhash_verified_dupes",                   # signature pandas UDF
+    "minhash_verified_dupes", "curation_funnel",  # signature pandas UDF
     "langid_heuristic", "stratified_sample",
 }
 
