@@ -637,6 +637,25 @@ def q_curation_funnel(spark, sf_dir):
     return curate_corpus(spark.table("documents"))["funnel"]
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Transitive near-duplicate clustering: verified MinHash pairs
+    (exact-Jaccard ≥ 0.5) unioned into connected components; one row per
+    multi-member cluster (rep = min doc_id, member count). ORACLE: a
+    recursive-CTE min-label propagation over the exact all-pairs n-gram
+    Jaccard graph — the dedup.minhash × graph.connected_components
+    composition checked end-to-end."""
+    from sgp_sketch import dedup
+    from sgp_sketch.pipeline import near_dup_clusters
+
+    _views(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(
+        spark.table("documents"), threshold=0.5, exact_verify=True)
+    return (near_dup_clusters(pairs)
+            .groupBy(F.col("cluster").alias("rep_doc"))
+            .agg(F.count("*").alias("n_members"))
+            .filter(F.col("n_members") >= 2))
+
+
 def q_windowed_stream_counts(spark, sf_dir):
     """§2.11 event-time streaming: watermarked 1-day tumbling-window event
     counts over a file stream of the events table (availableNow), flattened
@@ -1044,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpointed_hll": q_checkpointed_hll,
         "streamed_hll": q_streamed_hll,
         "curation_funnel": q_curation_funnel,
+        "dup_clusters": q_dup_clusters,
         "windowed_stream_counts": q_windowed_stream_counts,
         "event_deltas": q_event_deltas,
         "ts_epoch_parse": q_ts_epoch_parse,
@@ -1342,6 +1362,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(md.d, -1) AS INT) AS depth
             FROM (SELECT s FROM kk WHERE rn > 1) t
             LEFT JOIN md ON md.id = t.s + 1000000
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+                FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams
+                      GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_inter
+                FROM grams a JOIN grams b ON a.g = b.g
+                                          AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5),
+            e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+            reach(v, r) AS (
+                SELECT s, s FROM e
+                UNION
+                SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.v),
+            comp AS (SELECT v, MIN(r) AS cluster FROM reach GROUP BY v)
+            SELECT cluster AS rep_doc, COUNT(*) AS n_members
+            FROM comp GROUP BY cluster HAVING COUNT(*) >= 2
         """,
         "curation_funnel": """
             WITH exact AS (

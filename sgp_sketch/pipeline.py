@@ -22,6 +22,26 @@ artifact — drops are attributable to a stage, never silent.
 from __future__ import annotations
 
 
+def near_dup_clusters(pairs, id_a: str = "doc_a", id_b: str = "doc_b"):
+    """Transitive duplicate clustering: union the verified near-dup PAIRS
+    into connected components (graph.connected_components over the pair
+    graph), so A~B and B~C land in ONE cluster even when A~C itself is
+    below threshold — the textbook cluster-then-keep-representative dedup,
+    vs. the simpler drop-doc_b rule.
+
+    → DataFrame(doc_id, cluster) where cluster = min doc_id reachable in
+    the pair graph; only docs that appear in some pair are returned
+    (everything else is its own singleton cluster by definition)."""
+    from pyspark.sql import functions as F
+
+    from .graph import connected_components
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    return (connected_components(edges)
+            .withColumnRenamed("id", "doc_id")
+            .withColumnRenamed("component", "cluster"))
+
+
 def curate_corpus(docs, jaccard_threshold: float = 0.8,
                   min_words: int = 20, max_words: int = 90,
                   max_chars_per_word: float = 8.0,

@@ -87,3 +87,14 @@ def test_curation_pipeline_stages(spark):
                   for r in curate_corpus(docs, sample_per_source=5)
                   ["sampled"].collect())
     assert ids1 == ids2
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C (but not directly A~C) must land in ONE cluster."""
+    from sgp_sketch.pipeline import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster"]
+           for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
