@@ -67,6 +67,33 @@ def load_table(spark, ref: str, schema=None, csv_options: dict | None = None):
     return spark.read.parquet(ref)
 
 
+def write_bucketed(df, table: str, bucket_cols, n_buckets: int,
+                   path: str | None = None, sort_cols=None,
+                   mode: str = "overwrite"):
+    """Write a bucketed (and optionally sort-ordered) table: the
+    co-located-join layout. Two tables bucketed on the same key with the
+    same bucket count join WITHOUT any Exchange — each bucket pair joins
+    in place, the storage-level answer to repeated large joins on one key
+    (vs paying a shuffle per query). Bucketing requires the table catalog
+    (`saveAsTable`); pass `path` to make it an external table at an
+    explicit location.
+
+    At 100 TB: bucket the token/blob tables by their join key once at
+    write time; every downstream join on that key becomes shuffle-free
+    (verify with .explain() — no Exchange below the SortMergeJoin)."""
+    bucket_cols = ([bucket_cols] if isinstance(bucket_cols, str)
+                   else list(bucket_cols))
+    writer = (df.write.mode(mode).format("parquet")
+              .bucketBy(n_buckets, *bucket_cols))
+    if sort_cols:
+        sort_cols = ([sort_cols] if isinstance(sort_cols, str)
+                     else list(sort_cols))
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_layout(df, path: str, mode: str = "overwrite",
                  partition_by=None) -> dict:
     """Write an Iceberg-layout-shaped directory: parquet under `data/`,

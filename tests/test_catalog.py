@@ -56,3 +56,33 @@ def test_csv_resolution(spark, tokens_sdf, tmp_path):
     assert back.count() == 12
     assert back.schema.simpleString() == \
         "struct<doc_id:string,n_tok:int,source:string>"
+
+
+def test_bucketed_join_no_shuffle(spark, tokens_sdf, tmp_path):
+    """Two tables bucketed on the same key + bucket count must join with
+    ZERO Exchange in the plan (co-located join — the write-once,
+    shuffle-never layout for repeated joins)."""
+    left = tokens_sdf.selectExpr("doc_id", "n_tok")
+    right = tokens_sdf.selectExpr("doc_id", "source")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would be broadcast (which also has no data
+        # shuffle); force the sort-merge path that big tables take so the
+        # bucketed-scan property is what's actually asserted
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        catalog.write_bucketed(left, "b_left", "doc_id", 4,
+                               path=str(tmp_path / "bl"),
+                               sort_cols="doc_id")
+        catalog.write_bucketed(right, "b_right", "doc_id", 4,
+                               path=str(tmp_path / "br"),
+                               sort_cols="doc_id")
+        joined = spark.table("b_left").join(spark.table("b_right"),
+                                            "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == tokens_sdf.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
