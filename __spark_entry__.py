@@ -637,6 +637,20 @@ def q_curation_funnel(spark, sf_dir):
     return curate_corpus(spark.table("documents"))["funnel"]
 
 
+def q_theta_vocab_overlap(spark, sf_dir):
+    """Theta-sketch vocabulary set algebra: per source pair, DIRECT
+    |A∪B| / |A∩B| / |A−B| estimates from retained-hash-sample overlap —
+    the set operations HLL inclusion–exclusion cannot do (its
+    intersection error scales with the union). Rows-only here; sampling
+    bounds are pytest-gated against exact sets in tests/test_spark_agg."""
+    from sgp_sketch import queries as Q
+
+    toks = _doc_tokens(spark, sf_dir)
+    subset = toks.filter(F.col("source").isin(
+        ["src0", "src1", "src2", "src3", "src4"]))
+    return Q.vocabulary_overlap_theta(subset, k=4096)
+
+
 def q_dup_clusters(spark, sf_dir):
     """Transitive near-duplicate clustering: verified MinHash pairs
     (exact-Jaccard ≥ 0.5) unioned into connected components; one row per
@@ -1064,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_hll": q_streamed_hll,
         "curation_funnel": q_curation_funnel,
         "dup_clusters": q_dup_clusters,
+        "theta_vocab_overlap": q_theta_vocab_overlap,
         "windowed_stream_counts": q_windowed_stream_counts,
         "event_deltas": q_event_deltas,
         "ts_epoch_parse": q_ts_epoch_parse,

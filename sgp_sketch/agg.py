@@ -90,14 +90,14 @@ def _update(state, kind: str, flat: np.ndarray, prep=None):
     if kind in _NUMERIC_KINDS:
         state.update(flat)
         return state
-    if kind in ("hll", "cms", "bloom"):
+    if kind in ("hll", "cms", "bloom", "theta"):
         uniq, counts, h = prep if prep is not None else _prep_tokens(flat)
         if kind == "cms":
             state.update_hashes(h, counts=counts)
-        elif kind == "hll":
-            state.update_hashes(h, assume_unique=True)
-        else:
+        elif kind == "bloom":
             state.update_hashes(h, assume_unique=True, n_raw=flat.size)
+        else:  # hll / theta: idempotent, deduped hash batch
+            state.update_hashes(h, assume_unique=True)
         return state
     state.update(flat.astype(np.int64).view(np.uint64)
                  if flat.dtype == np.int64 else flat)
@@ -307,7 +307,7 @@ def build_partials_multi(df, specs: dict, group_cols=("source",)):
         "sketch string, " + PARTIAL_SCHEMA_TAIL
     value_cols = sorted({s["value_col"] for s in specs.values()})
     needed = group_cols + value_cols
-    hash_kinds = ("hll", "cms", "bloom")
+    hash_kinds = ("hll", "cms", "bloom", "theta")
 
     def acc(batches):
         import pyarrow as pa
@@ -369,11 +369,11 @@ def build_partials_multi(df, specs: dict, group_cols=("source",)):
                         st = state_for(gkey, name)
                         if kind == "cms":
                             st.update_hashes(h, counts=gcounts)
-                        elif kind == "hll":
-                            st.update_hashes(h, assume_unique=True)
-                        else:
+                        elif kind == "bloom":
                             st.update_hashes(h, assume_unique=True,
                                              n_raw=n_raw)
+                        else:  # hll / theta
+                            st.update_hashes(h, assume_unique=True)
                         counts[(gkey, name)] += n_raw
                 else:  # numeric quantile kinds
                     vals = flat.astype(np.float64)

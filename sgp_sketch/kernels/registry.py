@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import struct
 
-from . import bloom, cms, hll, kll, tdigest
+from . import bloom, cms, hll, kll, tdigest, theta
 
 _TYPES = {
     hll.TYPE_HLL: hll.HLL,
@@ -14,6 +14,7 @@ _TYPES = {
     bloom.TYPE_BLOOM: bloom.Bloom,
     kll.TYPE_KLL: kll.KLL,
     tdigest.TYPE_TDIGEST: tdigest.TDigest,
+    theta.TYPE_THETA: theta.Theta,
 }
 
 _FACTORIES = {
@@ -22,6 +23,7 @@ _FACTORIES = {
     "bloom": bloom.empty,
     "kll": kll.empty,
     "tdigest": tdigest.empty,
+    "theta": theta.empty,
 }
 
 

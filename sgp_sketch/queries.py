@@ -288,6 +288,59 @@ def vocabulary_overlap(df, group_cols=("source",), value_col="tokens",
         .alias("jaccard"))
 
 
+def vocabulary_overlap_theta(df, group_cols=("source",),
+                             value_col="tokens", k: int = 4096):
+    """Pairwise vocabulary set algebra via THETA sketches: per unordered
+    group pair, direct estimates of |A∪B|, |A∩B|, |A−B| from the sample
+    overlap of the two groups' retained hash sets — NOT inclusion–
+    exclusion (that is vocabulary_overlap's HLL path, whose intersection
+    error scales with the union size; theta's scales with the sample).
+
+    Same distributed shape as vocabulary_overlap: KB-sized blob table
+    self-joined on group_a < group_b, pandas UDF evaluates the set
+    expressions per pair row. → DataFrame(group_a, group_b, est_a, est_b,
+    est_union, est_inter, est_diff_ab, jaccard).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from . import agg
+
+    blobs = agg.sketch_agg(df, "theta", value_col, group_cols, {"k": k})
+    keyed = blobs.select(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+        .alias("group"), "state")
+
+    @F.pandas_udf("array<double>")
+    def pair_est(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(sa, sb):
+            a = registry.from_bytes(bytes(ba))
+            b = registry.from_bytes(bytes(bb))
+            out.append([float(a.estimate()), float(b.estimate()),
+                        float(a.merge(b).estimate()),
+                        float(a.intersect(b).estimate()),
+                        float(a.a_not_b(b).estimate())])
+        return pd.Series(out)
+
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (a.join(b, F.col("a.group") < F.col("b.group"))
+             .select(F.col("a.group").alias("group_a"),
+                     F.col("b.group").alias("group_b"),
+                     pair_est(F.col("a.state"), F.col("b.state"))
+                     .alias("e")))
+    eu = F.col("e")[2]
+    return pairs.select(
+        "group_a", "group_b",
+        F.round(F.col("e")[0], 1).alias("est_a"),
+        F.round(F.col("e")[1], 1).alias("est_b"),
+        F.round(eu, 1).alias("est_union"),
+        F.round(F.col("e")[3], 1).alias("est_inter"),
+        F.round(F.col("e")[4], 1).alias("est_diff_ab"),
+        F.round(F.when(eu > 0, F.col("e")[3] / eu).otherwise(0.0), 4)
+        .alias("jaccard"))
+
+
 def build_sharded_membership(df, n_shards: int = 32, value_col: str = "tokens",
                              n_blocks: int = 1 << 10):
     """Token-sharded Bloom filter table: one blob per shard, shard =

@@ -278,3 +278,62 @@ def test_registry_merge_blobs():
              for i in range(4)]
     merged = registry.from_bytes(registry.merge_blobs(blobs))
     assert abs(merged.estimate() - 4000) / 4000 < 0.05
+
+
+# ================================================================= theta
+
+def test_theta_exact_mode_small_sets():
+    from sgp_sketch.kernels import theta
+
+    st = theta.Theta(k=64)
+    st.update(np.arange(50, dtype=np.int64).view(np.uint64))
+    assert st.estimate() == 50.0          # below capacity: exact
+    assert st.rel_error_bound() == 0.0
+
+
+def test_theta_estimation_accuracy():
+    from sgp_sketch.kernels import theta
+
+    rng = np.random.default_rng(3)
+    vals = rng.choice(1 << 62, size=200_000, replace=False).astype(np.int64)
+    st = theta.Theta(k=4096).update(vals.view(np.uint64))
+    rse = 1.0 / np.sqrt(4096 - 1)
+    assert abs(st.estimate() - 200_000) <= 4 * rse * 200_000
+
+
+def test_theta_set_algebra_vs_exact():
+    """Intersection and A-minus-B estimates — the operations HLL cannot do
+    directly — within the sampling bound."""
+    from sgp_sketch.kernels import theta
+
+    rng = np.random.default_rng(7)
+    shared = rng.choice(1 << 62, size=30_000, replace=False)
+    only_a = rng.choice(1 << 61, size=70_000, replace=False)
+    only_b = (rng.choice(1 << 61, size=50_000, replace=False)
+              + (1 << 62))
+    A = np.concatenate([shared, only_a]).astype(np.int64)
+    B = np.concatenate([shared, only_b]).astype(np.int64)
+    a = theta.Theta(k=4096).update(A.view(np.uint64))
+    b = theta.Theta(k=4096).update(B.view(np.uint64))
+    union = len(set(A.tolist()) | set(B.tolist()))
+    tol = 4 / np.sqrt(4096) * union
+    assert abs(a.merge(b).estimate() - union) <= tol
+    inter_exact = len(set(A.tolist()) & set(B.tolist()))
+    assert abs(a.intersect(b).estimate() - inter_exact) <= tol
+    diff_exact = len(set(A.tolist()) - set(B.tolist()))
+    assert abs(a.a_not_b(b).estimate() - diff_exact) <= tol
+
+
+def test_theta_serde_and_mismatch():
+    from sgp_sketch.kernels import registry, theta
+
+    st = theta.Theta(k=128).update(
+        np.arange(1000, dtype=np.int64).view(np.uint64))
+    rt = registry.from_bytes(st.to_bytes())
+    assert rt.estimate() == st.estimate()
+    assert rt.to_bytes() == st.to_bytes()
+    other = theta.Theta(k=64)
+    import pytest
+
+    with pytest.raises(ValueError, match="k mismatch"):
+        st.merge(other)

@@ -184,3 +184,29 @@ def test_bmp_roundtrip_property(h, w, seed):
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     np.testing.assert_array_equal(mm.decode_bmp(mm.encode_bmp(px)), px)
+
+
+@given(a=u64_arrays, b=u64_arrays, c=u64_arrays)
+@settings(**SETTINGS)
+def test_theta_merge_associative_commutative_bytes(a, b, c):
+    from sgp_sketch.kernels import theta
+
+    mk = lambda v: theta.Theta(k=16).update(v)
+    ta, tb, tc = mk(a), mk(b), mk(c)
+    left = ta.merge(tb).merge(tc)
+    right = ta.merge(tb.merge(tc))
+    assert left.to_bytes() == right.to_bytes()
+    assert ta.merge(tb).to_bytes() == tb.merge(ta).to_bytes()
+    assert ta.merge(theta.Theta(k=16)).to_bytes() == ta.to_bytes()
+
+
+@given(v=u64_arrays, cut=st.integers(0, 500))
+@settings(**SETTINGS)
+def test_theta_chunking_invariance(v, cut):
+    from sgp_sketch.kernels import theta
+
+    cut = min(cut, v.size)
+    one = theta.Theta(k=16).update(v)
+    two = theta.Theta(k=16).update(v[:cut]).merge(
+        theta.Theta(k=16).update(v[cut:]))
+    assert one.to_bytes() == two.to_bytes()

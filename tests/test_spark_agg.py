@@ -200,3 +200,23 @@ def test_heavy_hitters_global(spark, tokens_sdf, tokens_pdf):
     uniq, counts = np.unique(flat, return_counts=True)
     exact_top = set(uniq[np.lexsort((uniq, -counts))[:5]].tolist())
     assert set(got.token.tolist()) == exact_top
+
+
+def test_theta_vocab_overlap_vs_exact(spark, tokens_sdf, tokens_pdf):
+    """Theta set algebra end-to-end on Spark: union/intersection/difference
+    estimates within the k=4096 sampling bound of the exact sets."""
+    from sgp_sketch.queries import vocabulary_overlap_theta
+
+    got = vocabulary_overlap_theta(tokens_sdf, k=4096).toPandas()
+    exact_sets = {src: set(np.unique(np.concatenate(sub["tokens"].to_numpy())))
+                  for src, sub in tokens_pdf.groupby("source")}
+    checked = 0
+    for _, r in got.iterrows():
+        A, B = exact_sets[r.group_a], exact_sets[r.group_b]
+        union = len(A | B)
+        tol = 4 / np.sqrt(4096) * union + 1
+        assert abs(r.est_union - union) <= tol, (r.group_a, r.group_b)
+        assert abs(r.est_inter - len(A & B)) <= tol, (r.group_a, r.group_b)
+        assert abs(r.est_diff_ab - len(A - B)) <= tol, (r.group_a, r.group_b)
+        checked += 1
+    assert checked == len(exact_sets) * (len(exact_sets) - 1) // 2
