@@ -245,14 +245,24 @@ def _batch_columns(batch, group_cols):
 
 def _flatten_list_column(col):
     """Arrow List/LargeList column → (flat values ndarray, lengths ndarray).
-    Zero-copy on the values buffer — no per-row allocation."""
+    Zero-copy on the values buffer — no per-row allocation.
+
+    Null slots yield length 0 and contribute no values: lengths from the
+    offsets are masked by the validity bitmap, because the Arrow spec
+    permits non-degenerate offsets under null slots (Spark emits
+    zero-length ones today, but relying on that would attribute garbage
+    values to a null row)."""
     import pyarrow as pa
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     off = np.asarray(col.offsets)
-    vals = col.values.to_numpy(zero_copy_only=False)
-    return vals[off[0]:off[-1]], (off[1:] - off[:-1]).astype(np.int64)
+    raw_lens = (off[1:] - off[:-1]).astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False)[off[0]:off[-1]]
+    if col.null_count:
+        valid = np.asarray(col.is_valid())
+        return flat[np.repeat(valid, raw_lens)], np.where(valid, raw_lens, 0)
+    return flat, raw_lens
 
 
 def _grouped_token_stats(flat, token_gids, codes_present):

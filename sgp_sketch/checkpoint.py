@@ -75,11 +75,25 @@ def _fs_read_text(spark, path: str) -> str:
 
 
 def _append_jsonl(spark, path: str, record: dict) -> None:
-    """FS-agnostic append for the tiny metrics log: read-modify-write,
-    since `FileSystem.append` is unsupported on object stores. Single
-    driver writer per build — no concurrent-appender contract."""
+    """FS-agnostic append for the tiny metrics log (`FileSystem.append` is
+    unsupported on object stores): read + write-to-temp + rename into
+    place, so a crash mid-write leaves the old log (plus at worst a stale
+    .tmp), never a truncated one. Single driver writer per build — no
+    concurrent-appender contract. Read-modify-write is O(log size) per
+    append — bounded by the slice count of one build; per-slice files
+    would shard it if that ever mattered."""
     prev = _fs_read_text(spark, path) if _fs_exists(spark, path) else ""
-    _fs_write_text(spark, path, prev + json.dumps(record) + "\n")
+    tmp = path + ".tmp"
+    _fs_write_text(spark, tmp, prev + json.dumps(record) + "\n")
+    fs, dst = _fs_path(spark, path)
+    _, src = _fs_path(spark, tmp)
+    # RawLocalFileSystem.rename refuses to clobber; delete-then-rename has
+    # a window where only the (complete) .tmp exists — recoverable, unlike
+    # the truncate-then-write it replaces.
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(src, dst):
+        raise IOError(f"metrics log rename failed: {tmp} -> {path}")
 
 
 def _join(*parts: str) -> str:

@@ -145,29 +145,36 @@ def minhash_signatures(df, shingle_col: str = "shingles", k: int = 64,
     return df.withColumn(out_col, mh(shingle_col))
 
 
-def _cap_buckets(sized, max_bucket: int, stats=None):
+def _cap_buckets(buckets, keys, max_bucket: int, stats=None):
     """Shared oversized-bucket guard: keep rows whose bucket has ≤
-    `max_bucket` members. When `stats` (a plain dict) is given, it is
-    filled EAGERLY with {"dropped_rows", "max_bucket_size"} via one small
-    aggregate job over the bucket table, so silent recall loss is visible
-    instead of implied. (An `observe()`-based variant was rejected: AQE's
-    empty-relation propagation can prune the observed node out of the final
-    plan — e.g. when every bucket is dropped — and a diagnostic that
-    vanishes exactly when it matters most is worse than one extra tiny
-    job.) The bucket table is cached for the stats pass so the upstream
-    fingerprint/signature stage runs once, not once per consumer — the
-    downstream self-join reads it twice anyway and reuses the same cache."""
+    `max_bucket` members. Sizing is `groupBy(keys).count()` + an equi-join
+    back — NOT `count(*).over(Window.partitionBy(keys))`: a degenerate
+    10⁸-row boilerplate bucket would land in ONE window task before being
+    dropped, while the groupBy partial-aggregates map-side and the join
+    spreads the probe normally (AQE broadcasts the size table when small).
+
+    When `stats` (a plain dict) is given, it is filled EAGERLY with
+    {"dropped_rows", "max_bucket_size"} via one small aggregate job over
+    the size table, so silent recall loss is visible instead of implied.
+    (An `observe()`-based variant was rejected: AQE's empty-relation
+    propagation can prune the observed node out of the final plan — e.g.
+    when every bucket is dropped — and a diagnostic that vanishes exactly
+    when it matters most is worse than one extra tiny job.) The stats job
+    recomputes the upstream bucket stage once; hot-path callers pass
+    stats=None and get zero extra jobs and nothing cached/pinned."""
     from pyspark.sql import functions as F
 
+    keys = list(keys)
+    sizes = buckets.groupBy(*keys).agg(F.count("*").alias("bsize"))
     if stats is not None:
-        sized = sized.cache()
-        row = sized.agg(
-            F.sum(F.when(F.col("bsize") > max_bucket, 1).otherwise(0))
-            .alias("dropped_rows"),
+        row = sizes.agg(
+            F.sum(F.when(F.col("bsize") > max_bucket, F.col("bsize"))
+                  .otherwise(0)).alias("dropped_rows"),
             F.max("bsize").alias("max_bucket_size")).first()
         stats["dropped_rows"] = int(row["dropped_rows"] or 0)
         stats["max_bucket_size"] = int(row["max_bucket_size"] or 0)
-    return sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
+    kept = sizes.filter(F.col("bsize") <= max_bucket).select(*keys)
+    return buckets.join(kept, keys, "inner")
 
 
 def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", sig_col: str = "sig",
@@ -182,7 +189,6 @@ def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", sig_col: str = "sig",
     `stats` to receive (dropped_rows, max_bucket_size) eagerly.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     r = k // bands
     band_hash = F.array(*[
@@ -191,9 +197,7 @@ def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", sig_col: str = "sig",
         for b in range(bands)])
     buckets = (sig_df.select(id_col, F.posexplode(band_hash)
                              .alias("band", "bucket")))
-    sized = buckets.withColumn(
-        "bsize", F.count("*").over(Window.partitionBy("band", "bucket")))
-    kept = _cap_buckets(sized, max_bucket, stats)
+    kept = _cap_buckets(buckets, ("band", "bucket"), max_bucket, stats)
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (a.join(b, ["band", "bucket"])
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -317,7 +321,6 @@ def simhash_near_duplicates(df, id_col: str = "doc_id",
     → DataFrame(doc_a, doc_b, hamming int).
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     if not 0 <= max_hamming <= 15:
         raise ValueError(
@@ -338,9 +341,7 @@ def simhash_near_duplicates(df, id_col: str = "doc_id",
     chunks = F.array(*[chunk_expr(c) for c in range(n_chunks)])
     buckets = fps.select(id_col, "simhash",
                          F.posexplode(chunks).alias("chunk", "val"))
-    sized = buckets.withColumn(
-        "bsize", F.count("*").over(Window.partitionBy("chunk", "val")))
-    kept = _cap_buckets(sized, max_bucket, stats)
+    kept = _cap_buckets(buckets, ("chunk", "val"), max_bucket, stats)
     a, b = kept.alias("a"), kept.alias("b")
     return (a.join(b, ["chunk", "val"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -393,13 +394,10 @@ def embedding_near_duplicates(df, id_col: str = "vec_id",
     cosine 0.95 with 6 planes × 6 tables ≈ 0.6%.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     b = embedding_lsh_buckets(df.select(id_col, vec_col), vec_col,
                               n_planes, seed, n_tables)
-    sized = b.withColumn(
-        "bsize", F.count("*").over(Window.partitionBy("table", "bucket")))
-    kept = _cap_buckets(sized, max_bucket, stats)
+    kept = _cap_buckets(b, ("table", "bucket"), max_bucket, stats)
     x, y = kept.alias("x"), kept.alias("y")
     dot = F.aggregate(F.zip_with(f"x.{vec_col}", f"y.{vec_col}",
                                  lambda p, q: p * q),

@@ -167,7 +167,7 @@ def compact_state(spark, state_dir: str, group_cols=("source",)) -> dict:
 
     from pyspark.sql import functions as F
 
-    from .checkpoint import _fs_path, _fs_write_text, _join
+    from .checkpoint import _fs_path, _fs_read_text, _fs_write_text, _join
 
     fs, root = _fs_path(spark, state_dir)
     ids = []
@@ -204,9 +204,21 @@ def compact_state(spark, state_dir: str, group_cols=("source",)) -> dict:
     _fs_write_text(spark, tmp, json.dumps({"snapshot": snap_id,
                                            "upto": upto}))
     _, tmp_p = _fs_path(spark, tmp)
-    _, dst_p = _fs_path(
-        spark, _join(state_dir, f"{_MARKER_PREFIX}{next_v}.json"))
-    fs.rename(tmp_p, dst_p)                                      # step 2
+    dst = _join(state_dir, f"{_MARKER_PREFIX}{next_v}.json")
+    _, dst_p = _fs_path(spark, dst)
+    # Hadoop FileSystem.rename reports most failures by returning false,
+    # not raising; the GC below deletes every old marker and all folded
+    # dirs, so proceeding past a failed commit would leave NO committed
+    # snapshot pointer. Verify the marker is in place AND parses before
+    # destroying anything. (On S3A "rename" is copy+delete, not atomic —
+    # the fresh-versioned-name protocol never overwrites, and _read_marker
+    # raises on an unparseable marker rather than adopting it, so a
+    # half-copied object can abort a read but never silently drop state.)
+    if not fs.rename(tmp_p, dst_p):                              # step 2
+        raise IOError(f"compaction marker commit failed: {tmp} -> {dst}")
+    committed = json.loads(_fs_read_text(spark, dst))
+    if int(committed["snapshot"]) != snap_id or int(committed["upto"]) != upto:
+        raise IOError(f"compaction marker verify failed: {dst}: {committed}")
     for v in versions:                                           # step 3
         p_fs, p = _fs_path(
             spark, _join(state_dir, f"{_MARKER_PREFIX}{v}.json"))

@@ -80,3 +80,20 @@ def test_broadcast_join_has_no_fact_shuffle(spark):
     non_broadcast = [ln for ln in p.splitlines()
                      if "Exchange" in ln and "BroadcastExchange" not in ln]
     assert len(non_broadcast) == 1, non_broadcast
+
+
+def test_bucket_cap_has_no_window_exec(spark):
+    """LSH/SimHash bucket sizing must be groupBy+join, not a window over
+    the bucket keys: a degenerate 10^8-row boilerplate bucket would land
+    in ONE window task before being dropped, while the groupBy
+    partial-aggregates map-side."""
+    from sgp_sketch import dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    for df in (
+        dedup.minhash_near_duplicates(docs, threshold=0.8),
+        dedup.simhash_near_duplicates(entry._doc_tokens(spark, sf),
+                                      max_hamming=3),
+    ):
+        assert "Window" not in _plan(df)

@@ -133,3 +133,54 @@ def test_kernel_throughput_floor():
     blm.update_hashes(h, assume_unique=True, n_raw=flat.size)
     dt = time.perf_counter() - t0
     assert flat.size / dt > 500_000, f"{flat.size / dt:,.0f} tok/s"
+
+
+def test_flatten_list_column_null_slots_nondegenerate_offsets():
+    """The Arrow spec permits non-degenerate offsets under null slots
+    (Spark emits zero-length ones today). _flatten_list_column must mask
+    with the validity bitmap, not trust offsets alone — otherwise garbage
+    values under a null slot would be attributed to that row."""
+    import pyarrow as pa
+
+    from sgp_sketch.agg import _flatten_list_column
+
+    # row 1 is null but its offsets span the garbage values [98, 99]
+    offsets = pa.array([0, 2, 4, 7], type=pa.int32())
+    values = pa.array([1, 2, 98, 99, 3, 4, 5], type=pa.int64())
+    mask = pa.array([False, True, False])  # True = null slot
+    col = pa.ListArray.from_arrays(offsets, values, mask=mask)
+    assert col.null_count == 1
+    flat, lens = _flatten_list_column(col)
+    assert lens.tolist() == [2, 0, 3]
+    assert flat.tolist() == [1, 2, 3, 4, 5]  # 98/99 dropped with their row
+
+
+def test_flatten_list_column_sliced_offset():
+    """Zero-copy fast path on a sliced, null-free column keeps absolute
+    offsets straight."""
+    import pyarrow as pa
+
+    from sgp_sketch.agg import _flatten_list_column
+
+    col = pa.array([[1], [2, 3], [4, 5, 6]], type=pa.list_(pa.int64()))
+    flat, lens = _flatten_list_column(col.slice(1))
+    assert lens.tolist() == [2, 3]
+    assert flat.tolist() == [2, 3, 4, 5, 6]
+
+
+def test_cap_buckets_stats_and_filter(spark):
+    """dropped_rows counts member ROWS of over-cap buckets; kept rows are
+    exactly the members of within-cap buckets."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch.dedup import _cap_buckets
+
+    rows = ([("d%d" % i, 0, 7) for i in range(5)]      # bucket of 5 > cap
+            + [("e%d" % i, 0, 8) for i in range(2)]    # bucket of 2
+            + [("f0", 1, 7)])                          # bucket of 1
+    df = spark.createDataFrame(rows, ["doc_id", "band", "bucket"])
+    stats = {}
+    kept = _cap_buckets(df, ("band", "bucket"), max_bucket=2, stats=stats)
+    assert stats == {"dropped_rows": 5, "max_bucket_size": 5}
+    got = {r.doc_id for r in kept.collect()}
+    assert got == {"e0", "e1", "f0"}
