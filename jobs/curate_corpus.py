@@ -56,6 +56,7 @@ def main(argv=None) -> int:
     (out["sampled"].write.mode("overwrite")
      .partitionBy("source").parquet(_join(args.output, "documents")))
     funnel = [r.asDict() for r in out["funnel"].orderBy("source").collect()]
+    out["unpersist"]()
     summary = {"stages": ["exact", "near", "quality", "sampled"],
                "funnel": funnel,
                "params": {"jaccard": args.jaccard,

@@ -45,32 +45,45 @@ def near_dup_clusters(pairs, id_a: str = "doc_a", id_b: str = "doc_b"):
 def curate_corpus(docs, jaccard_threshold: float = 0.8,
                   min_words: int = 20, max_words: int = 90,
                   max_chars_per_word: float = 8.0,
-                  sample_per_source: int = 10):
+                  sample_per_source: int = 10, persist: bool = True):
     """documents(doc_id, text, source, n_chars, ...) → dict of stage
-    DataFrames: {"exact", "near", "quality", "sampled", "funnel"}.
-    `funnel` has one row per source: n_input, n_exact, n_near, n_quality,
-    n_sampled."""
+    DataFrames: {"exact", "near", "quality", "sampled", "funnel",
+    "unpersist"}. `funnel` has one row per source: n_input, n_exact,
+    n_near, n_quality, n_sampled.
+
+    With `persist` (default) every stage is persisted MEMORY_AND_DISK
+    (lazily — nothing materializes until an action runs), so the funnel's
+    five per-source counts each read a cached stage instead of re-deriving
+    it: one corpus-wide pass total, where the unpersisted composition would
+    re-run the exact-dedup window ~4× and the LSH candidate join ~3× — at
+    100 TB that is several redundant passes over the corpus. Call
+    `out["unpersist"]()` once the stage DataFrames are consumed to release
+    executor storage (or pass persist=False to keep the plan pure, e.g.
+    when only ONE stage output will be read exactly once)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from . import dedup
     from .text import sample_stratified
 
+    def _persist(df):
+        return df.persist() if persist else df  # default MEMORY_AND_DISK
+
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    exact = (docs.withColumn("_r", F.row_number().over(w))
-             .filter(F.col("_r") == 1).drop("_r"))
+    exact = _persist(docs.withColumn("_r", F.row_number().over(w))
+                     .filter(F.col("_r") == 1).drop("_r"))
 
     pairs = dedup.minhash_near_duplicates(
         exact, threshold=jaccard_threshold, exact_verify=True)
     removed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    near = exact.join(removed, "doc_id", "left_anti")
+    near = _persist(exact.join(removed, "doc_id", "left_anti"))
 
     words = F.size(F.split(F.col("text"), " "))
-    quality = near.filter(
+    quality = _persist(near.filter(
         words.between(min_words, max_words)
-        & (F.col("n_chars") / words <= max_chars_per_word))
+        & (F.col("n_chars") / words <= max_chars_per_word)))
 
-    sampled = sample_stratified(quality, sample_per_source)
+    sampled = _persist(sample_stratified(quality, sample_per_source))
 
     def counts(df, name):
         return df.groupBy("source").agg(F.count("*").alias(name))
@@ -81,5 +94,12 @@ def curate_corpus(docs, jaccard_threshold: float = 0.8,
               .join(counts(quality, "n_quality"), "source", "left")
               .join(counts(sampled, "n_sampled"), "source", "left")
               .fillna(0))
+    stages = (exact, near, quality, sampled)
+
+    def unpersist():
+        if persist:
+            for df in stages:
+                df.unpersist()
+
     return {"exact": exact, "near": near, "quality": quality,
-            "sampled": sampled, "funnel": funnel}
+            "sampled": sampled, "funnel": funnel, "unpersist": unpersist}

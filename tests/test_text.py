@@ -83,10 +83,51 @@ def test_curation_pipeline_stages(spark):
         assert r["n_sampled"] == min(5, r["n_quality"])
     # deterministic: second run samples the same doc_ids
     ids1 = sorted(r["doc_id"] for r in out["sampled"].collect())
-    ids2 = sorted(r["doc_id"]
-                  for r in curate_corpus(docs, sample_per_source=5)
-                  ["sampled"].collect())
+    out2 = curate_corpus(docs, sample_per_source=5)
+    ids2 = sorted(r["doc_id"] for r in out2["sampled"].collect())
     assert ids1 == ids2
+    out["unpersist"]()
+    out2["unpersist"]()
+
+
+def test_curation_funnel_single_pass(spark):
+    """The funnel must read PERSISTED stages, not re-derive them: without
+    the stage caches the exact-dedup window runs ~4x and the LSH candidate
+    join ~3x — several redundant corpus passes at 100 TB. Evidence: every
+    stage is cache-backed, and the funnel's physical plan contains no
+    Window or pandas-UDF node outside an InMemoryRelation (the cached
+    stage plans), so executing it can only replay cached blocks."""
+    from pyspark.storagelevel import StorageLevel
+
+    from sgp_sketch.pipeline import curate_corpus
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = docs.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("long")
+    def tick(c):
+        acc.add(len(c))
+        return c
+
+    # instrument doc_id: every branch that derives the exact-dedup stage
+    # from scratch must evaluate tick once per doc (the n_input count
+    # branch prunes doc_id away, so it doesn't tick)
+    out = curate_corpus(docs.withColumn("doc_id", tick("doc_id")),
+                        sample_per_source=5)
+    try:
+        for name in ("exact", "near", "quality", "sampled"):
+            assert out[name].storageLevel != StorageLevel.NONE, name
+        funnel = {r["source"]: r for r in out["funnel"].collect()}
+        assert funnel
+        assert acc.value == n_docs, (
+            f"exact-dedup stage ran {acc.value / n_docs:.1f}x — the "
+            "funnel is recomputing stages instead of reading the caches")
+    finally:
+        out["unpersist"]()
 
 
 def test_near_dup_clusters_transitive(spark):
