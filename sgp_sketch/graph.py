@@ -27,12 +27,16 @@ def k_hop(edges, seeds, k: int = 2, src: str = "src", dst: str = "dst",
     reached.
 
     `step_metrics` (optional, pass a list) turns on per-expansion traversal
-    profiling via `df.observe`: one {"depth": d, "frontier": n} dict is
-    appended per hop — the declarative analog of the reference's per-step
-    timing loop (PartitioningTwoHopTest.groovy:162-169). Each frontier is
+    profiling via `df.observe`: one {"depth": d, "frontier": n, "ms": t}
+    dict is appended per hop — frontier size AND wall-clock per expansion,
+    the declarative analog of the reference's per-step timing loop, which
+    records duration and elementCount per profile step
+    (PartitioningTwoHopTest.groovy:162-169). Each frontier is
     cached for its observed count and reused by the next expansion; the
     final result is materialized (localCheckpoint) before the caches are
     released, so nothing is computed twice and nothing stays pinned."""
+    import time
+
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -41,6 +45,7 @@ def k_hop(edges, seeds, k: int = 2, src: str = "src", dst: str = "dst",
     cached = []
     try:
         for depth in range(1, k + 1):
+            t0 = time.monotonic()
             nxt = (edges.join(frontier.withColumnRenamed("id", src), src)
                    .select(F.col(dst).alias("id")).distinct()
                    .join(reached.select("id"), "id", "left_anti"))
@@ -51,7 +56,9 @@ def k_hop(edges, seeds, k: int = 2, src: str = "src", dst: str = "dst",
                 nxt.observe(obs,
                             F.count(F.lit(1)).alias("frontier")).count()
                 n_new = int(obs.get["frontier"])
-                step_metrics.append({"depth": depth, "frontier": n_new})
+                step_metrics.append({
+                    "depth": depth, "frontier": n_new,
+                    "ms": round((time.monotonic() - t0) * 1000.0, 3)})
                 if n_new == 0:
                     break
             elif nxt.isEmpty():
@@ -193,15 +200,21 @@ def bidirectional_bfs(edges, source, target, max_depth: int = 6,
     `targetNext.contains(id)` scan (shortestPathTest.groovy:198-206).
 
     Returns {"found": bool, "depth": int | None, "expansions": int,
-    "truncated": bool, "frontier_sizes": list[int]} — frontier sizes are
-    measured per expansion via `df.observe` (G3 traversal profiling, the
-    PartitioningTwoHopTest.groovy:162-169 analog; the observed count also
-    materializes the frontier cache, replacing the lazy isEmpty probe).
+    "truncated": bool, "frontier_sizes": list[int], "step_metrics":
+    list[dict]} — frontier sizes are measured per expansion via
+    `df.observe`, and each step_metrics entry carries {"depth",
+    "frontier", "ms"}: size AND wall-clock per expansion (G3 traversal
+    profiling — the reference's profile() emits duration and elementCount
+    per step, PartitioningTwoHopTest.groovy:162-169; the observed count
+    also materializes the frontier cache, replacing the lazy isEmpty
+    probe).
 
     Every cached frontier is unpersisted on exit (try/finally), so repeated
     probes — e.g. a reachability loop over many (source, target) pairs —
     don't accumulate executor storage.
     """
+    import time
+
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -212,17 +225,21 @@ def bidirectional_bfs(edges, source, target, max_depth: int = 6,
     rev = edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
     depth, expansions, truncated = 0, 0, False
     sizes: list[int] = []
+    steps: list[dict] = []
     if source == target:
         return {"found": True, "depth": 0, "expansions": 0,
-                "truncated": False, "frontier_sizes": sizes}
+                "truncated": False, "frontier_sizes": sizes,
+                "step_metrics": steps}
     cached = []
 
     def result(found, d):
         return {"found": found, "depth": d, "expansions": expansions,
-                "truncated": truncated, "frontier_sizes": sizes}
+                "truncated": truncated, "frontier_sizes": sizes,
+                "step_metrics": steps}
 
     try:
         while depth < max_depth:
+            t0 = time.monotonic()
             # expand the (heuristically) cheaper side: alternate
             if depth % 2 == 0:
                 nxt = (edges.join(fwd.withColumnRenamed("id", src), src)
@@ -248,6 +265,8 @@ def bidirectional_bfs(edges, source, target, max_depth: int = 6,
             nxt.observe(obs, F.count(F.lit(1)).alias("frontier")).count()
             n_new = int(obs.get["frontier"])
             sizes.append(n_new)
+            steps.append({"depth": depth, "frontier": n_new,
+                          "ms": round((time.monotonic() - t0) * 1000.0, 3)})
             if n_new == 0:
                 return result(False, None)
             # frontier meet: any vertex reached from both ends?

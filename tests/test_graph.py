@@ -117,7 +117,9 @@ def test_sssp_chain_and_shortcut(spark):
 
 def test_k_hop_step_metrics(spark, chain_edges):
     """G3 traversal profiling: observe()-measured frontier sizes per hop
-    match the exact expansion counts."""
+    match the exact expansion counts, and each step carries a wall-clock
+    duration (the reference's profile() emits duration AND elementCount
+    per step)."""
     from sgp_sketch.graph import k_hop
 
     seeds = spark.createDataFrame([(0,)], ["id"])
@@ -125,9 +127,13 @@ def test_k_hop_step_metrics(spark, chain_edges):
     got = {r["id"]: r["hops"] for r in
            k_hop(chain_edges, seeds, k=3, step_metrics=metrics).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
-    assert metrics == [{"depth": 1, "frontier": 1},
-                       {"depth": 2, "frontier": 1},
-                       {"depth": 3, "frontier": 1}]
+    assert [{k: m[k] for k in ("depth", "frontier")} for m in metrics] == [
+        {"depth": 1, "frontier": 1},
+        {"depth": 2, "frontier": 1},
+        {"depth": 3, "frontier": 1}]
+    for m in metrics:
+        assert set(m) == {"depth", "frontier", "ms"}
+        assert m["ms"] > 0
 
 
 def test_bfs_reports_frontier_sizes(spark, chain_edges):
@@ -137,3 +143,9 @@ def test_bfs_reports_frontier_sizes(spark, chain_edges):
     assert out["found"]
     assert len(out["frontier_sizes"]) == out["expansions"]
     assert all(n >= 1 for n in out["frontier_sizes"])
+    assert len(out["step_metrics"]) == out["expansions"]
+    for m in out["step_metrics"]:
+        assert set(m) == {"depth", "frontier", "ms"}
+        assert m["ms"] > 0
+    assert [m["frontier"] for m in out["step_metrics"]] \
+        == out["frontier_sizes"]
