@@ -2,7 +2,11 @@
 entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
 column names, and order-insensitive values.
 
-Usage: python tools/check_contract.py [sf_dir] [query ...]
+Usage: python tools/check_contract.py [--json out.json] [sf_dir] [query ...]
+
+--json writes a CORRECTNESS_r*.json-shaped record per query, so ci.sh can
+commit an in-repo adjudication log covering the FULL registered surface
+even when the driver's own check list is a frozen subset.
 """
 
 from __future__ import annotations
@@ -29,8 +33,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict = {}
 
     import __spark_entry__ as entry
     from sgp_sketch.session import get_spark
@@ -44,45 +55,68 @@ def main() -> int:
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = []
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            results[name] = {"err": f"{type(e).__name__}: {e}"[:300]}
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok*   {name}: rows={len(sdf)} cols={list(sdf.columns)} "
                   f"(rows-only, {dt:.1f}s)")
+            results[name] = {"status": "no_oracle", "spark_rows": len(sdf),
+                             "seconds": round(dt, 1), "err": None}
             if len(sdf) == 0:
                 failures.append(name)
+                results[name]["err"] = "0 rows"
                 print(f"FAIL  {name}: 0 rows")
             continue
         odf = con.sql(oracles[name]).df()
         a, b = normalize(sdf), normalize(odf)
-        if list(a.columns) != list(b.columns):
+        rec = {"rows_match": len(a) == len(b),
+               "schema_match": list(a.columns) == list(b.columns),
+               "hash_match": False, "spark_rows": len(sdf),
+               "oracle_rows": len(odf), "seconds": round(dt, 1),
+               "err": None}
+        results[name] = rec
+        if not rec["schema_match"]:
             failures.append(name)
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
             continue
-        if len(a) != len(b):
+        if not rec["rows_match"]:
             failures.append(name)
             print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
             continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                           check_exact=False, rtol=1e-6, atol=1e-6)
+            rec["hash_match"] = True
             print(f"ok    {name}: rows={len(a)} match ({dt:.1f}s)")
         except AssertionError as e:
             failures.append(name)
+            rec["err"] = f"value mismatch: {e}"[:300]
             print(f"FAIL  {name}: value mismatch\n{str(e)[:500]}")
             print("  spark head:", a.head(3).to_dict("records"))
             print("  oracle head:", b.head(3).to_dict("records"))
     spark.stop()
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_checked": n_checked,
+                       "n_pass": n_checked - len(failures),
+                       "failures": sorted(failures),
+                       "results": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
+    print(f"\n{n_checked - len(failures)}/{n_checked} queries pass")
     return 1 if failures else 0
 
 
