@@ -116,3 +116,73 @@ def write_tokens_table(spark, path: str, n_docs: int, seed: int = SEED,
         df = df.repartition(out_files, "source", "doc_id")
     df.write.mode("overwrite").partitionBy("source").parquet(path)
     return path
+
+
+# ------------------------------------------------- near-dup-heavy documents
+
+NEARDUP_VOCAB = 50_000
+NEARDUP_FAMILY = 5
+
+
+def _neardup_chunk(start: int, count: int, dup_frac: float = 0.3,
+                   mutate: float = 0.01, seed: int = SEED):
+    """One deterministic chunk of documents with PLANTED near-duplicate
+    families: `dup_frac` of docs belong to families of NEARDUP_FAMILY
+    members sharing a base word sequence with `mutate` of the words
+    substituted per member (1% substitutions over 3-word shingles keeps
+    pairwise Jaccard ≈ 0.77-0.95, median ≈ 0.89 — ≥97% of planted pairs
+    clear a 0.75 dedup threshold). doc_id
+    encodes the family (`fam:<fid>:<member>` vs `uniq:<id>`), so a probe
+    can measure recovery of the planted pairs exactly."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 7, int(start)]))
+    ids, texts = [], []
+    i = start
+    end = start + count
+    while i < end:
+        L = int(rng.integers(80, 120))
+        base = rng.integers(0, NEARDUP_VOCAB, L)
+        if rng.random() < dup_frac and i + NEARDUP_FAMILY <= end:
+            fid = i
+            for m in range(NEARDUP_FAMILY):
+                w = base.copy()
+                flips = rng.random(L) < mutate
+                w[flips] = rng.integers(0, NEARDUP_VOCAB, int(flips.sum()))
+                ids.append(f"fam:{fid:09d}:{m}")
+                texts.append(" ".join(f"w{t:05d}" for t in w))
+                i += 1
+        else:
+            ids.append(f"uniq:{i:09d}")
+            texts.append(" ".join(f"w{t:05d}" for t in base))
+            i += 1
+    return ids, texts
+
+
+def neardup_docs_df(spark, n_docs: int, dup_frac: float = 0.3,
+                    mutate: float = 0.01, seed: int = SEED,
+                    partitions: int | None = None):
+    """Distributed near-dup-heavy corpus (doc_id, text, source, n_chars) —
+    the 10x dedup scale probe's input. Same chunked-PCG64 discipline as
+    tokens_df: content depends only on (seed, chunk start), never on the
+    task layout."""
+    from pyspark.sql import types as T
+
+    def gen(iterator):
+        import pandas as pd
+        for pdf in iterator:
+            for start, count in pdf.itertuples(index=False):
+                ids, texts = _neardup_chunk(int(start), int(count),
+                                            dup_frac, mutate, seed)
+                yield pd.DataFrame({
+                    "doc_id": ids, "text": texts,
+                    "source": ["synth"] * len(ids),
+                    "n_chars": [len(t) for t in texts]})
+
+    tasks = [(s, min(CHUNK, n_docs - s)) for s in range(0, n_docs, CHUNK)]
+    tasks_sdf = spark.createDataFrame(tasks, "start int, count int")
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("n_chars", T.IntegerType(), False)])
+    n_part = partitions or min(len(tasks), 64)
+    return tasks_sdf.repartition(n_part).mapInPandas(gen, schema)
