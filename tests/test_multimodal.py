@@ -3,6 +3,8 @@ round-trips, numpy feature kernels, and the Spark mapInPandas stages
 (schema, batch shape, row expansion) over synthetic media. Compressed
 external codecs must raise the documented stub."""
 
+import importlib.util
+
 import numpy as np
 import pytest
 
@@ -36,13 +38,59 @@ def test_codec_rejects_wrong_kind():
         mm.decode_audio(img)
 
 
-def test_external_compressed_codecs_are_stubbed():
-    """Compressed formats need PIL/soundfile (absent here): clearly-marked
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+_HAS_SOUNDFILE = importlib.util.find_spec("soundfile") is not None
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL installed: image stub unreachable")
+def test_external_image_codec_is_stubbed_without_pil():
+    """Compressed image formats need PIL (absent here): clearly-marked
     NotImplementedError, never a silent wrong answer."""
     with pytest.raises(NotImplementedError):
         mm.decode_external(b"\xff\xd8\xff", "jpeg")
+
+
+@pytest.mark.skipif(_HAS_SOUNDFILE,
+                    reason="soundfile installed: audio stub unreachable")
+def test_external_audio_codec_is_stubbed_without_soundfile():
     with pytest.raises(NotImplementedError):
         mm.decode_external(b"fLaC", "flac")
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="needs PIL")
+def test_decode_external_png_with_pil():
+    """Wherever PIL exists, the compressed-image hook must round-trip a
+    lossless PNG exactly (this is skipped in the build sandbox, collected
+    and run anywhere PIL ships)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    got = mm.decode_external(buf.getvalue(), "png")
+    np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.skipif(not _HAS_SOUNDFILE, reason="needs soundfile")
+def test_decode_external_flac_with_soundfile():
+    """Wherever soundfile exists, the compressed-audio hook must round-trip
+    lossless FLAC samples."""
+    import io
+
+    import soundfile
+
+    rng = np.random.default_rng(12)
+    samples = (rng.standard_normal(2000) * 2000).astype(np.int16)
+    buf = io.BytesIO()
+    soundfile.write(buf, samples, 8000, format="FLAC")
+    got, sr = mm.decode_external(buf.getvalue(), "flac")
+    assert sr == 8000
+    np.testing.assert_array_equal(np.asarray(got * 32768, dtype=np.int16)
+                                  if np.asarray(got).dtype.kind == "f"
+                                  else np.asarray(got), samples)
 
 
 def test_wav_roundtrip_stdlib():
