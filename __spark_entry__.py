@@ -784,6 +784,67 @@ def q_event_deltas(spark, sf_dir):
         .filter(F.col("delta").isNotNull()))  # first day has no prior
 
 
+def q_session_stats(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap) over the events
+    stream → per-session event count, duration, and value sum. The
+    session boundary is a lag window + running sum — ONE shuffle on
+    user_id (sgp_sketch/temporal.py scale notes); oracle: the identical
+    window algebra in DuckDB. Durations/sums only (tz-invariant)."""
+    from sgp_sketch.temporal import sessionize
+
+    _views(spark, sf_dir)
+    s = sessionize(spark.table("events"), gap_seconds=1800,
+                   order_col="event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (s.groupBy("user_id", "session_idx")
+            .agg(F.count("*").alias("n_events"),
+                 F.round((F.max(us) - F.min(us)) / 1e6, 3)
+                 .alias("duration_sec"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: every click event picks up the value of the
+    SAME user's latest view event at or before it (NULL→-1.0 when no
+    prior view). Implemented as the union + last_value(ignorenulls)
+    window — one shuffle, no inequality join; oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    from sgp_sketch.temporal import asof_join
+
+    _views(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    j = asof_join(clicks, views, value_cols=("value",),
+                  order_col="event_id")
+    return j.select(
+        "event_id", "user_id",
+        F.coalesce(F.round("value_asof", 2), F.lit(-1.0))
+        .alias("asof_value"))
+
+
+def q_range_join_counts(spark, sf_dir):
+    """Windowed range join: per click event, how many error events the
+    same user emitted within ±10 minutes. Binned equi-join (right side
+    exploded to bin±1) + exact |Δt| refine — never an inequality
+    (nested-loop) join; oracle: DuckDB inequality LEFT JOIN count."""
+    from sgp_sketch.temporal import windowed_range_join
+
+    _views(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("user_id", "ts")
+    pairs = windowed_range_join(clicks, errors, 600)
+    cnt = pairs.groupBy("event_id", "user_id") \
+        .agg(F.count("*").alias("n_nearby"))
+    return (clicks.select("event_id", "user_id")
+            .join(cnt, ["event_id", "user_id"], "left")
+            .select("event_id", "user_id",
+                    F.coalesce("n_nearby", F.lit(0)).alias("n_nearby")))
+
+
 def q_ts_epoch_parse(spark, sf_dir):
     """F4 format-string timestamp parsing: string → to_timestamp(fmt) →
     epoch millis, the reference's `yyyy-MM-dd'T'HH:mm:ss.SSS` GMT-to-epoch
@@ -1157,6 +1218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_token_routing": q_salted_token_routing,
         "vocab_overlap": q_vocab_overlap,
         "rollup_revenue": q_rollup_revenue,
+        "session_stats": q_session_stats,
+        "asof_join": q_asof_join,
+        "range_join_counts": q_range_join_counts,
     }
 
 
@@ -1545,6 +1609,46 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY day) AS BIGINT) AS delta
                 FROM daily)
             WHERE delta IS NOT NULL
+        """,
+        "session_stats": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id, ts, value,
+                       CAST(SUM(new_s) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+                FROM o)
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                         / 1000000.0, 3) AS duration_sec,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id,
+                   COALESCE(ROUND(r.value, 2), -1.0) AS asof_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_counts": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 x AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'error')
+            SELECT c.event_id, c.user_id,
+                   COUNT(x.ts) AS n_nearby
+            FROM c LEFT JOIN x ON c.user_id = x.user_id
+                AND abs(epoch_us(c.ts) - epoch_us(x.ts)) <= 600000000
+            GROUP BY c.event_id, c.user_id
         """,
         "ts_epoch_parse": """
             WITH p AS (

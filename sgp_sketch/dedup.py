@@ -211,7 +211,8 @@ def minhash_near_duplicates(df, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3, k: int = 64,
                             bands: int = 16, threshold: float = 0.5,
                             max_bucket: int = 1000,
-                            exact_verify: bool = False, stats=None):
+                            exact_verify: bool = False, stats=None,
+                            caches: list | None = None):
     """End-to-end MinHash near-dup: shingle → sign → band → candidates →
     Jaccard ≥ threshold.
 
@@ -223,6 +224,12 @@ def minhash_near_duplicates(df, id_col: str = "doc_id",
     deterministic and oracle-comparable. Candidate recall at threshold t is
     1−(1−t^(k/bands))^bands (≥ 0.999 for t ≥ 0.8 at 16×4).
 
+    The signature stage is cached (it feeds the candidate join AND both
+    sides of the verify join). Pass a list as `caches` to receive the
+    cached DataFrame and unpersist it once the result is materialized —
+    otherwise it stays pinned for the session (pipeline.curate_corpus
+    routes it through its own unpersist handle).
+
     → DataFrame(doc_a, doc_b, est_jaccard|jaccard double).
     """
     from pyspark.sql import functions as F
@@ -230,6 +237,8 @@ def minhash_near_duplicates(df, id_col: str = "doc_id",
     shingled = word_shingles(df.select(id_col, text_col), text_col, n)
     sigs = minhash_signatures(shingled, k=k).select(id_col, "shingles",
                                                     "sig").cache()
+    if caches is not None:
+        caches.append(sigs)
     pairs = lsh_candidate_pairs(sigs, id_col, "sig", bands, k, max_bucket,
                                 stats=stats)
     if exact_verify:

@@ -73,8 +73,10 @@ def curate_corpus(docs, jaccard_threshold: float = 0.8,
     exact = _persist(docs.withColumn("_r", F.row_number().over(w))
                      .filter(F.col("_r") == 1).drop("_r"))
 
+    aux_caches: list = []
     pairs = dedup.minhash_near_duplicates(
-        exact, threshold=jaccard_threshold, exact_verify=True)
+        exact, threshold=jaccard_threshold, exact_verify=True,
+        caches=aux_caches)
     removed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     near = _persist(exact.join(removed, "doc_id", "left_anti"))
 
@@ -100,6 +102,8 @@ def curate_corpus(docs, jaccard_threshold: float = 0.8,
         if persist:
             for df in stages:
                 df.unpersist()
+        for df in aux_caches:  # the LSH signature cache
+            df.unpersist()
 
     return {"exact": exact, "near": near, "quality": quality,
             "sampled": sampled, "funnel": funnel, "unpersist": unpersist}
