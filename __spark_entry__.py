@@ -845,6 +845,43 @@ def q_range_join_counts(spark, sf_dir):
                     F.coalesce("n_nearby", F.lit(0)).alias("n_nearby")))
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: distinct 3-gram collisions between the
+    corpus (sources != src0) and the benchmark set (source = src0) — the
+    exact n-gram overlap pass LLM pretraining pipelines run before
+    training. Broadcast of the (small) benchmark gram set; no corpus
+    shuffle (sgp_sketch/text.py scale notes)."""
+    from sgp_sketch.text import contamination_check
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    return contamination_check(docs.filter(F.col("source") != "src0"),
+                               docs.filter(F.col("source") == "src0"))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf*ln(N/df) — keyword
+    extraction as a declarative two-aggregate + window plan."""
+    from sgp_sketch.text import tfidf_top_terms
+
+    _views(spark, sf_dir)
+    return tfidf_top_terms(spark.table("documents"), k=3)
+
+
+def q_json_extract(spark, sf_dir):
+    """F12 JSON handling on data (not just config): parse the events
+    `props` JSON column (`get_json_object`), extract and type the `k`
+    field, aggregate per event type."""
+    _views(spark, sf_dir)
+    ev = spark.table("events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("k"), 2).alias("avg_k"),
+                 F.max("k").alias("max_k")))
+
+
 def q_ts_epoch_parse(spark, sf_dir):
     """F4 format-string timestamp parsing: string → to_timestamp(fmt) →
     epoch millis, the reference's `yyyy-MM-dd'T'HH:mm:ss.SSS` GMT-to-epoch
@@ -1221,6 +1258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "asof_join": q_asof_join,
         "range_join_counts": q_range_join_counts,
+        "contamination": q_contamination,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "json_extract": q_json_extract,
     }
 
 
@@ -1649,6 +1689,52 @@ def oracle_sql() -> dict[str, str]:
             FROM c LEFT JOIN x ON c.user_id = x.user_id
                 AND abs(epoch_us(c.ts) - epoch_us(x.ts)) <= 600000000
             GROUP BY c.event_id, c.user_id
+        """,
+        "contamination": """
+            WITH docs AS (
+                SELECT doc_id, source, string_split(text, ' ') AS w
+                FROM documents),
+            grams AS (
+                SELECT doc_id, source,
+                       unnest(list_distinct(
+                           CASE WHEN len(w) >= 3
+                                THEN list_transform(range(1, len(w) - 1),
+                                     i -> array_to_string(w[i:i+2], ' '))
+                                ELSE CAST([] AS VARCHAR[]) END)) AS g
+                FROM docs),
+            bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+            corpus AS (SELECT doc_id, g FROM grams WHERE source <> 'src0')
+            SELECT c.doc_id, COUNT(*) AS n_shared
+            FROM corpus c JOIN bench b USING (g)
+            GROUP BY c.doc_id
+        """,
+        "tfidf_top_terms": """
+            WITH terms AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM terms GROUP BY doc_id, term),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
+                  FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.term,
+                       t.tf * ln((SELECT n_docs FROM n) / d.df) AS score
+                FROM tf t JOIN dfreq d USING (term))
+            SELECT doc_id, term, ROUND(score, 4) AS score, rank FROM (
+                SELECT doc_id, term, score,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS INT) AS rank
+                FROM scored) r
+            WHERE rank <= 3
+        """,
+        "json_extract": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k')
+                                  AS INT)), 2) AS avg_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INT))
+                       AS max_k
+            FROM events GROUP BY event_type
         """,
         "ts_epoch_parse": """
             WITH p AS (

@@ -91,3 +91,72 @@ def classify_language(df, profiles: dict, text_col: str = "text",
         pred = F.when(sc > best, F.lit(label)).otherwise(pred)
         best = F.greatest(best, sc)
     return with_grams.withColumn(out_col, pred).drop("_g")
+
+
+# ---------------------------------------------------- decontamination / tfidf
+
+def word_ngram_strings(df, text_col: str = "text", n: int = 3,
+                       out_col: str = "grams"):
+    """doc → array<string> of distinct word n-grams in STRING form —
+    the cross-engine-comparable twin of dedup.word_shingles (which hashes
+    the grams for LSH). Entirely JVM-side: split → sliding slice →
+    concat_ws → array_distinct."""
+    from pyspark.sql import functions as F
+
+    words = F.split(F.col(text_col), " ")
+    idx = F.when(F.size(words) >= n,
+                 F.sequence(F.lit(1), F.size(words) - (n - 1))
+                 ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return df.withColumn(out_col, F.array_distinct(grams))
+
+
+def contamination_check(corpus, bench, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3):
+    """Benchmark decontamination: per corpus document, the number of
+    distinct word n-grams it shares with the benchmark set — the standard
+    pre-training hygiene pass that catches eval data leaked into the
+    corpus (exact n-gram collision, the methodology used for public LLM
+    decontamination reports).
+
+    → DataFrame(id_col, n_shared) for documents with ≥ 1 shared gram.
+
+    Scale shape: benchmark suites are MB-sized against a 100-TB corpus,
+    so the distinct benchmark gram set is broadcast and the corpus side
+    streams through a broadcast hash join — no shuffle of corpus data;
+    the aggregation shuffles only the colliding (doc, gram) pairs."""
+    from pyspark.sql import functions as F
+
+    cg = (word_ngram_strings(corpus.select(id_col, text_col), text_col, n)
+          .select(id_col, F.explode("grams").alias("g")))
+    bg = (word_ngram_strings(bench.select(text_col), text_col, n)
+          .select(F.explode("grams").alias("g")).distinct())
+    # grams are distinct per doc already (array_distinct) → count(*) is
+    # the distinct shared-gram count
+    return (cg.join(F.broadcast(bg), "g")
+            .groupBy(id_col).agg(F.count("*").alias("n_shared")))
+
+
+def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3):
+    """Top-k characteristic terms per document by tf·idf
+    (idf = ln(N/df), no smoothing), ties broken by term — the classic
+    keyword-extraction / quality-signal pass, fully declarative.
+
+    → DataFrame(id_col, term, score double, rank int)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    n_docs = df.select(id_col).distinct().count()
+    terms = (df.select(id_col, F.explode(F.split(F.col(text_col), " "))
+                       .alias("term")))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    return (tf.join(dfreq, "term")
+            .withColumn("score", F.col("tf")
+                        * F.log(F.lit(float(n_docs)) / F.col("df")))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term", F.round("score", 4).alias("score"),
+                    "rank"))

@@ -92,11 +92,13 @@ def test_curation_pipeline_stages(spark):
 
 def test_curation_funnel_single_pass(spark):
     """The funnel must read PERSISTED stages, not re-derive them: without
-    the stage caches the exact-dedup window runs ~4x and the LSH candidate
-    join ~3x — several redundant corpus passes at 100 TB. Evidence: every
-    stage is cache-backed, and the funnel's physical plan contains no
-    Window or pandas-UDF node outside an InMemoryRelation (the cached
-    stage plans), so executing it can only replay cached blocks."""
+    the stage caches the exact-dedup window runs ~3-4x and the LSH
+    candidate join ~3x — several redundant corpus passes at 100 TB.
+    Evidence: an accumulator-instrumented doc_id column counts how many
+    times the exact-dedup stage actually evaluates (plan-string
+    inspection can't prove this — executedPlan inlines cached child
+    plans under InMemoryTableScan); measured 3x without persist, must be
+    exactly 1x with."""
     from pyspark.storagelevel import StorageLevel
 
     from sgp_sketch.pipeline import curate_corpus
@@ -139,3 +141,49 @@ def test_near_dup_clusters_transitive(spark):
     got = {r["doc_id"]: r["cluster"]
            for r in near_dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_contamination_known_overlap(spark):
+    """Known fixture: one corpus doc shares exactly two distinct 3-grams
+    with the benchmark set, one shares none (absent from output)."""
+    from sgp_sketch.text import contamination_check
+
+    corpus = spark.createDataFrame(
+        [("c1", "a b c d e"),    # grams: abc bcd cde — abc+bcd in bench
+         ("c2", "x y z w")],     # no overlap
+        "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("b1", "a b c d q q q")], "doc_id string, text string")
+    got = {r.doc_id: r.n_shared for r in
+           contamination_check(corpus, bench).collect()}
+    assert got == {"c1": 2}
+
+
+def test_contamination_plan_broadcasts_bench(spark):
+    """The benchmark gram set must broadcast — the corpus side is never
+    shuffled for the join (decontamination at 100 TB corpus scale)."""
+    from sgp_sketch.text import contamination_check
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+    df = contamination_check(docs.filter(F.col("source") != "src0"),
+                             docs.filter(F.col("source") == "src0"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_top_terms_small(spark):
+    """tf*ln(N/df) on a 2-doc corpus: a term present in every doc scores
+    0 (ln 1); doc-unique terms rank first."""
+    import math
+
+    from sgp_sketch.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [("d1", "apple apple shared"), ("d2", "banana shared")],
+        "doc_id string, text string")
+    got = {(r.doc_id, r.rank): (r.term, r.score)
+           for r in tfidf_top_terms(df, k=2).collect()}
+    assert got[("d1", 1)] == ("apple", round(2 * math.log(2 / 1), 4))
+    assert got[("d1", 2)] == ("shared", 0.0)
+    assert got[("d2", 1)] == ("banana", round(math.log(2 / 1), 4))
