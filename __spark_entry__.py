@@ -882,6 +882,28 @@ def q_json_extract(spark, sf_dir):
                  F.max("k").alias("max_k")))
 
 
+def q_hash_split_counts(spark, sf_dir):
+    """Deterministic engine-reproducible train/val/test split (md5 hex
+    thresholds — sgp_sketch/text.py:hash_split): per (source, split) doc
+    counts. The oracle derives the IDENTICAL assignment from DuckDB's
+    md5, proving cross-engine reproducibility, the property that lets a
+    downstream eval stack recompute the split without data exchange."""
+    from sgp_sketch.text import hash_split
+
+    _views(spark, sf_dir)
+    return (hash_split(spark.table("documents"))
+            .groupBy("source", "split").agg(F.count("*").alias("n")))
+
+
+def q_vocab_build(spark, sf_dir):
+    """Tokenizer vocabulary construction: term → corpus count, doc freq,
+    stable contiguous token id (count-desc rank), min_count=2 cutoff."""
+    from sgp_sketch.text import build_vocab
+
+    _views(spark, sf_dir)
+    return build_vocab(spark.table("documents"), min_count=2)
+
+
 def q_ts_epoch_parse(spark, sf_dir):
     """F4 format-string timestamp parsing: string → to_timestamp(fmt) →
     epoch millis, the reference's `yyyy-MM-dd'T'HH:mm:ss.SSS` GMT-to-epoch
@@ -1261,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "tfidf_top_terms": q_tfidf_top_terms,
         "json_extract": q_json_extract,
+        "hash_split_counts": q_hash_split_counts,
+        "vocab_build": q_vocab_build,
     }
 
 
@@ -1727,6 +1751,30 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY score DESC, term) AS INT) AS rank
                 FROM scored) r
             WHERE rank <= 3
+        """,
+        "hash_split_counts": """
+            SELECT source,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                             < 'cccccc' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                             < 'e66666' THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
+        "vocab_build": """
+            WITH per_doc AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+                GROUP BY doc_id, term),
+            counts AS (
+                SELECT term, SUM(tf) AS cnt, COUNT(*) AS doc_freq
+                FROM per_doc GROUP BY term)
+            SELECT term, cnt, doc_freq,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term)
+                        AS INT) AS token_id
+            FROM counts WHERE cnt >= 2
         """,
         "json_extract": """
             SELECT event_type, COUNT(*) AS n,

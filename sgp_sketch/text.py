@@ -160,3 +160,58 @@ def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
             .filter(F.col("rank") <= k)
             .select(id_col, "term", F.round("score", 4).alias("score"),
                     "rank"))
+
+
+def hash_split(df, weights=None, id_col: str = "doc_id", salt: str = "",
+               out_col: str = "split"):
+    """Deterministic, ENGINE-REPRODUCIBLE train/val/test assignment:
+    md5(id || salt) compared lexicographically against cumulative hex
+    thresholds — no rand(), no engine-specific hash, so any system with
+    md5 (Spark, DuckDB, Presto, pandas) derives the identical split; the
+    assignment is a pure projection (no shuffle, no state), stable under
+    repartitioning, and new documents never move existing ones between
+    splits. `salt` selects an independent split family.
+
+    weights: ordered {name: fraction} (default train/val/test .8/.1/.1;
+    fractions must sum to 1)."""
+    from pyspark.sql import functions as F
+
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(weights)
+    cuts, cum = [], 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cuts.append((name, format(int(cum * 16 ** 6), "06x")))
+    prefix = F.substring(
+        F.md5(F.concat_ws("", F.col(id_col).cast("string"), F.lit(salt))),
+        1, 6)
+    expr = F.lit(names[-1])
+    for name, cut in reversed(cuts):
+        expr = F.when(prefix < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def build_vocab(df, id_col: str = "doc_id", text_col: str = "text",
+                min_count: int = 2):
+    """Tokenizer-style vocabulary construction: term → corpus count,
+    document frequency, and a STABLE contiguous token id (rank by count
+    desc, term asc — deterministic across runs and partitionings).
+    Terms under `min_count` are dropped (the OOV cutoff).
+
+    → DataFrame(term, cnt, doc_freq, token_id int).
+
+    Scale note: the ranking window is a single ordered pass over the
+    POST-AGGREGATION vocab table (≪ corpus; low-frequency mass is already
+    cut), the standard shape for id assignment — the corpus-sized work
+    (explode + two aggregations) is fully distributed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    terms = df.select(id_col, F.explode(F.split(F.col(text_col), " "))
+                      .alias("term"))
+    per_doc = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    counts = per_doc.groupBy("term").agg(
+        F.sum("tf").alias("cnt"), F.count("*").alias("doc_freq"))
+    w = Window.orderBy(F.desc("cnt"), "term")
+    return (counts.filter(F.col("cnt") >= min_count)
+            .withColumn("token_id", F.row_number().over(w).cast("int")))

@@ -187,3 +187,33 @@ def test_tfidf_top_terms_small(spark):
     assert got[("d1", 1)] == ("apple", round(2 * math.log(2 / 1), 4))
     assert got[("d1", 2)] == ("shared", 0.0)
     assert got[("d2", 1)] == ("banana", round(math.log(2 / 1), 4))
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from sgp_sketch.text import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    a = hash_split(df).toPandas()
+    b = hash_split(df.repartition(7)).toPandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.split_a == merged.split_b).all()  # partition-invariant
+    frac = a.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # salt selects an independent family
+    c = hash_split(df, salt="v2").toPandas().merge(a, on="doc_id",
+                                                   suffixes=("_c", "_a"))
+    assert (c.split_c != c.split_a).any()
+
+
+def test_build_vocab_ids_and_cutoff(spark):
+    from sgp_sketch.text import build_vocab
+
+    df = spark.createDataFrame(
+        [("d1", "b b b a a once"), ("d2", "a b")],
+        "doc_id string, text string")
+    got = {r.term: (r.cnt, r.doc_freq, r.token_id)
+           for r in build_vocab(df, min_count=2).collect()}
+    # b: cnt 4 in 2 docs -> id 1; a: cnt 3 in 2 docs -> id 2; once dropped
+    assert got == {"b": (4, 2, 1), "a": (3, 2, 2)}
