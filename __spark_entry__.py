@@ -803,6 +803,28 @@ def q_session_stats(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def q_session_window_counts(spark, sf_dir):
+    """Spark's BUILT-IN session_window (the streaming-capable gap-session
+    operator — the same expression works under a watermark in Structured
+    Streaming) over the events table, 30-min gap: per-session event
+    count, duration, value sum. Oracle: the window-algebra derivation of
+    the same sessions; Spark merges events with gap < g and starts a new
+    session at gap >= g (window end exclusive), so the oracle's boundary
+    is >= — one strictness notch off q_session_stats's custom
+    sessionize (> g), both conventions exact against their own oracle."""
+    _views(spark, sf_dir)
+    ev = (spark.table("events")
+          .withColumn("tst", F.col("ts").cast("timestamp")))
+    us = F.unix_micros("tst")
+    return (ev.groupBy("user_id",
+                       F.session_window("tst", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round((F.max(us) - F.min(us)) / 1e6, 3)
+                 .alias("duration_sec"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .drop("w"))
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join: every click event picks up the value of the
     SAME user's latest view event at or before it (NULL→-1.0 when no
@@ -1285,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "hash_split_counts": q_hash_split_counts,
         "vocab_build": q_vocab_build,
+        "session_window_counts": q_session_window_counts,
     }
 
 
@@ -1690,6 +1713,26 @@ def oracle_sql() -> dict[str, str]:
                             ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
                 FROM o)
             SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                         / 1000000.0, 3) AS duration_sec,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "session_window_counts": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               >= 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM o)
+            SELECT user_id, COUNT(*) AS n_events,
                    ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
                          / 1000000.0, 3) AS duration_sec,
                    ROUND(SUM(value), 2) AS sum_value
