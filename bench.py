@@ -234,10 +234,16 @@ def dedup_probe(spark) -> dict:
 
     n_docs = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "50000"))
     threshold = 0.75
-    path = f"/tmp/sgp_bench_neardup_{n_docs}"
+    dup_frac, mutate, seed = 0.3, 0.01, 42
+    # cache key carries EVERY generator parameter (and a generator version
+    # tag) so an edit to the corpus recipe can never silently reuse stale
+    # parquet and attribute old numbers to new code
+    path = (f"/tmp/sgp_bench_neardup_v2_{n_docs}"
+            f"_{dup_frac}_{mutate}_{seed}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         log(f"generating near-dup corpus: {n_docs} docs → {path}")
-        neardup_docs_df(spark, n_docs).write.mode("overwrite").parquet(path)
+        (neardup_docs_df(spark, n_docs, dup_frac, mutate, seed)
+         .write.mode("overwrite").parquet(path))
     docs = spark.read.parquet(path)
 
     t0 = time.perf_counter()

@@ -77,19 +77,26 @@ def _fs_read_text(spark, path: str) -> str:
 def _append_jsonl(spark, path: str, record: dict) -> None:
     """FS-agnostic append for the tiny metrics log (`FileSystem.append` is
     unsupported on object stores): read + write-to-temp + rename into
-    place, so a crash mid-write leaves the old log (plus at worst a stale
-    .tmp), never a truncated one. Single driver writer per build — no
-    concurrent-appender contract. Read-modify-write is O(log size) per
-    append — bounded by the slice count of one build; per-slice files
-    would shard it if that ever mattered."""
-    prev = _fs_read_text(spark, path) if _fs_exists(spark, path) else ""
+    place. A crash mid-write leaves either the old log, or — in the
+    delete→rename window — only the complete .tmp, which the NEXT append
+    recovers from automatically (the .tmp always holds the full previous
+    history plus the record that was being committed, so recovery is
+    at-least-once for that one record, never a truncated or reset log).
+    Single driver writer per build — no concurrent-appender contract.
+    Read-modify-write is O(log size) per append — bounded by the slice
+    count of one build; per-slice files would shard it if that ever
+    mattered."""
     tmp = path + ".tmp"
+    if _fs_exists(spark, path):
+        prev = _fs_read_text(spark, path)
+    elif _fs_exists(spark, tmp):
+        prev = _fs_read_text(spark, tmp)  # crashed mid-commit: recover
+    else:
+        prev = ""
     _fs_write_text(spark, tmp, prev + json.dumps(record) + "\n")
     fs, dst = _fs_path(spark, path)
     _, src = _fs_path(spark, tmp)
-    # RawLocalFileSystem.rename refuses to clobber; delete-then-rename has
-    # a window where only the (complete) .tmp exists — recoverable, unlike
-    # the truncate-then-write it replaces.
+    # RawLocalFileSystem.rename refuses to clobber → delete-then-rename
     if fs.exists(dst):
         fs.delete(dst, False)
     if not fs.rename(src, dst):

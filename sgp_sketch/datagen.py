@@ -127,21 +127,24 @@ NEARDUP_FAMILY = 5
 def _neardup_chunk(start: int, count: int, dup_frac: float = 0.3,
                    mutate: float = 0.01, seed: int = SEED):
     """One deterministic chunk of documents with PLANTED near-duplicate
-    families: `dup_frac` of docs belong to families of NEARDUP_FAMILY
-    members sharing a base word sequence with `mutate` of the words
-    substituted per member (1% substitutions over 3-word shingles keeps
-    pairwise Jaccard ≈ 0.77-0.95, median ≈ 0.89 — ≥97% of planted pairs
-    clear a 0.75 dedup threshold). doc_id
-    encodes the family (`fam:<fid>:<member>` vs `uniq:<id>`), so a probe
-    can measure recovery of the planted pairs exactly."""
+    families: an expected `dup_frac` FRACTION OF DOCS belong to families
+    of NEARDUP_FAMILY members sharing a base word sequence with `mutate`
+    of the words substituted per member (1% substitutions over 3-word
+    shingles keeps pairwise Jaccard ≈ 0.77-0.95, median ≈ 0.89 — ≥97% of
+    planted pairs clear a 0.75 dedup threshold). Each emission plants a
+    whole family with probability q = d/(F − d(F−1)), the rate at which
+    qF family docs per (qF + 1 − q) total equals d. doc_id encodes the
+    family (`fam:<fid>:<member>` vs `uniq:<id>`), so a probe can measure
+    recovery of the planted pairs exactly."""
     rng = np.random.default_rng(np.random.SeedSequence([seed, 7, int(start)]))
+    fam_p = dup_frac / (NEARDUP_FAMILY - dup_frac * (NEARDUP_FAMILY - 1))
     ids, texts = [], []
     i = start
     end = start + count
     while i < end:
         L = int(rng.integers(80, 120))
         base = rng.integers(0, NEARDUP_VOCAB, L)
-        if rng.random() < dup_frac and i + NEARDUP_FAMILY <= end:
+        if rng.random() < fam_p and i + NEARDUP_FAMILY <= end:
             fid = i
             for m in range(NEARDUP_FAMILY):
                 w = base.copy()

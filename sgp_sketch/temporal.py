@@ -77,37 +77,51 @@ def asof_join(left, right, key_col: str = "user_id", ts_col: str = "ts",
     timestamps, which is what makes the match inclusive. One shuffle, one
     sorted pass, fully declarative (the plan is Window over Sort over
     Exchange — no nested-loop join). `order_col` adds a deterministic
-    final sort key for exact-duplicate right timestamps."""
+    final sort key for exact-duplicate right timestamps — it is carried
+    into the union as a dedicated `_ord` column taken from EACH side's
+    own `order_col` (NULL where a side lacks the column), so the
+    tie-break among duplicate right rows actually sorts on right values,
+    not on a nulled-out left-schema column."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     value_cols = list(value_cols)
     ts = F.col(ts_col).cast("timestamp")
     lcols = [c for c in left.columns]
+
+    def ord_from(df):
+        if not order_col:
+            return []
+        col = (F.col(order_col) if order_col in df.columns
+               else F.lit(None))
+        return [col.alias("_ord")]
+
     l = (left.withColumn("_side", F.lit(1))
          .withColumn("_ts", ts)
          .select(*lcols, "_side", "_ts",
                  *[F.lit(None).cast(right.schema[c].dataType)
-                   .alias(f"_r_{c}") for c in value_cols]))
+                   .alias(f"_r_{c}") for c in value_cols],
+                 *ord_from(left)))
     r = (right.withColumn("_side", F.lit(0))
          .withColumn("_ts", ts)
          .select(*[F.lit(None).cast(left.schema[c].dataType).alias(c)
                    if c != key_col else F.col(key_col) for c in lcols],
                  "_side", "_ts",
-                 *[F.col(c).alias(f"_r_{c}") for c in value_cols]))
+                 *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+                 *ord_from(right)))
     order = [F.col("_ts"), F.col("_side")]
     if order_col:
-        # left rows carry their own order_col; only the sort among RIGHT
-        # duplicates matters, and they have it populated
-        order.append(F.col(order_col))
+        order.append(F.col("_ord"))
     w = (Window.partitionBy(key_col).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u = l.unionByName(r)
     for c in value_cols:
         u = u.withColumn(f"{c}{suffix}",
                          F.last(f"_r_{c}", ignorenulls=True).over(w))
-    return (u.filter(F.col("_side") == 1)
-            .drop("_side", "_ts", *[f"_r_{c}" for c in value_cols]))
+    drop = ["_side", "_ts", *[f"_r_{c}" for c in value_cols]]
+    if order_col:
+        drop.append("_ord")
+    return u.filter(F.col("_side") == 1).drop(*drop)
 
 
 def windowed_range_join(left, right, window_seconds: int,

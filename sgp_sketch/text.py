@@ -141,21 +141,24 @@ def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
                     k: int = 3):
     """Top-k characteristic terms per document by tf·idf
     (idf = ln(N/df), no smoothing), ties broken by term — the classic
-    keyword-extraction / quality-signal pass, fully declarative.
+    keyword-extraction / quality-signal pass, fully declarative AND
+    fully lazy: N is a one-row aggregate broadcast into the plan (the
+    scalar-subquery shape), not an eager driver-side count, so building
+    this DataFrame runs no job and repeated invocations share the scan.
 
     → DataFrame(id_col, term, score double, rank int)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    n_docs = df.select(id_col).distinct().count()
+    n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("_n"))
     terms = (df.select(id_col, F.explode(F.split(F.col(text_col), " "))
                        .alias("term")))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
-    return (tf.join(dfreq, "term")
+    return (tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
             .withColumn("score", F.col("tf")
-                        * F.log(F.lit(float(n_docs)) / F.col("df")))
+                        * F.log(F.col("_n") / F.col("df")))
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select(id_col, "term", F.round("score", 4).alias("score"),

@@ -93,3 +93,18 @@ def test_windowed_range_join_no_duplicate_pairs(spark):
     right = spark.createDataFrame(
         [(1, _ts(10, 30))], "user_id long, ts timestamp")
     assert windowed_range_join(left, right, 3600).count() == 1
+
+
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    """Two right rows with identical (key, ts): order_col breaks the tie —
+    the greatest order_col value wins (last in ascending sort), and the
+    choice is stable under repartitioning."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5))], "user_id long, event_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, 7, _ts(1), 100.0), (1, 3, _ts(1), 300.0)],
+        "user_id long, event_id long, ts timestamp, value double")
+    for r in (right, right.repartition(5)):
+        out = asof_join(left, r, value_cols=("value",),
+                        order_col="event_id").collect()
+        assert out[0].value_asof == 100.0  # event_id 7 > 3 → its value
