@@ -926,6 +926,45 @@ def q_vocab_build(spark, sf_dir):
     return build_vocab(spark.table("documents"), min_count=2)
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed co-located large-large join through the registered driver
+    path: orders and lineitem are written `bucketBy(8, key)` +
+    `sortBy(key)` ONCE per sf_dir (memoized; `catalog.write_bucketed`),
+    then the revenue rollup joins them with ZERO pre-join Exchange —
+    each bucket pair joins in place. Same rows as the plain join (the
+    oracle), the layout only changes the physical plan; at 100 TB this
+    is the difference between paying one shuffle at write time and one
+    per query."""
+    import tempfile
+
+    from sgp_sketch import catalog
+
+    _views(spark, sf_dir)
+    key = ("bucketed_join", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        work = tempfile.mkdtemp(prefix="sgp_bucketed_q_")
+        tag = abs(hash(sf_dir)) % 10_000_000
+        names = (f"bq_orders_{tag}", f"bq_lineitem_{tag}")
+        catalog.write_bucketed(
+            spark.table("orders").select("o_orderkey", "o_orderpriority"),
+            names[0], "o_orderkey", 8, path=f"{work}/orders",
+            sort_cols="o_orderkey")
+        catalog.write_bucketed(
+            spark.table("lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"),
+            names[1], "l_orderkey", 8, path=f"{work}/lineitem",
+            sort_cols="l_orderkey")
+        _STATEFUL_Q_CACHE[key] = names
+    o_name, l_name = _STATEFUL_Q_CACHE[key]
+    o, li = spark.table(o_name), spark.table(l_name)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
 def q_ts_epoch_parse(spark, sf_dir):
     """F4 format-string timestamp parsing: string → to_timestamp(fmt) →
     epoch millis, the reference's `yyyy-MM-dd'T'HH:mm:ss.SSS` GMT-to-epoch
@@ -1250,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_counts": q_hash_split_counts,
         "vocab_build": q_vocab_build,
         "session_window_counts": q_session_window_counts,
+        "bucketed_join": q_bucketed_join,
         "curation_funnel": q_curation_funnel,
         "dup_clusters": q_dup_clusters,
         "event_deltas": q_event_deltas,
@@ -1719,6 +1759,13 @@ def oracle_sql() -> dict[str, str]:
                          / 1000000.0, 3) AS duration_sec,
                    ROUND(SUM(value), 2) AS sum_value
             FROM s GROUP BY user_id, session_idx
+        """,
+        "bucketed_join": """
+            SELECT o_orderpriority, COUNT(*) AS n_items,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "session_window_counts": """
             WITH o AS (

@@ -261,6 +261,39 @@ def windowed_stream_agg(spark, input_path: str, window: str = "1 day",
                  F.approx_count_distinct(key_col).alias("approx_keys")))
 
 
+def sessionized_stream_agg(spark, input_path: str, gap: str = "30 minutes",
+                           watermark: str = "1 day", ts_col: str = "ts",
+                           key_col: str = "user_id", schema=None,
+                           reader_options: dict | None = None):
+    """Streaming gap-session aggregation: `session_window(ts, gap)` under
+    a watermark — Spark's dynamic-gap session state machine, the
+    streaming twin of temporal.sessionize (same >= gap boundary as the
+    batch session_window; q_session_window_counts's oracle encodes it).
+    Returns the streaming DataFrame (caller attaches sink + trigger;
+    append mode emits a session only once its window can no longer grow,
+    i.e. window end < watermark).
+
+    State is bounded by the watermark horizon: a session closes when the
+    event-time watermark passes its end, so an unbounded stream holds
+    O(open sessions) state, not O(history) — with per-key gap sessions
+    this is the operator that makes clickstream sessionization viable on
+    an infinite feed.
+    """
+    from pyspark.sql import functions as F
+
+    opts = reader_options or {}
+    if schema is None:
+        schema = spark.read.options(**opts).parquet(input_path).schema
+    stream = spark.readStream.schema(schema).options(**opts) \
+        .parquet(input_path)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(F.col(key_col),
+                     F.session_window(ts_col, gap).alias("win"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value")))
+
+
 def running_distinct_stream(spark, input_path: str, p: int = 12,
                             group_col: str = "source", schema=None):
     """Custom stateful operator: per-group HLL state blob carried in

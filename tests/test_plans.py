@@ -97,3 +97,17 @@ def test_bucket_cap_has_no_window_exec(spark):
                                       max_hamming=3),
     ):
         assert "Window" not in _plan(df)
+
+
+def test_bucketed_join_query_has_no_prejoin_exchange(spark):
+    """The registered bucketed_join query must join the two bucketed
+    tables without SHUFFLING either side: the only hash-partition
+    Exchange in the plan is the tiny post-aggregation one. (At sf0.001
+    the planner may broadcast the small side — a BroadcastExchange is
+    not a data shuffle; the co-located SortMergeJoin case is asserted
+    shuffle-free in tests/test_catalog.py with broadcast disabled.)"""
+    p = _plan(entry.q_bucketed_join(spark, "/root/testdata/sf0.001"))
+    shuffles = [ln for ln in p.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    assert len(shuffles) == 1 and "o_orderpriority" in shuffles[0], shuffles
+    assert "Bucketed: true" in p

@@ -202,3 +202,31 @@ def test_compact_state_crash_windows(spark, stream_input, tmp_path):
            for r in streaming.streamed_estimates(spark,
                                                  state_dir).collect()}
     assert got == baseline
+
+
+def test_sessionized_stream_agg_matches_batch(spark):
+    """Streaming gap-session windows (session_window under a watermark,
+    availableNow) equal the same session aggregation computed in batch —
+    the dynamic-gap session state machine finalizes to identical
+    sessions."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    s = streaming.sessionized_stream_agg(
+        spark, sf, gap="30 minutes", watermark="1 day",
+        reader_options={"pathGlobFilter": "events.parquet"})
+    q = (s.writeStream.format("memory").queryName("sess_agg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(r["user_id"], r["win"]["start"], r["win"]["end"]):
+           (r["n_events"], round(r["sum_value"], 2))
+           for r in spark.table("sess_agg").collect()}
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    want = {(r["user_id"], r["win"]["start"], r["win"]["end"]):
+            (r["n_events"], round(r["sum_value"], 2))
+            for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes")
+                                .alias("win"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value")).collect()}
+    assert got == want and len(got) > 10
