@@ -40,6 +40,8 @@ HEADLINE = [
     "top_words", "dedup_exact", "knn_bruteforce",
     "minhash_near_dup", "simhash_near_dup", "ngram_jaccard",
     "router_balance", "multimodal_features",
+    # round-3 operators: temporal windows/joins + decontamination
+    "session_stats", "asof_join", "range_join_counts", "contamination",
 ]
 
 
