@@ -394,3 +394,43 @@ def replication_factor(df, assign_df):
         F.countDistinct("shard").alias("n_shards_touched"))
     return per_tok.agg(F.avg("n_shards_touched").alias("rf"),
                        F.count("*").alias("n_tokens"))
+
+
+def salted_join(big, small, key, n_salts: int = 8, scatter_cols=None,
+                how: str = "inner"):
+    """R8 companion: hot-key mitigation for a large×large shuffle join.
+
+    When the join key is heavily skewed (a handful of values carry most of
+    the big side) a plain shuffle join lands each hot key on ONE reducer —
+    the "curse of the last reducer". Salting splits every hot key across
+    `n_salts` reducers: the small side is replicated n_salts× (one copy per
+    salt), the big side scatters each row to a deterministic salt via
+    `pmod(xxhash64(scatter_cols), n_salts)`, and the join runs on
+    (key, _salt). Result is row-identical to the unsalted join; cost is an
+    n_salts× blowup of the SMALL side only. This is the writer-side
+    complement to AQE's runtime skew splitting (session.py enables
+    `spark.sql.adaptive.skewJoin`), usable when the skew is known up front
+    or the join is a sort-merge the AQE splitter can't touch.
+
+    `scatter_cols` (default: every big-side column except the key) picks
+    the hash input that spreads a key's rows across salts; any stable,
+    roughly-uniform column set works — uniqueness is NOT required, only
+    spread. The small side is hinted `shuffle_hash` so the demo stays a
+    genuine shuffle join even when the replicated side would fit a
+    broadcast.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if scatter_cols is None:
+        scatter_cols = [c for c in big.columns if c not in keys]
+    salts = F.array(*[F.lit(i) for i in range(int(n_salts))])
+    small_s = small.withColumn("_salt", F.explode(salts))
+    small_s = small_s.withColumn("_salt", F.col("_salt").cast("int"))
+    big_s = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in scatter_cols]),
+               F.lit(int(n_salts))).cast("int"))
+    out = big_s.join(small_s.hint("shuffle_hash"),
+                     keys + ["_salt"], how)
+    return out.drop("_salt")

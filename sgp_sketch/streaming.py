@@ -294,6 +294,44 @@ def sessionized_stream_agg(spark, input_path: str, gap: str = "30 minutes",
                  F.sum("value").alias("sum_value")))
 
 
+def dedup_stream_agg(spark, input_path: str, dedup_keys=("user_id", "event_type"),
+                     ts_col: str = "ts", watermark: str | None = None,
+                     group_col: str = "event_type", schema=None,
+                     reader_options: dict | None = None):
+    """Streaming deduplication: `dropDuplicates` (optionally
+    `dropDuplicatesWithinWatermark` when a watermark horizon is given)
+    over a file stream, then a per-group count of the surviving rows —
+    the streaming twin of the batch exact-dedup stage, and the standard
+    guard against replayed/duplicate events in an ingest feed.
+
+    Without a watermark the dedup state grows with the number of DISTINCT
+    keys (exact, unbounded history — correct for the finite replay used in
+    tests). With `watermark` set, state is bounded to the horizon via
+    `dropDuplicatesWithinWatermark`: duplicates separated by more than the
+    horizon can both survive, the documented trade for O(horizon) state on
+    an infinite feed. Returns the streaming DataFrame (complete-mode
+    aggregation; caller attaches sink + trigger). A finite replay must
+    equal batch `COUNT(DISTINCT keys)` per group exactly — the
+    equivalence the oracle checks.
+    """
+    from pyspark.sql import functions as F
+
+    opts = reader_options or {}
+    if schema is None:
+        schema = spark.read.options(**opts).parquet(input_path).schema
+    stream = spark.readStream.schema(schema).options(**opts) \
+        .parquet(input_path)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keys = list(dedup_keys)
+    if watermark is not None:
+        deduped = (stream.withWatermark(ts_col, watermark)
+                   .dropDuplicatesWithinWatermark(keys))
+    else:
+        deduped = stream.dropDuplicates(keys)
+    return (deduped.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_distinct")))
+
+
 def running_distinct_stream(spark, input_path: str, p: int = 12,
                             group_col: str = "source", schema=None):
     """Custom stateful operator: per-group HLL state blob carried in

@@ -149,3 +149,35 @@ def test_bfs_reports_frontier_sizes(spark, chain_edges):
         assert m["ms"] > 0
     assert [m["frontier"] for m in out["step_metrics"]] \
         == out["frontier_sizes"]
+
+
+def test_triangle_count_k4(spark):
+    from sgp_sketch.graph import triangle_count
+
+    # complete graph on 4 vertices: C(4,3) = 4 triangles, 6 edges
+    rows = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    m = triangle_count(edges)
+    assert m == {"n_nodes": 4, "n_edges": 6, "n_triangles": 4}
+
+
+def test_triangle_count_canonicalizes(spark):
+    from sgp_sketch.graph import triangle_count
+
+    # duplicates, reversed duplicates, and a self-loop must not change
+    # the canonical edge set: one triangle {1,2,3}
+    rows = [(1, 2), (2, 1), (1, 1), (2, 3), (3, 2), (1, 3)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    m = triangle_count(edges)
+    assert m == {"n_nodes": 3, "n_edges": 3, "n_triangles": 1}
+
+
+def test_triangle_count_star_is_triangle_free(spark):
+    from sgp_sketch.graph import triangle_count
+
+    # a star has wedges at the hub but no closing edges — the
+    # degree-orientation must not overcount wedges as triangles
+    rows = [(0, i) for i in range(1, 8)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    m = triangle_count(edges)
+    assert m == {"n_nodes": 8, "n_edges": 7, "n_triangles": 0}

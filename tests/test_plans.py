@@ -30,6 +30,8 @@ EXEMPT = {
     "sssp", "pagerank", "k_hop",
     "minhash_verified_dupes", "curation_funnel",  # signature pandas UDF
     "langid_heuristic", "stratified_sample",
+    "triangle_count",                           # eager memoized counts
+    "stream_dedup_users",                       # streaming memory sink
 }
 
 

@@ -282,3 +282,42 @@ def test_range_partitioned_export(spark, tokens_sdf):
     assert sum(r["n"] for r in stats) == tokens_sdf.count()
     for prev, cur in zip(stats, stats[1:]):
         assert prev["hi"] <= cur["lo"]  # ordered, non-overlapping ranges
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from sgp_sketch.routing import salted_join
+
+    # maximally skewed key: 2 values over 2000 rows
+    big = spark.range(2000).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 2).cast("string").alias("k"),
+        (F.col("id") * 7 % 101).alias("v"))
+    small = spark.createDataFrame(
+        [("0", 10), ("1", 20)], "k string, bonus int")
+    got = (salted_join(big, small, "k", n_salts=8,
+                       scatter_cols=["row_id"])
+           .select("row_id", "k", "v", "bonus"))
+    want = big.join(small, "k").select("row_id", "k", "v", "bonus")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # the hint keeps it a genuine shuffle join (no broadcast), so the
+    # salt actually spreads each hot key over many reducers
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+
+
+def test_salted_join_left_outer_keeps_unmatched(spark):
+    from pyspark.sql import functions as F
+
+    from sgp_sketch.routing import salted_join
+
+    big = spark.range(100).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 4).cast("string").alias("k"))
+    small = spark.createDataFrame([("0", 1), ("1", 2)], "k string, m int")
+    got = salted_join(big, small, "k", n_salts=4, how="left",
+                      scatter_cols=["row_id"])
+    assert got.count() == 100
+    assert got.where(F.col("m").isNull()).count() == 50

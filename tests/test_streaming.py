@@ -230,3 +230,28 @@ def test_sessionized_stream_agg_matches_batch(spark):
             .agg(F.count("*").alias("n_events"),
                  F.sum("value").alias("sum_value")).collect()}
     assert got == want and len(got) > 10
+
+
+def test_dedup_stream_within_watermark_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a finite replay must equal the
+    batch COUNT(DISTINCT) — within one watermark horizon the bounded-state
+    dedup is exact."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch.streaming import dedup_stream_agg
+
+    sf = "/root/testdata/sf0.001"
+    agg_df = dedup_stream_agg(
+        spark, sf, dedup_keys=("user_id", "event_type"),
+        watermark="365 days", group_col="event_type",
+        reader_options={"pathGlobFilter": "events.parquet"})
+    q = (agg_df.writeStream.format("memory").queryName("dedup_wm")
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    got = {r["event_type"]: r["n_distinct"]
+           for r in spark.table("dedup_wm").collect()}
+    want = {r["event_type"]: r["n"] for r in
+            (spark.read.parquet(f"{sf}/events.parquet")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect())}
+    assert got == want
