@@ -1404,6 +1404,50 @@ def q_stream_dedup_users(spark, sf_dir):
                                  "event_type string, n_distinct bigint")
 
 
+
+def q_sliding_window_counts(spark, sf_dir):
+    """Sliding (hopping) event-time windows — 10-minute span, 5-minute
+    hop: every event lands in exactly two overlapping windows. The oracle
+    derives the same two epoch-aligned window starts per event with
+    time_bucket arithmetic."""
+    _views(spark, sf_dir)
+    return (spark.table("events")
+            .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("win.start").cast("string").alias("bin_start"),
+                    "n_events"))
+
+
+def q_stream_stream_join(spark, sf_dir):
+    """§2.11 watermarked stream-stream join: click -> purchase attribution
+    within a 1-hour horizon over a replayed event stream
+    (streaming.stream_stream_join), aggregated per user. A finite replay
+    must equal the batch time-range join exactly. Memoized per sf_dir."""
+    from sgp_sketch import streaming
+
+    key = ("stream_stream_join", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        pairs = streaming.stream_stream_join(
+            spark, sf_dir, left_type="click", right_type="purchase",
+            horizon_seconds=3600,
+            reader_options={"pathGlobFilter": "events.parquet"})
+        name = f"ss_join_{abs(hash(sf_dir)) % 10**8}"
+        q = (pairs.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream-stream join did not drain in 300s "
+                               "— refusing to memoize partial results")
+        _STATEFUL_Q_CACHE[key] = (
+            spark.table(name).groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("lag_seconds").alias("sum_lag"))
+            .collect())
+    return spark.createDataFrame(
+        _STATEFUL_Q_CACHE[key],
+        "user_id bigint, n_pairs bigint, sum_lag bigint")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-source + global HLL++ distinct-token cardinality over
     the sf0.001 documents-derived token table."""
@@ -1430,6 +1474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_5min": q_resample_5min,
         "exact_quantiles": q_exact_quantiles,
         "stream_dedup_users": q_stream_dedup_users,
+        "sliding_window_counts": q_sliding_window_counts,
+        "stream_stream_join": q_stream_stream_join,
         "session_stats": q_session_stats,
         "asof_join": q_asof_join,
         "range_join_counts": q_range_join_counts,
@@ -1573,6 +1619,30 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type
+        """,
+        "sliding_window_counts": """
+            WITH starts AS (
+                SELECT time_bucket(INTERVAL '5 minutes', ts) AS s
+                FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL '5 minutes', ts)
+                       - INTERVAL '5 minutes'
+                FROM events)
+            SELECT CAST(s AS VARCHAR) AS bin_start, COUNT(*) AS n_events
+            FROM starts GROUP BY 1
+        """,
+        "stream_stream_join": """
+            WITH c AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 p AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'purchase')
+            SELECT c.user_id, COUNT(*) AS n_pairs,
+                   CAST(SUM(date_diff('second', c.ts, p.ts)) AS BIGINT)
+                       AS sum_lag
+            FROM c JOIN p ON c.user_id = p.user_id
+                         AND p.ts >= c.ts
+                         AND p.ts <= c.ts + INTERVAL 1 HOUR
+            GROUP BY c.user_id
         """,
         "distinct_words": """
             SELECT source, COUNT(DISTINCT w) AS n_distinct, COUNT(*) AS n_words

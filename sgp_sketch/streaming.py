@@ -332,6 +332,53 @@ def dedup_stream_agg(spark, input_path: str, dedup_keys=("user_id", "event_type"
             .agg(F.count(F.lit(1)).alias("n_distinct")))
 
 
+def stream_stream_join(spark, input_path: str, left_type: str = "click",
+                       right_type: str = "purchase",
+                       horizon_seconds: int = 3600, ts_col: str = "ts",
+                       key_col: str = "user_id",
+                       watermark: str = "2 hours", schema=None,
+                       reader_options: dict | None = None):
+    """§2.11 stream-stream inner join: correlate two event substreams of
+    one feed (e.g. click -> purchase attribution) on key equality plus an
+    event-time range `[t_left, t_left + horizon]`.
+
+    Both sides carry a watermark and the join condition bounds event time,
+    so Spark can expire buffered rows once the other side's watermark
+    passes the horizon — state is O(horizon x arrival rate), not
+    O(history); without the time bound a stream-stream join would buffer
+    both streams forever. Emits (user, left ts, right ts, seconds between);
+    a finite replay must equal the equivalent batch range join exactly.
+    Returns the streaming DataFrame (append mode; caller attaches sink).
+    """
+    from pyspark.sql import functions as F
+
+    opts = reader_options or {}
+    if schema is None:
+        schema = spark.read.options(**opts).parquet(input_path).schema
+
+    def side(event_type, prefix):
+        s = (spark.readStream.schema(schema).options(**opts)
+             .parquet(input_path)
+             .where(F.col("event_type") == event_type)
+             .select(F.col(key_col).alias(f"{prefix}_user"),
+                     F.col(ts_col).cast("timestamp")
+                     .alias(f"{prefix}_ts"),
+                     F.col("event_id").alias(f"{prefix}_id"))
+             .withWatermark(f"{prefix}_ts", watermark))
+        return s
+
+    lhs, rhs = side(left_type, "l"), side(right_type, "r")
+    cond = ((F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts")
+               + F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS")))
+    return (lhs.join(rhs, cond)
+            .select(F.col("l_user").alias("user_id"),
+                    "l_id", "r_id",
+                    (F.unix_timestamp("r_ts")
+                     - F.unix_timestamp("l_ts")).alias("lag_seconds")))
+
+
 def running_distinct_stream(spark, input_path: str, p: int = 12,
                             group_col: str = "source", schema=None):
     """Custom stateful operator: per-group HLL state blob carried in

@@ -32,6 +32,7 @@ EXEMPT = {
     "langid_heuristic", "stratified_sample",
     "triangle_count",                           # eager memoized counts
     "stream_dedup_users",                       # streaming memory sink
+    "stream_stream_join",                       # streaming memory sink
 }
 
 

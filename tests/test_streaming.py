@@ -255,3 +255,34 @@ def test_dedup_stream_within_watermark_matches_batch(spark, tmp_path):
              .groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("n")).collect())}
     assert got == want
+
+
+def test_stream_stream_join_matches_batch_and_horizon(spark):
+    """The watermarked click->purchase stream join over a finite replay
+    must equal the batch time-range join, and every emitted pair must
+    respect the horizon."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch.streaming import stream_stream_join
+
+    sf = "/root/testdata/sf0.001"
+    pairs = stream_stream_join(
+        spark, sf, horizon_seconds=3600,
+        reader_options={"pathGlobFilter": "events.parquet"})
+    q = (pairs.writeStream.format("memory").queryName("ss_pairs")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    got = spark.table("ss_pairs")
+    n = got.count()
+    assert n > 0
+    assert got.where((F.col("lag_seconds") < 0)
+                     | (F.col("lag_seconds") > 3600)).count() == 0
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    c = ev.where(F.col("event_type") == "click") \
+        .select("user_id", F.col("ts").alias("cts"))
+    p = ev.where(F.col("event_type") == "purchase") \
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    want = c.join(p, (c.user_id == p.pu)
+                  & (p.pts >= c.cts)
+                  & (p.pts <= c.cts + F.expr("INTERVAL 1 HOUR"))).count()
+    assert n == want
