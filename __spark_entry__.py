@@ -1448,6 +1448,53 @@ def q_stream_stream_join(spark, sf_dir):
         "user_id bigint, n_pairs bigint, sum_lag bigint")
 
 
+
+def q_json_roundtrip(spark, sf_dir):
+    """S2/S6 sibling for semi-structured text: supplier exported once per
+    sf_dir as ONE JSONL file (`coalesce(1)`), read back with an explicit
+    schema (no schema inference pass — the scale-correct form). The
+    oracle reads the original parquet: a hash match proves the JSON
+    round-trip is lossless, doubles included."""
+    import tempfile
+
+    _views(spark, sf_dir)
+    key = ("json_stage", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        out = tempfile.mkdtemp(prefix="sgp_json_") + "/supplier_json"
+        spark.table("supplier").coalesce(1).write.json(out)
+        _STATEFUL_Q_CACHE[key] = out
+    schema = ("s_suppkey bigint, s_name string, s_nationkey int, "
+              "s_acctbal double")
+    return (spark.read.schema(schema).json(_STATEFUL_Q_CACHE[key])
+            .select(F.col("s_suppkey"), F.col("s_name"),
+                    F.col("s_nationkey"),
+                    F.round("s_acctbal", 2).alias("s_acctbal"))
+            .orderBy("s_suppkey"))
+
+
+def q_merge_upsert(spark, sf_dir):
+    """Incremental-ingest merge (catalog.merge_upsert): a deterministic
+    update batch (10% price bump on every 10th order, status U) plus an
+    insert batch (new keys from every 97th order, status N) upserted into
+    orders; per-status row counts + totals must match the oracle's
+    NOT IN reconstruction exactly."""
+    from sgp_sketch.catalog import merge_upsert
+
+    _views(spark, sf_dir)
+    base = spark.table("orders")
+    upd = (base.where(F.col("o_orderkey") % 10 == 0)
+           .withColumn("o_totalprice",
+                       F.round(F.col("o_totalprice") * 1.1, 2))
+           .withColumn("o_orderstatus", F.lit("U")))
+    ins = (base.where(F.col("o_orderkey") % 97 == 0)
+           .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+           .withColumn("o_orderstatus", F.lit("N")))
+    merged = merge_upsert(base, upd.unionByName(ins), "o_orderkey")
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-source + global HLL++ distinct-token cardinality over
     the sf0.001 documents-derived token table."""
@@ -1476,6 +1523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_users": q_stream_dedup_users,
         "sliding_window_counts": q_sliding_window_counts,
         "stream_stream_join": q_stream_stream_join,
+        "json_roundtrip": q_json_roundtrip,
+        "merge_upsert": q_merge_upsert,
         "session_stats": q_session_stats,
         "asof_join": q_asof_join,
         "range_join_counts": q_range_join_counts,
@@ -1630,6 +1679,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             SELECT CAST(s AS VARCHAR) AS bin_start, COUNT(*) AS n_events
             FROM starts GROUP BY 1
+        """,
+        "json_roundtrip": """
+            SELECT s_suppkey, s_name, s_nationkey,
+                   ROUND(s_acctbal, 2) AS s_acctbal
+            FROM supplier ORDER BY s_suppkey
+        """,
+        "merge_upsert": """
+            WITH upd AS (
+                SELECT o_orderkey,
+                       ROUND(o_totalprice * 1.1, 2) AS o_totalprice,
+                       'U' AS o_orderstatus
+                FROM orders WHERE o_orderkey % 10 = 0),
+            ins AS (
+                SELECT o_orderkey + 10000000 AS o_orderkey,
+                       o_totalprice, 'N' AS o_orderstatus
+                FROM orders WHERE o_orderkey % 97 = 0),
+            chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+            merged AS (
+                SELECT o_orderkey, o_totalprice, o_orderstatus FROM chg
+                UNION ALL
+                SELECT o_orderkey, o_totalprice, o_orderstatus
+                FROM orders
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg))
+            SELECT o_orderstatus, COUNT(*) AS n_rows,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM merged GROUP BY 1
         """,
         "stream_stream_join": """
             WITH c AS (SELECT user_id, ts FROM events

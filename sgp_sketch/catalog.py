@@ -153,3 +153,16 @@ def write_layout(df, path: str, mode: str = "overwrite",
                    json.dumps(manifest, indent=1))
     _fs_write_text(spark, _join(meta_dir, "version-hint.text"), str(version))
     return manifest
+
+
+def merge_upsert(base, updates, key):
+    """SCD-1 style merge (upsert): every `updates` row replaces the base
+    row with the same key; update rows with no base match are inserts.
+    Declarative form of MERGE INTO for plain-parquet tables: one
+    key-shuffle for the left_anti probe (the update key set is projected
+    before the join so only keys ship), then a shuffle-free union. At
+    scale the anti-join broadcast-promotes automatically when the update
+    batch is small — the common incremental-ingest shape."""
+    keys = [key] if isinstance(key, str) else list(key)
+    survivors = base.join(updates.select(*keys), keys, "left_anti")
+    return updates.unionByName(survivors)

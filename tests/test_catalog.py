@@ -86,3 +86,22 @@ def test_bucketed_join_no_shuffle(spark, tokens_sdf, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_merge_upsert_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from sgp_sketch.catalog import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k int, v string")
+    got = {r["k"]: r["v"] for r in merge_upsert(base, updates, "k").collect()}
+    # 2 replaced, 4 inserted, 1/3 untouched
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+    # update columns win wholesale (SCD-1), nulls included
+    upd_null = spark.createDataFrame([(1, None)], "k int, v string")
+    got2 = {r["k"]: r["v"] for r in
+            merge_upsert(base, upd_null, "k").collect()}
+    assert got2 == {1: None, 2: "b", 3: "c"}

@@ -26,6 +26,7 @@ EXEMPT = {
     "checkpointed_hll", "streamed_hll",         # collected memoized rows
     "windowed_stream_counts",                   # streaming memory sink
     "csv_roundtrip",                            # staged CSV side effect
+    "json_roundtrip",                           # staged JSONL side effect
     "bfs_reachability", "connected_components", # driver-looped graph algos
     "sssp", "pagerank", "k_hop",
     "minhash_verified_dupes", "curation_funnel",  # signature pandas UDF
