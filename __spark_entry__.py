@@ -904,6 +904,85 @@ def q_json_extract(spark, sf_dir):
                  F.max("k").alias("max_k")))
 
 
+def q_repetition_score(spark, sf_dir):
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1):
+    per-document duplicate word-3-gram fraction via pure JVM array math
+    (sgp_sketch/text.py:repetition_scores — no explode, no shuffle in
+    the scoring pass), aggregated per source. Reference analog: the
+    per-partition quality accounting of EdgeCutSGP metrics
+    (src/main/java/.../EdgeCutSGP.java:290-310) recast as a corpus
+    quality signal."""
+    from sgp_sketch.text import repetition_scores
+
+    _views(spark, sf_dir)
+    return (repetition_scores(spark.table("documents"), n=3)
+            .groupBy("source")
+            .agg(F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+                 F.round(F.max("dup_frac"), 6).alias("max_dup_frac"),
+                 F.count("*").alias("n_docs")))
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM fluency scoring (Wenzek et al. 2020, with the
+    corpus's own unigram LM standing in for KenLM): per-doc mean token
+    ln-probability, per-source stats. The frequency table is broadcast
+    into the scoring join (sgp_sketch/text.py:unigram_logprob) so the
+    corpus side never shuffles."""
+    from sgp_sketch.text import unigram_logprob
+
+    _views(spark, sf_dir)
+    return (unigram_logprob(spark.table("documents"))
+            .groupBy("source")
+            .agg(F.round(F.avg("logp"), 6).alias("avg_logp"),
+                 F.round(F.min("logp"), 6).alias("min_logp"),
+                 F.count("*").alias("n_docs")))
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join (J2/J3 × A12 × O3): customer ⋈ orders
+    ⋈ lineitem with selective filters on both fact sides, grouped
+    revenue, deterministic top-10. Catalyst broadcasts the filtered
+    customer dim and pushes both date predicates into the parquet scans
+    (PushedFilters in PLANS.md)."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1998-01-01'
+          AND l_shipdate > DATE '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """)
+
+
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped 6-way star join (J2/J3 chain): region → nation →
+    supplier/customer co-nationality → orders → lineitem, one year of
+    revenue per nation. The three dims broadcast; only the two fact
+    tables shuffle on the join keys."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= DATE '1997-01-01'
+          AND o_orderdate <  DATE '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """)
+
+
 def q_hash_split_counts(spark, sf_dir):
     """Deterministic engine-reproducible train/val/test split (md5 hex
     thresholds — sgp_sketch/text.py:hash_split): per (source, split) doc
@@ -1513,6 +1592,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # both scales regardless. Enumeration is deterministic and
     # import-side-effect-free.
     return {
+        "repetition_score": q_repetition_score,
+        "unigram_logprob": q_unigram_logprob,
+        "shipping_priority": q_shipping_priority,
+        "regional_revenue": q_regional_revenue,
         "triangle_count": q_triangle_count,
         "skew_salted_join": q_skew_salted_join,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -1601,6 +1684,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     stop = ",".join(f"'{w}'" for w in _STOPWORDS)
     return {
+        "repetition_score": """
+            WITH g AS (
+                SELECT doc_id, source,
+                       unnest(list_transform(range(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i+1] || ' '
+                                   || words[i+2])) AS gram
+                FROM (SELECT doc_id, source,
+                             string_split(text, ' ') AS words
+                      FROM documents)
+                WHERE len(words) >= 3
+            ),
+            d AS (
+                SELECT doc_id, source,
+                       1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE)
+                             / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+                FROM g GROUP BY doc_id, source
+            )
+            SELECT source, ROUND(AVG(dup_frac), 6) AS avg_dup_frac,
+                   ROUND(MAX(dup_frac), 6) AS max_dup_frac,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY source
+        """,
+        "unigram_logprob": """
+            WITH w AS (
+                SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ),
+            f AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+            t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM f),
+            d AS (
+                SELECT w.doc_id, w.source,
+                       AVG(LN(CAST(f.cnt AS DOUBLE) / t.tot)) AS logp
+                FROM w JOIN f ON w.word = f.word CROSS JOIN t
+                GROUP BY w.doc_id, w.source
+            )
+            SELECT source, ROUND(AVG(logp), 6) AS avg_logp,
+                   ROUND(MIN(logp), 6) AS min_logp,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY source
+        """,
+        "shipping_priority": """
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                       AS o_orderdate,
+                   o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1998-01-01'
+              AND l_shipdate > DATE '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "regional_revenue": """
+            SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1997-01-01'
+              AND o_orderdate <  DATE '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
         "triangle_count": """
             WITH e AS (
                 SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

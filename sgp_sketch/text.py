@@ -165,6 +165,57 @@ def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
                     "rank"))
 
 
+def repetition_scores(df, text_col: str = "text", n: int = 3,
+                      out_col: str = "dup_frac"):
+    """Gopher-style repetition quality signal (Rae et al. 2021, §A1.1):
+    per-document fraction of DUPLICATE word n-grams,
+    ``1 − distinct(grams)/total(grams)``. High values flag boilerplate /
+    degenerate generations — a standard pre-training filter rule.
+
+    Documents with fewer than `n` words are dropped (no gram exists).
+
+    Scale shape: the score is pure per-row array math (split → sliding
+    slice → `size`/`array_distinct`) — a narrow projection with NO
+    explode and NO shuffle, so it streams through the corpus scan at
+    100 TB; only whatever aggregation the caller adds shuffles."""
+    from pyspark.sql import functions as F
+
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return (df.filter(F.size(words) >= n)
+            .withColumn(out_col,
+                        F.lit(1.0) - F.size(F.array_distinct(grams))
+                        / F.size(grams).cast("double")))
+
+
+def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text",
+                    keep_cols=("source",), out_col: str = "logp"):
+    """Per-document mean token log-probability under the corpus's own
+    unigram language model — the classic cheap fluency/quality score
+    (CCNet-style perplexity filtering with a unigram LM; Wenzek et al.
+    2020 use a KenLM, the pipeline shape is identical).
+
+    → df(id_col, *keep_cols, logp) where
+      logp = avg over tokens of ln(count(token)/total_tokens).
+
+    Scale shape: one corpus pass builds the frequency table (explode →
+    groupBy word — ≪ corpus after aggregation), which is BROADCAST into
+    the scoring join so the corpus side never shuffles; the per-doc agg
+    shuffles on doc_id only. For vocabularies too big to broadcast
+    (≫10⁷ terms) drop the hint and let AQE pick a shuffle join."""
+    from pyspark.sql import functions as F
+
+    words = df.select(id_col, *keep_cols,
+                      F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    freq = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("double").alias("_tot"))
+    return (words.join(F.broadcast(freq), "word")
+            .crossJoin(F.broadcast(tot))
+            .groupBy(id_col, *keep_cols)
+            .agg(F.avg(F.log(F.col("cnt") / F.col("_tot"))).alias(out_col)))
+
+
 def hash_split(df, weights=None, id_col: str = "doc_id", salt: str = "",
                out_col: str = "split"):
     """Deterministic, ENGINE-REPRODUCIBLE train/val/test assignment:

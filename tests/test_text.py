@@ -217,3 +217,44 @@ def test_build_vocab_ids_and_cutoff(spark):
            for r in build_vocab(df, min_count=2).collect()}
     # b: cnt 4 in 2 docs -> id 1; a: cnt 3 in 2 docs -> id 2; once dropped
     assert got == {"b": (4, 2, 1), "a": (3, 2, 2)}
+
+
+def test_repetition_scores_hand_computed(spark):
+    """'a b a b a b' has 4 3-grams, 2 distinct -> dup_frac 0.5; an
+    all-distinct doc scores 0; a doc shorter than n is dropped."""
+    from sgp_sketch.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [("d1", "a b a b a b"), ("d2", "one two three four"), ("d3", "x y")],
+        "doc_id string, text string")
+    got = {r.doc_id: r.dup_frac for r in repetition_scores(df, n=3).collect()}
+    assert got == {"d1": 0.5, "d2": 0.0}
+    # the scoring pass is a narrow projection: no exchange in the plan
+    plan = repetition_scores(df, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Corpus 'a a b' (+1-doc 'b'): p(a)=2/4, p(b)=2/4; doc1 logp =
+    avg(ln .5, ln .5, ln .5) = ln .5."""
+    import math
+
+    from sgp_sketch.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [("d1", "a a b", "s1"), ("d2", "b", "s1")],
+        "doc_id string, text string, source string")
+    got = {r.doc_id: r.logp for r in unigram_logprob(df).collect()}
+    assert abs(got["d1"] - math.log(0.5)) < 1e-12
+    assert abs(got["d2"] - math.log(0.5)) < 1e-12
+
+
+def test_unigram_logprob_broadcasts_freq_table(spark):
+    from sgp_sketch.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [("d1", "a a b", "s1"), ("d2", "b c", "s2")],
+        "doc_id string, text string, source string")
+    plan = unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
