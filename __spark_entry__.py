@@ -643,6 +643,27 @@ def q_ann_ivf_topk(spark, sf_dir):
     return dedup.ann_topk_ivf_indexed(spark, path, q, C, k=5, n_probe=3)
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """ANN top-k via product quantization (Jégou et al. 2011): vectors
+    compressed to m=8 subquantizer codes, ranked by asymmetric-distance
+    LUT gather over the CODES only, exact-cosine rerank of the top
+    candidates (sgp_sketch/dedup.py:ann_topk_pq). The memory-compression
+    counterpart of the LSH/IVF probes: the ranking pass scans ~8 B/vec
+    instead of 256 B/vec. Codebooks trained once per sf_dir (memoized).
+    No SQL oracle (approximate); recall vs brute force is pytest-gated
+    (tests/test_dedup.py::test_ann_pq_recall_vs_bruteforce)."""
+    from sgp_sketch import dedup
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    key = ("ann_pq_books", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        _STATEFUL_Q_CACHE[key] = dedup.pq_train(emb, m=8, ksub=16)
+    B = _STATEFUL_Q_CACHE[key]
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    return dedup.ann_topk_pq(emb.filter("vec_id <> 0"), q, B, k=5)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: per-source distinct SimHash fingerprints vs
     docs (rolling 64-bit content fingerprint family)."""
@@ -1596,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "shipping_priority": q_shipping_priority,
         "regional_revenue": q_regional_revenue,
+        "ann_pq_topk": q_ann_pq_topk,
         "triangle_count": q_triangle_count,
         "skew_salted_join": q_skew_salted_join,
         "pivot_event_matrix": q_pivot_event_matrix,

@@ -571,3 +571,114 @@ def ann_topk_lsh(df, query_vec, id_col: str = "vec_id",
             .groupBy(id_col).agg(F.max("cosine").alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))
+
+
+# ================================================== product quantization
+
+def pq_train(df, vec_col: str = "embedding", m: int = 8, ksub: int = 16,
+             n_iter: int = 8, sample: int = 4096, seed: int = 29):
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011,
+    "Product quantization for nearest neighbor search", IEEE TPAMI):
+    split the d dims into `m` subspaces and k-means each subspace on a
+    deterministic driver-side sample (same sampling discipline as
+    `ivf_centroids`). Returns an (m, ksub, d/m) float64 ndarray.
+
+    At 100 TB the codebooks are KBs trained from a pushed-down LIMIT
+    read; the expensive pass — encoding — stays distributed."""
+    rows = df.select(vec_col).limit(sample).collect()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        idx = rng.choice(Xs.shape[0], size=min(ksub, Xs.shape[0]),
+                         replace=False)
+        C = Xs[idx].copy()
+        for _ in range(n_iter):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(C.shape[0]):
+                members = Xs[assign == j]
+                if members.size:
+                    C[j] = members.mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_encode(df, codebooks, vec_col: str = "embedding",
+              out_col: str = "code"):
+    """Replace each vector with its m-subquantizer code (vectorized
+    pandas UDF, one GEMM per subspace per Arrow batch; codebooks ride in
+    the closure — KBs). Deterministic and partition-invariant.
+
+    This is the scale lever: a 64-dim float32 vector is 256 B, its m=8
+    code is 8 small ints — a ~32× reduction of the column the ranking
+    pass must scan, which is what makes exhaustive candidate ranking
+    over 10¹²-row embedding tables IO-feasible."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    # argmin ||x-c||² = argmax x·c − ||c||²/2, per subspace
+    half_nrm = 0.5 * (B * B).sum(axis=2)  # (m, ksub)
+
+    @pandas_udf("array<int>")
+    def enc(col):
+        if not len(col):
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            scores = X[:, s * dsub:(s + 1) * dsub] @ B[s].T \
+                - half_nrm[s][None, :]
+            codes[:, s] = scores.argmax(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, enc(vec_col))
+
+
+def ann_topk_pq(df, query_vec, codebooks, id_col: str = "vec_id",
+                vec_col: str = "embedding", k: int = 5, rerank: int = 4):
+    """ANN top-k by asymmetric distance computation (ADC): a per-query
+    (m × ksub) look-up table of squared L2 distances from the query's
+    subvectors to every codebook entry; each row's approximate distance
+    is an m-way LUT gather + sum over its CODE alone — the raw vectors
+    are touched only to exact-cosine-rerank the top `rerank·k` ADC
+    candidates (broadcast semi-join back onto the vector table).
+
+    → DataFrame(vec_id, cosine), ties broken by id."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    lut = ((B - q.reshape(m, 1, dsub)) ** 2).sum(axis=2)  # (m, ksub)
+
+    @pandas_udf("double")
+    def adc(col):
+        if not len(col):
+            return pd.Series([], dtype="float64")
+        codes = np.stack([np.asarray(c, dtype=np.int64) for c in col])
+        return pd.Series(lut[np.arange(m)[None, :], codes].sum(axis=1))
+
+    encoded = pq_encode(df.select(id_col, vec_col), B, vec_col)
+    cand = (encoded.select(id_col, adc("code").alias("_adc"))
+            .orderBy("_adc", id_col).limit(rerank * k))
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    dot = F.aggregate(F.zip_with(vec_col, qlit, lambda p, qq: p * qq),
+                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    nrm_v = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0).cast("double"),
+                               lambda acc, v: acc + v * v))
+    nrm_q = float(np.sqrt((q * q).sum()))
+    return (df.join(F.broadcast(cand.select(id_col)), id_col)
+            .select(id_col, F.round(dot / (nrm_v * F.lit(nrm_q)), 4)
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col)
+            .limit(k))

@@ -231,3 +231,63 @@ def test_ivf_indexed_matches_inline(spark, planted_vectors):
     plan = (spark.read.parquet(path).filter(F.col("list_id").isin([0, 1]))
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters: [list_id" in plan
+
+
+def test_pq_encode_shape_and_partition_invariance(spark, planted_vectors):
+    from sgp_sketch.dedup import pq_encode, pq_train
+
+    B = pq_train(planted_vectors, m=8, ksub=16)
+    assert B.shape == (8, 16, 4)
+    a = pq_encode(planted_vectors, B).toPandas().sort_values("vec_id")
+    b = (pq_encode(planted_vectors.repartition(7), B)
+         .toPandas().sort_values("vec_id"))
+    for ca, cb in zip(a.code, b.code):
+        assert list(ca) == list(cb)
+        assert len(ca) == 8 and all(0 <= c < 16 for c in ca)
+
+
+def test_pq_train_rejects_indivisible_dim(spark, planted_vectors):
+    import pytest
+
+    from sgp_sketch.dedup import pq_train
+
+    with pytest.raises(ValueError):
+        pq_train(planted_vectors, m=5)
+
+
+def test_ann_pq_finds_planted_neighbor(spark, planted_vectors):
+    """ADC ranking over 8-byte codes + exact rerank recovers the planted
+    near-duplicate of vector 0 at rank 1."""
+    from sgp_sketch.dedup import ann_topk_pq, pq_train
+
+    B = pq_train(planted_vectors, m=8, ksub=16)
+    q = np.asarray(
+        planted_vectors.filter("vec_id = 0").collect()[0]["embedding"])
+    got = ann_topk_pq(planted_vectors.filter("vec_id <> 0"), q, B,
+                      k=3).toPandas()
+    assert got.vec_id.iloc[0] == 500
+    assert got.cosine.iloc[0] > 0.95
+
+
+def test_ann_pq_recall_vs_bruteforce(spark, planted_vectors):
+    """Top-5 ADC+rerank vs exact cosine top-5: >=4/5 overlap on the
+    80-vector corpus (rerank window absorbs ADC quantization error)."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch.dedup import ann_topk_pq, pq_train
+
+    base = planted_vectors.filter("vec_id <> 0")
+    q = np.asarray(
+        planted_vectors.filter("vec_id = 0").collect()[0]["embedding"])
+    B = pq_train(planted_vectors, m=8, ksub=16)
+    approx = set(ann_topk_pq(base, q, B, k=5).toPandas().vec_id)
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    dot = F.aggregate(F.zip_with("embedding", qlit, lambda p, qq: p * qq),
+                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    nrm = F.sqrt(F.aggregate(F.col("embedding"),
+                             F.lit(0.0).cast("double"),
+                             lambda acc, v: acc + v * v))
+    exact = set(base.select("vec_id", (dot / nrm).alias("c"))
+                .orderBy(F.desc("c"), "vec_id").limit(5)
+                .toPandas().vec_id)
+    assert len(approx & exact) >= 4
