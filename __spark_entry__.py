@@ -664,6 +664,27 @@ def q_ann_pq_topk(spark, sf_dir):
     return dedup.ann_topk_pq(emb.filter("vec_id <> 0"), q, B, k=5)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup cluster-scoped embedding dedup (Abbas et al. 2023 —
+    sgp_sketch/dedup.py:semantic_dedup): per-cluster vector and survivor
+    counts at cosine ≥ 0.92. No SQL oracle (k-means quantizer is not
+    DuckDB-reproducible); planted-duplicate behavior and cap semantics
+    are pytest-gated (tests/test_dedup.py::test_semantic_dedup_*)."""
+    from sgp_sketch import dedup
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    key = ("ann_ivf_centroids8", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        _STATEFUL_Q_CACHE[key] = dedup.ivf_centroids(emb, n_lists=8)
+    C = _STATEFUL_Q_CACHE[key]
+    flags = dedup.semantic_dedup(emb, C, threshold=0.92)
+    return (flags.groupBy("list_id")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.sum(F.col("is_kept").cast("int")).alias("n_kept"))
+            .orderBy("list_id"))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: per-source distinct SimHash fingerprints vs
     docs (rolling 64-bit content fingerprint family)."""
@@ -1618,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "regional_revenue": q_regional_revenue,
         "ann_pq_topk": q_ann_pq_topk,
+        "semantic_dedup": q_semantic_dedup,
         "triangle_count": q_triangle_count,
         "skew_salted_join": q_skew_salted_join,
         "pivot_event_matrix": q_pivot_event_matrix,

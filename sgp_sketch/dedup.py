@@ -682,3 +682,48 @@ def ann_topk_pq(df, query_vec, codebooks, id_col: str = "vec_id",
                     .alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))
+
+
+# ===================================================== semantic dedup
+
+def semantic_dedup(df, centroids, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.95,
+                   max_cluster: int = 10000, stats=None):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication", arXiv:2303.09540):
+    coarse k-means clustering (the IVF quantizer, `ivf_centroids`)
+    restricts the quadratic cosine comparison to WITHIN each cluster; a
+    vector is dropped when a lower-id cluster-mate sits at cosine ≥
+    `threshold` (min-id representative — the same keep-lowest rule as
+    exact dedup, deterministic under any partitioning).
+
+    → df(id_col, list_id, is_kept boolean).
+
+    Scale shape: the self-join is per-cluster equi-join on list_id
+    (expected cluster size n/n_lists — tune n_lists ∝ n so clusters stay
+    bounded); `max_cluster` drops degenerate clusters through
+    `_cap_buckets` with eager dropped-rows stats (dropped clusters keep
+    all members — recall loss surfaced, never silent drops of data).
+    Cross-cluster near-dups are missed by design: that is the SemDeDup
+    accuracy/cost trade, quantified in the paper."""
+    from pyspark.sql import functions as F
+
+    assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
+    capped = _cap_buckets(assigned, ("list_id",), max_cluster, stats)
+    x, y = capped.alias("x"), capped.alias("y")
+    dot = F.aggregate(F.zip_with(f"x.{vec_col}", f"y.{vec_col}",
+                                 lambda p, q: p * q),
+                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    nrm = (lambda side: F.sqrt(F.aggregate(
+        F.col(f"{side}.{vec_col}"), F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v * v)))
+    dup = (x.join(y, "list_id")
+           .filter(F.col(f"y.{id_col}") < F.col(f"x.{id_col}"))
+           .filter(dot / (nrm("x") * nrm("y")) >= threshold)
+           .select(F.col(f"x.{id_col}").alias(id_col))
+           .distinct())
+    return (assigned.join(dup.withColumn("_dup", F.lit(True)),
+                          id_col, "left")
+            .select(id_col, "list_id",
+                    F.coalesce(~F.col("_dup"), F.lit(True))
+                    .alias("is_kept")))

@@ -291,3 +291,32 @@ def test_ann_pq_recall_vs_bruteforce(spark, planted_vectors):
                 .orderBy(F.desc("c"), "vec_id").limit(5)
                 .toPandas().vec_id)
     assert len(approx & exact) >= 4
+
+
+def test_semantic_dedup_drops_planted_near_duplicate(spark, planted_vectors):
+    """Vector 500 (cosine ~0.99 with vector 0) shares 0's cluster and is
+    dropped; 0 (the min-id representative) and the unrelated random
+    vectors are kept; every input row appears exactly once."""
+    from sgp_sketch.dedup import ivf_centroids, semantic_dedup
+
+    C = ivf_centroids(planted_vectors, n_lists=4)
+    got = semantic_dedup(planted_vectors, C, threshold=0.95).toPandas()
+    assert len(got) == planted_vectors.count()
+    by_id = got.set_index("vec_id")
+    assert not by_id.loc[500, "is_kept"]
+    assert by_id.loc[0, "is_kept"]
+    assert by_id.is_kept.sum() == len(got) - 1   # only the plant dropped
+
+
+def test_semantic_dedup_capped_cluster_keeps_members(spark, planted_vectors):
+    """A cluster over max_cluster is exempted from comparison: all its
+    members stay kept, and the stats dict records the dropped rows."""
+    from sgp_sketch.dedup import ivf_centroids, semantic_dedup
+
+    C = ivf_centroids(planted_vectors, n_lists=1)
+    stats = {}
+    got = semantic_dedup(planted_vectors, C, threshold=0.95,
+                         max_cluster=10, stats=stats).toPandas()
+    assert got.is_kept.all()
+    assert stats["dropped_rows"] == len(got)
+    assert stats["max_bucket_size"] == len(got)
