@@ -664,6 +664,31 @@ def q_ann_pq_topk(spark, sf_dir):
     return dedup.ann_topk_pq(emb.filter("vec_id <> 0"), q, B, k=5)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ search from a persisted index (FAISS IVFADC layout —
+    sgp_sketch/dedup.py:ann_topk_ivfpq): PartitionFilters prune to the
+    probed lists AND the ranking pass reads m-byte codes instead of raw
+    vectors — both scale levers at once. Index built once per sf_dir
+    (memoized). Rows-only (approximate); planted-neighbor recall and
+    pruning are pytest-gated (test_ann_ivfpq_finds_planted_neighbor)."""
+    import tempfile
+
+    from sgp_sketch import dedup
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    key = ("ann_ivfpq_index", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        C = dedup.ivf_centroids(emb, n_lists=8)
+        B = dedup.pq_train(emb, m=8, ksub=16)
+        path = tempfile.mkdtemp(prefix="sgp_ivfpq_q_")
+        dedup.ivfpq_write_index(emb.filter("vec_id <> 0"), C, B, path)
+        _STATEFUL_Q_CACHE[key] = (path, C, B)
+    path, C, B = _STATEFUL_Q_CACHE[key]
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    return dedup.ann_topk_ivfpq(spark, path, q, C, B, k=5, n_probe=3)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup cluster-scoped embedding dedup (Abbas et al. 2023 —
     sgp_sketch/dedup.py:semantic_dedup): per-cluster vector and survivor
@@ -1022,6 +1047,42 @@ def q_regional_revenue(spark, sf_dir):
           AND o_orderdate <  DATE '1998-01-01'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
+    """)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (sgp_sketch/text.py:
+    pack_sequences — the GPT-style pretraining batching step): per
+    (source, chunk) document and token counts at a 2048-token budget.
+    Chunk assignment is a running-sum window ordered by doc_id, so the
+    oracle derives the identical packing."""
+    from sgp_sketch.text import pack_sequences
+
+    _views(spark, sf_dir)
+    return (pack_sequences(spark.table("documents"), budget=2048)
+            .groupBy("source", "seq_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("sum_tok")))
+
+
+def q_source_mix_plan(spark, sf_dir):
+    """Training-data mixing plan: per-source token counts, natural share,
+    and the repeat factor (epochs) needed to hit a UNIFORM target mix
+    over the same total budget — the sampling-weight computation behind
+    any multi-source pretraining mix (Gao et al. 2020 Pile §2 epoch
+    table). One aggregation + a broadcast one-row total."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH s AS (
+            SELECT source, SUM(size(split(text, ' '))) AS n_tok
+            FROM documents GROUP BY source
+        ),
+        t AS (SELECT CAST(SUM(n_tok) AS DOUBLE) AS tot,
+                     COUNT(*) AS n_src FROM s)
+        SELECT source, n_tok,
+               ROUND(n_tok / tot, 6) AS share,
+               ROUND((tot / n_src) / n_tok, 6) AS repeat_factor
+        FROM s CROSS JOIN t
     """)
 
 
@@ -1640,6 +1701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "ann_pq_topk": q_ann_pq_topk,
         "semantic_dedup": q_semantic_dedup,
+        "pack_sequences": q_pack_sequences,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "source_mix_plan": q_source_mix_plan,
         "triangle_count": q_triangle_count,
         "skew_salted_join": q_skew_salted_join,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -1767,6 +1831,39 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(logp), 6) AS min_logp,
                    CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM d GROUP BY source
+        """,
+        "source_mix_plan": """
+            WITH s AS (
+                SELECT source,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                           AS n_tok
+                FROM documents GROUP BY source
+            ),
+            t AS (SELECT CAST(SUM(n_tok) AS DOUBLE) AS tot,
+                         COUNT(*) AS n_src FROM s)
+            SELECT source, n_tok,
+                   ROUND(n_tok / tot, 6) AS share,
+                   ROUND((tot / n_src) / n_tok, 6) AS repeat_factor
+            FROM s CROSS JOIN t
+        """,
+        "pack_sequences": """
+            WITH d AS (
+                SELECT source, doc_id,
+                       len(string_split(text, ' ')) AS n_tok
+                FROM documents
+            ),
+            o AS (
+                SELECT source, n_tok,
+                       SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tok AS strt
+                FROM d
+            )
+            SELECT source,
+                   CAST(FLOOR(strt / 2048.0) AS BIGINT) AS seq_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+            FROM o GROUP BY source, seq_id
         """,
         "shipping_priority": """
             SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,

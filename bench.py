@@ -42,6 +42,9 @@ HEADLINE = [
     "router_balance", "multimodal_features",
     # round-3 operators: temporal windows/joins + decontamination
     "session_stats", "asof_join", "range_join_counts", "contamination",
+    # round-3 additions: quality scoring, multiway joins, PQ/semantic ANN
+    "repetition_score", "unigram_logprob", "shipping_priority",
+    "ann_pq_topk", "semantic_dedup",
 ]
 
 

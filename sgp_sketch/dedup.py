@@ -727,3 +727,57 @@ def semantic_dedup(df, centroids, id_col: str = "vec_id",
             .select(id_col, "list_id",
                     F.coalesce(~F.col("_dup"), F.lit(True))
                     .alias("is_kept")))
+
+
+def ivfpq_write_index(df, centroids, codebooks, path: str,
+                      id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF-PQ index (the FAISS IVFADC layout, Jégou et al. 2011 §IV):
+    coarse list assignment persisted `partitionBy("list_id")` + the m-byte
+    PQ code per vector + the raw vector (kept here for in-index rerank;
+    at 100 TB drop it and rerank against the base table instead, so the
+    index is codes-only ≈ m bytes/vector)."""
+    assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
+    encoded = pq_encode(assigned, codebooks, vec_col)
+    encoded.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ann_topk_ivfpq(spark, index_path: str, query_vec, centroids, codebooks,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   k: int = 5, n_probe: int = 4, rerank: int = 4):
+    """IVF-PQ search: PartitionFilters prune to the `n_probe` nearest
+    lists (storage-level IO reduction), ADC LUT ranking over the codes
+    within them, exact-cosine rerank of the top `rerank·k`. Combines both
+    scale levers: read fewer rows (IVF) and fewer bytes per row (PQ)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    d2 = ((C - q[None, :]) ** 2).sum(axis=1)
+    probe_lists = [int(i) for i in np.argsort(d2)[:n_probe]]
+    lut = ((B - q.reshape(m, 1, dsub)) ** 2).sum(axis=2)
+
+    @pandas_udf("double")
+    def adc(col):
+        if not len(col):
+            return pd.Series([], dtype="float64")
+        codes = np.stack([np.asarray(c, dtype=np.int64) for c in col])
+        return pd.Series(lut[np.arange(m)[None, :], codes].sum(axis=1))
+
+    lists = spark.read.parquet(index_path).filter(
+        F.col("list_id").isin(probe_lists))
+    cand = (lists.select(id_col, vec_col, adc("code").alias("_adc"))
+            .orderBy("_adc", id_col).limit(rerank * k))
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    dot = F.aggregate(F.zip_with(vec_col, qlit, lambda p, qq: p * qq),
+                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    nrm_v = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0).cast("double"),
+                               lambda acc, v: acc + v * v))
+    nrm_q = float(np.sqrt((q * q).sum()))
+    return (cand.select(id_col, F.round(dot / (nrm_v * F.lit(nrm_q)), 4)
+                        .alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col)
+            .limit(k))

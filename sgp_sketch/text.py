@@ -269,3 +269,33 @@ def build_vocab(df, id_col: str = "doc_id", text_col: str = "text",
     w = Window.orderBy(F.desc("cnt"), "term")
     return (counts.filter(F.col("cnt") >= min_count)
             .withColumn("token_id", F.row_number().over(w).cast("int")))
+
+
+def pack_sequences(df, budget: int = 2048, id_col: str = "doc_id",
+                   group_col: str = "source", text_col: str = "text",
+                   out_col: str = "seq_id"):
+    """Concat-and-chunk sequence packing — the standard pretraining
+    batching step (concatenate documents in a deterministic order, cut
+    at every `budget` tokens; GPT-style pipelines split mid-document,
+    so a document belongs to the chunk its START offset falls in).
+
+    Adds `n_tok` (whitespace token count) and `out_col` =
+    ⌊preceding-tokens-in-group / budget⌋, with documents ordered by
+    `id_col` within each `group_col` — deterministic under any
+    partitioning.
+
+    Scale shape: one window (running sum) per group partition — the
+    same single-shuffle shape as any per-source ordered scan. At 100 TB
+    packing runs per (source, shard) so no group outgrows a task; the
+    seq ids are then shard-local, exactly how production packers emit
+    them."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    with_tok = df.withColumn("n_tok", n_tok)
+    start = F.sum("n_tok").over(w) - F.col("n_tok")
+    return with_tok.withColumn(
+        out_col, F.floor(start / F.lit(budget)).cast("bigint"))

@@ -320,3 +320,24 @@ def test_semantic_dedup_capped_cluster_keeps_members(spark, planted_vectors):
     assert got.is_kept.all()
     assert stats["dropped_rows"] == len(got)
     assert stats["max_bucket_size"] == len(got)
+
+
+def test_ann_ivfpq_finds_planted_neighbor(spark, planted_vectors, tmp_path):
+    """Persisted IVF-PQ index: partition-pruned probe + ADC + rerank
+    still puts the planted near-duplicate of vector 0 at rank 1, and the
+    probe's scan carries list_id PartitionFilters."""
+    from sgp_sketch.dedup import (ann_topk_ivfpq, ivf_centroids,
+                                  ivfpq_write_index, pq_train)
+
+    C = ivf_centroids(planted_vectors, n_lists=4)
+    B = pq_train(planted_vectors, m=8, ksub=16)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write_index(planted_vectors.filter("vec_id <> 0"), C, B, path)
+    q = np.asarray(
+        planted_vectors.filter("vec_id = 0").collect()[0]["embedding"])
+    res = ann_topk_ivfpq(spark, path, q, C, B, k=3, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    got = res.toPandas()
+    assert got.vec_id.iloc[0] == 500
+    assert got.cosine.iloc[0] > 0.95

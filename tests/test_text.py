@@ -258,3 +258,22 @@ def test_unigram_logprob_broadcasts_freq_table(spark):
         "doc_id string, text string, source string")
     plan = unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_chunk_boundaries(spark):
+    """budget=5 over docs of 3/3/3 tokens: starts 0,3,6 -> seqs 0,0,1;
+    assignment is partition-invariant."""
+    from sgp_sketch.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", "w w w", "s"), ("b", "w w w", "s"), ("c", "w w w", "s"),
+         ("z", "w w", "t")],
+        "doc_id string, text string, source string")
+    got = pack_sequences(df, budget=5).toPandas().set_index("doc_id")
+    assert got.loc["a", "seq_id"] == 0
+    assert got.loc["b", "seq_id"] == 0
+    assert got.loc["c", "seq_id"] == 1
+    assert got.loc["z", "seq_id"] == 0
+    rep = (pack_sequences(df.repartition(5), budget=5)
+           .toPandas().set_index("doc_id"))
+    assert (rep.seq_id == got.seq_id).all()
