@@ -615,6 +615,29 @@ def q_cosine_pairs(spark, sf_dir):
     """)
 
 
+def _ivf_centroids_cached(emb, sf_dir):
+    """n_lists=8 coarse centroids, trained once per sf_dir — shared by
+    the IVF, IVF-PQ, and SemDeDup queries (identical args/seed make a
+    retrain pure waste)."""
+    from sgp_sketch import dedup
+
+    key = ("ann_ivf_centroids8", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        _STATEFUL_Q_CACHE[key] = dedup.ivf_centroids(emb, n_lists=8)
+    return _STATEFUL_Q_CACHE[key]
+
+
+def _pq_books_cached(emb, sf_dir):
+    """m=8/ksub=16 PQ codebooks, trained once per sf_dir — shared by the
+    PQ and IVF-PQ queries."""
+    from sgp_sketch import dedup
+
+    key = ("ann_pq_books", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        _STATEFUL_Q_CACHE[key] = dedup.pq_train(emb, m=8, ksub=16)
+    return _STATEFUL_Q_CACHE[key]
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """ANN top-k via IVF (k-means coarse quantizer + probed inverted
     lists) — the centroid-pruned counterpart of q_ann_lsh_topk.
@@ -634,7 +657,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     emb = spark.table("embeddings")
     key = ("ann_ivf_index", sf_dir)
     if key not in _STATEFUL_Q_CACHE:
-        C = dedup.ivf_centroids(emb, n_lists=8)
+        C = _ivf_centroids_cached(emb, sf_dir)
         path = tempfile.mkdtemp(prefix="sgp_ivf_q_")
         dedup.ivf_write_index(emb.filter("vec_id <> 0"), C, path)
         _STATEFUL_Q_CACHE[key] = (path, C)
@@ -656,10 +679,7 @@ def q_ann_pq_topk(spark, sf_dir):
 
     _views(spark, sf_dir)
     emb = spark.table("embeddings")
-    key = ("ann_pq_books", sf_dir)
-    if key not in _STATEFUL_Q_CACHE:
-        _STATEFUL_Q_CACHE[key] = dedup.pq_train(emb, m=8, ksub=16)
-    B = _STATEFUL_Q_CACHE[key]
+    B = _pq_books_cached(emb, sf_dir)
     q = emb.filter("vec_id = 0").collect()[0]["embedding"]
     return dedup.ann_topk_pq(emb.filter("vec_id <> 0"), q, B, k=5)
 
@@ -679,8 +699,8 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     emb = spark.table("embeddings")
     key = ("ann_ivfpq_index", sf_dir)
     if key not in _STATEFUL_Q_CACHE:
-        C = dedup.ivf_centroids(emb, n_lists=8)
-        B = dedup.pq_train(emb, m=8, ksub=16)
+        C = _ivf_centroids_cached(emb, sf_dir)
+        B = _pq_books_cached(emb, sf_dir)
         path = tempfile.mkdtemp(prefix="sgp_ivfpq_q_")
         dedup.ivfpq_write_index(emb.filter("vec_id <> 0"), C, B, path)
         _STATEFUL_Q_CACHE[key] = (path, C, B)
@@ -699,10 +719,7 @@ def q_semantic_dedup(spark, sf_dir):
 
     _views(spark, sf_dir)
     emb = spark.table("embeddings")
-    key = ("ann_ivf_centroids8", sf_dir)
-    if key not in _STATEFUL_Q_CACHE:
-        _STATEFUL_Q_CACHE[key] = dedup.ivf_centroids(emb, n_lists=8)
-    C = _STATEFUL_Q_CACHE[key]
+    C = _ivf_centroids_cached(emb, sf_dir)
     flags = dedup.semantic_dedup(emb, C, threshold=0.92)
     return (flags.groupBy("list_id")
             .agg(F.count("*").alias("n_vectors"),

@@ -423,19 +423,27 @@ def embedding_near_duplicates(df, id_col: str = "vec_id",
             .distinct())
 
 
-def ivf_centroids(df, vec_col: str = "embedding", n_lists: int = 16,
-                  n_iter: int = 5, sample: int = 4096, seed: int = 13):
-    """IVF coarse quantizer: k-means centroids trained driver-side on a
-    deterministic sample (numpy Lloyd iterations, kmeans++-style seeding
-    from the sample). At 100 TB the sample is a tiny pushed-down read; the
-    expensive part — assignment — stays distributed. Returns (n_lists, d)
-    ndarray."""
-    rows = (df.select(vec_col).limit(sample).collect())
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    rng = np.random.default_rng(seed)
-    # seed centroids: random distinct sample rows
-    idx = rng.choice(X.shape[0], size=min(n_lists, X.shape[0]),
-                     replace=False)
+def _stack_vectors(col) -> np.ndarray:
+    """Arrow column of array<float/double> → (n, d) float64 matrix.
+    NULL embeddings get a clear error (the silent alternative — a
+    zero/garbage vector — would corrupt assignments): filter them
+    upstream, they carry no geometry."""
+    vecs = []
+    for v in col:
+        if v is None:
+            raise ValueError(
+                "NULL embedding reached a vector kernel; filter "
+                f"{len(vecs)} rows upstream with isNotNull()")
+        vecs.append(np.asarray(v, dtype=np.float64))
+    return np.stack(vecs)
+
+
+def _kmeans(X: np.ndarray, k: int, n_iter: int, rng) -> np.ndarray:
+    """Lloyd k-means on a driver-side sample: seed with min(k, n) random
+    distinct rows (fewer samples than k → a smaller codebook, never a
+    crash); empty clusters keep their stale centroid. Shared by the IVF
+    coarse quantizer and the PQ subquantizers."""
+    idx = rng.choice(X.shape[0], size=min(k, X.shape[0]), replace=False)
     C = X[idx].copy()
     for _ in range(n_iter):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -445,6 +453,53 @@ def ivf_centroids(df, vec_col: str = "embedding", n_lists: int = 16,
             if members.size:
                 C[j] = members.mean(axis=0)
     return C
+
+
+def _cosine_to_query(vec_col: str, q: np.ndarray):
+    """Column expression: exact cosine(vec_col, q) via JVM
+    zip_with/aggregate folds — shared by every single-query ANN ranker.
+    A zero-norm stored vector divides by zero → NULL cosine, which
+    sorts after every real score under DESC NULLS LAST (Spark default),
+    i.e. it simply never ranks."""
+    from pyspark.sql import functions as F
+
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    dot = F.aggregate(F.zip_with(vec_col, qlit, lambda p, qq: p * qq),
+                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+    nrm_v = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0).cast("double"),
+                               lambda acc, v: acc + v * v))
+    nrm_q = float(np.sqrt((q * q).sum()))
+    return F.round(dot / (nrm_v * F.lit(nrm_q)), 4)
+
+
+def _adc_udf(lut: np.ndarray):
+    """Pandas UDF: PQ code column → asymmetric squared-L2 distance via an
+    m-way LUT gather (lut: (m, ksub), rides in the closure)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m = lut.shape[0]
+
+    @pandas_udf("double")
+    def adc(col):
+        if not len(col):
+            return pd.Series([], dtype="float64")
+        codes = np.stack([np.asarray(c, dtype=np.int64) for c in col])
+        return pd.Series(lut[np.arange(m)[None, :], codes].sum(axis=1))
+
+    return adc
+
+
+def ivf_centroids(df, vec_col: str = "embedding", n_lists: int = 16,
+                  n_iter: int = 5, sample: int = 4096, seed: int = 13):
+    """IVF coarse quantizer: k-means centroids trained driver-side on a
+    deterministic sample (numpy Lloyd iterations, kmeans++-style seeding
+    from the sample). At 100 TB the sample is a tiny pushed-down read; the
+    expensive part — assignment — stays distributed. Returns (n_lists, d)
+    ndarray."""
+    rows = (df.select(vec_col).limit(sample).collect())
+    X = _stack_vectors([r[0] for r in rows])
+    return _kmeans(X, n_lists, n_iter, np.random.default_rng(seed))
 
 
 def ivf_assign(df, centroids: np.ndarray, vec_col: str = "embedding",
@@ -461,7 +516,7 @@ def ivf_assign(df, centroids: np.ndarray, vec_col: str = "embedding",
 
         if not len(col):
             return pd.Series([], dtype="int32")
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        X = _stack_vectors(col)
         # argmin ||x-c||² = argmax x·c − ||c||²/2 (one GEMM per batch)
         scores = X @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
         return pd.Series(scores.argmax(axis=1).astype(np.int32))
@@ -496,14 +551,8 @@ def ann_topk_ivf_indexed(spark, index_path: str, query_vec,
     probe_lists = [int(i) for i in np.argsort(d2)[:n_probe]]
     lists = spark.read.parquet(index_path).filter(
         F.col("list_id").isin(probe_lists))
-    qlit = F.array(*[F.lit(float(v)) for v in q])
-    dot = F.aggregate(F.zip_with(vec_col, qlit, lambda p, qq: p * qq),
-                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-    nrm_v = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0).cast("double"),
-                               lambda acc, v: acc + v * v))
-    nrm_q = float(np.sqrt((q * q).sum()))
-    return (lists.select(id_col, F.round(dot / (nrm_v * F.lit(nrm_q)), 4)
-                         .alias("cosine"))
+    return (lists.select(id_col,
+                         _cosine_to_query(vec_col, q).alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))
 
@@ -525,15 +574,9 @@ def ann_topk_ivf(df, query_vec, centroids: np.ndarray,
     d2 = ((C - q[None, :]) ** 2).sum(axis=1)
     probe_lists = [int(i) for i in np.argsort(d2)[:n_probe]]
     assigned = ivf_assign(df.select(id_col, vec_col), C, vec_col)
-    qlit = F.array(*[F.lit(float(v)) for v in q])
-    dot = F.aggregate(F.zip_with(vec_col, qlit, lambda p, qq: p * qq),
-                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-    nrm_v = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0).cast("double"),
-                               lambda acc, v: acc + v * v))
-    nrm_q = float(np.sqrt((q * q).sum()))
     return (assigned.filter(F.col("list_id").isin(probe_lists))
-            .select(id_col, F.round(dot / (nrm_v * F.lit(nrm_q)), 4)
-                    .alias("cosine"))
+            .select(id_col,
+                    _cosine_to_query(vec_col, q).alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))
 
@@ -559,15 +602,9 @@ def ann_topk_lsh(df, query_vec, id_col: str = "vec_id",
     probe = F.lit(False)
     for t, qb in qbuckets:
         probe = probe | ((F.col("table") == t) & (F.col("bucket") == qb))
-    qlit = F.array(*[F.lit(float(v)) for v in q])
-    dot = F.aggregate(F.zip_with(vec_col, qlit, lambda p, qq: p * qq),
-                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-    nrm_v = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0).cast("double"),
-                               lambda acc, v: acc + v * v))
-    nrm_q = float(np.sqrt((q * q).sum()))
     return (b.filter(probe)
-            .select(id_col, F.round(dot / (nrm_v * F.lit(nrm_q)), 4)
-                    .alias("cosine"))
+            .select(id_col,
+                    _cosine_to_query(vec_col, q).alias("cosine"))
             .groupBy(id_col).agg(F.max("cosine").alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))
@@ -584,28 +621,21 @@ def pq_train(df, vec_col: str = "embedding", m: int = 8, ksub: int = 16,
     `ivf_centroids`). Returns an (m, ksub, d/m) float64 ndarray.
 
     At 100 TB the codebooks are KBs trained from a pushed-down LIMIT
-    read; the expensive pass — encoding — stays distributed."""
+    read; the expensive pass — encoding — stays distributed. Fewer
+    sampled rows than `ksub` → the codebooks shrink to the sample size
+    (matching `_kmeans`), never a crash."""
     rows = df.select(vec_col).limit(sample).collect()
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = _stack_vectors([r[0] for r in rows])
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
     rng = np.random.default_rng(seed)
-    books = np.empty((m, ksub, dsub))
+    ksub_eff = min(ksub, X.shape[0])
+    books = np.empty((m, ksub_eff, dsub))
     for s in range(m):
-        Xs = X[:, s * dsub:(s + 1) * dsub]
-        idx = rng.choice(Xs.shape[0], size=min(ksub, Xs.shape[0]),
-                         replace=False)
-        C = Xs[idx].copy()
-        for _ in range(n_iter):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(C.shape[0]):
-                members = Xs[assign == j]
-                if members.size:
-                    C[j] = members.mean(axis=0)
-        books[s] = C
+        books[s] = _kmeans(X[:, s * dsub:(s + 1) * dsub], ksub_eff,
+                           n_iter, rng)
     return books
 
 
@@ -631,7 +661,7 @@ def pq_encode(df, codebooks, vec_col: str = "embedding",
     def enc(col):
         if not len(col):
             return pd.Series([], dtype=object)
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        X = _stack_vectors(col)
         codes = np.empty((X.shape[0], m), dtype=np.int32)
         for s in range(m):
             scores = X[:, s * dsub:(s + 1) * dsub] @ B[s].T \
@@ -652,34 +682,18 @@ def ann_topk_pq(df, query_vec, codebooks, id_col: str = "vec_id",
     candidates (broadcast semi-join back onto the vector table).
 
     → DataFrame(vec_id, cosine), ties broken by id."""
-    import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
 
     q = np.asarray(query_vec, dtype=np.float64)
     B = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = B.shape
     lut = ((B - q.reshape(m, 1, dsub)) ** 2).sum(axis=2)  # (m, ksub)
-
-    @pandas_udf("double")
-    def adc(col):
-        if not len(col):
-            return pd.Series([], dtype="float64")
-        codes = np.stack([np.asarray(c, dtype=np.int64) for c in col])
-        return pd.Series(lut[np.arange(m)[None, :], codes].sum(axis=1))
-
     encoded = pq_encode(df.select(id_col, vec_col), B, vec_col)
-    cand = (encoded.select(id_col, adc("code").alias("_adc"))
+    cand = (encoded.select(id_col, _adc_udf(lut)("code").alias("_adc"))
             .orderBy("_adc", id_col).limit(rerank * k))
-    qlit = F.array(*[F.lit(float(v)) for v in q])
-    dot = F.aggregate(F.zip_with(vec_col, qlit, lambda p, qq: p * qq),
-                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-    nrm_v = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0).cast("double"),
-                               lambda acc, v: acc + v * v))
-    nrm_q = float(np.sqrt((q * q).sum()))
     return (df.join(F.broadcast(cand.select(id_col)), id_col)
-            .select(id_col, F.round(dot / (nrm_v * F.lit(nrm_q)), 4)
-                    .alias("cosine"))
+            .select(id_col,
+                    _cosine_to_query(vec_col, q).alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))
 
@@ -745,12 +759,15 @@ def ann_topk_ivfpq(spark, index_path: str, query_vec, centroids, codebooks,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    k: int = 5, n_probe: int = 4, rerank: int = 4):
     """IVF-PQ search: PartitionFilters prune to the `n_probe` nearest
-    lists (storage-level IO reduction), ADC LUT ranking over the codes
-    within them, exact-cosine rerank of the top `rerank·k`. Combines both
-    scale levers: read fewer rows (IVF) and fewer bytes per row (PQ)."""
-    import pandas as pd
+    lists (storage-level IO reduction), ADC LUT ranking over a scan
+    that reads ONLY (id, code) — column pruning keeps the raw-vector
+    bytes out of the ranking pass, which is PQ's whole point — then an
+    exact-cosine rerank that re-reads the probed lists with the
+    `rerank·k` candidate ids as a pushed-down IN filter (row-group
+    skipping; the candidate set is collected driver-side — it is
+    `rerank·k` ids, a point-query-sized list). Combines both scale
+    levers: fewer rows (IVF) and fewer bytes per row (PQ)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
 
     q = np.asarray(query_vec, dtype=np.float64)
     C = np.asarray(centroids, dtype=np.float64)
@@ -759,25 +776,13 @@ def ann_topk_ivfpq(spark, index_path: str, query_vec, centroids, codebooks,
     d2 = ((C - q[None, :]) ** 2).sum(axis=1)
     probe_lists = [int(i) for i in np.argsort(d2)[:n_probe]]
     lut = ((B - q.reshape(m, 1, dsub)) ** 2).sum(axis=2)
-
-    @pandas_udf("double")
-    def adc(col):
-        if not len(col):
-            return pd.Series([], dtype="float64")
-        codes = np.stack([np.asarray(c, dtype=np.int64) for c in col])
-        return pd.Series(lut[np.arange(m)[None, :], codes].sum(axis=1))
-
     lists = spark.read.parquet(index_path).filter(
         F.col("list_id").isin(probe_lists))
-    cand = (lists.select(id_col, vec_col, adc("code").alias("_adc"))
+    cand = (lists.select(id_col, _adc_udf(lut)("code").alias("_adc"))
             .orderBy("_adc", id_col).limit(rerank * k))
-    qlit = F.array(*[F.lit(float(v)) for v in q])
-    dot = F.aggregate(F.zip_with(vec_col, qlit, lambda p, qq: p * qq),
-                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-    nrm_v = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0).cast("double"),
-                               lambda acc, v: acc + v * v))
-    nrm_q = float(np.sqrt((q * q).sum()))
-    return (cand.select(id_col, F.round(dot / (nrm_v * F.lit(nrm_q)), 4)
-                        .alias("cosine"))
+    cand_ids = [r[id_col] for r in cand.collect()]
+    return (lists.filter(F.col(id_col).isin(cand_ids))
+            .select(id_col,
+                    _cosine_to_query(vec_col, q).alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))

@@ -341,3 +341,30 @@ def test_ann_ivfpq_finds_planted_neighbor(spark, planted_vectors, tmp_path):
     got = res.toPandas()
     assert got.vec_id.iloc[0] == 500
     assert got.cosine.iloc[0] > 0.95
+
+
+def test_pq_train_shrinks_codebook_below_sample_size(spark):
+    """Fewer sampled vectors than ksub: codebooks shrink to the sample
+    size instead of crashing (mirrors ivf_centroids' behavior)."""
+    from sgp_sketch.dedup import ann_topk_pq, pq_train
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    B = pq_train(df, m=4, ksub=16)
+    assert B.shape == (4, 6, 4)
+    got = ann_topk_pq(df.filter("vec_id <> 0"),
+                      np.asarray(rows[0][1]), B, k=2).toPandas()
+    assert len(got) == 2
+
+
+def test_null_embedding_raises_clear_error(spark):
+    import pytest
+
+    from sgp_sketch.dedup import ivf_assign, ivf_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "vec_id long, embedding array<double>")
+    C = ivf_centroids(df.filter("embedding IS NOT NULL"), n_lists=1)
+    with pytest.raises(Exception, match="NULL embedding"):
+        ivf_assign(df, C).collect()
