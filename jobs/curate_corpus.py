@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     ap.add_argument("--min-words", type=int, default=20)
     ap.add_argument("--max-words", type=int, default=90)
     ap.add_argument("--max-chars-per-word", type=float, default=8.0)
+    ap.add_argument("--max-dup-frac", type=float, default=None,
+                    help="optional Gopher-style repetition gate: drop docs "
+                         "whose duplicate-3-gram fraction exceeds this")
     ap.add_argument("--sample", type=int, default=1000)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -52,6 +55,7 @@ def main(argv=None) -> int:
     out = curate_corpus(docs, jaccard_threshold=args.jaccard,
                         min_words=args.min_words, max_words=args.max_words,
                         max_chars_per_word=args.max_chars_per_word,
+                        max_dup_frac=args.max_dup_frac,
                         sample_per_source=args.sample)
     (out["sampled"].write.mode("overwrite")
      .partitionBy("source").parquet(_join(args.output, "documents")))

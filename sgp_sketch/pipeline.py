@@ -9,7 +9,9 @@ exactly reproducible by a DuckDB oracle:
                         exact_verify=True); drop the higher doc_id of
                         every pair at/above the threshold
   3. quality filter     word-count band + chars-per-word cap (declarative
-                        predicates — the length/punctuation-style gates)
+                        predicates — the length/punctuation-style gates);
+                        optional Gopher-style repetition gate
+                        (max_dup_frac → text.dup_frac_expr, default off)
   4. stratified sample  deterministic hash-rank per source
                         (text.sample_stratified, no rand())
 
@@ -45,6 +47,7 @@ def near_dup_clusters(pairs, id_a: str = "doc_a", id_b: str = "doc_b"):
 def curate_corpus(docs, jaccard_threshold: float = 0.8,
                   min_words: int = 20, max_words: int = 90,
                   max_chars_per_word: float = 8.0,
+                  max_dup_frac: float | None = None,
                   sample_per_source: int = 10, persist: bool = True):
     """documents(doc_id, text, source, n_chars, ...) → dict of stage
     DataFrames: {"exact", "near", "quality", "sampled", "funnel",
@@ -81,9 +84,15 @@ def curate_corpus(docs, jaccard_threshold: float = 0.8,
     near = _persist(exact.join(removed, "doc_id", "left_anti"))
 
     words = F.size(F.split(F.col("text"), " "))
-    quality = _persist(near.filter(
-        words.between(min_words, max_words)
-        & (F.col("n_chars") / words <= max_chars_per_word)))
+    quality_pred = (words.between(min_words, max_words)
+                    & (F.col("n_chars") / words <= max_chars_per_word))
+    if max_dup_frac is not None:
+        # optional Gopher-style repetition gate (text.dup_frac_expr):
+        # pure array math, adds no shuffle to the quality stage
+        from .text import dup_frac_expr
+
+        quality_pred = quality_pred & (dup_frac_expr() <= max_dup_frac)
+    quality = _persist(near.filter(quality_pred))
 
     sampled = _persist(sample_stratified(quality, sample_per_source))
 

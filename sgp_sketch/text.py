@@ -165,6 +165,21 @@ def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
                     "rank"))
 
 
+def dup_frac_expr(text_col: str = "text", n: int = 3):
+    """Column expression: the duplicate word-n-gram fraction of one
+    document (0.0 for documents shorter than n words — nothing repeats).
+    Pure per-row array math; shared by `repetition_scores` and the
+    pipeline's optional repetition gate."""
+    from pyspark.sql import functions as F
+
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    frac = (F.lit(1.0) - F.size(F.array_distinct(grams))
+            / F.size(grams).cast("double"))
+    return F.when(F.size(words) >= n, frac).otherwise(F.lit(0.0))
+
+
 def repetition_scores(df, text_col: str = "text", n: int = 3,
                       out_col: str = "dup_frac"):
     """Gopher-style repetition quality signal (Rae et al. 2021, §A1.1):
@@ -181,12 +196,8 @@ def repetition_scores(df, text_col: str = "text", n: int = 3,
     from pyspark.sql import functions as F
 
     words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     return (df.filter(F.size(words) >= n)
-            .withColumn(out_col,
-                        F.lit(1.0) - F.size(F.array_distinct(grams))
-                        / F.size(grams).cast("double")))
+            .withColumn(out_col, dup_frac_expr(text_col, n)))
 
 
 def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text",

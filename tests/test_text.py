@@ -277,3 +277,25 @@ def test_pack_sequences_chunk_boundaries(spark):
     rep = (pack_sequences(df.repartition(5), budget=5)
            .toPandas().set_index("doc_id"))
     assert (rep.seq_id == got.seq_id).all()
+
+
+def test_curation_repetition_gate(spark):
+    """max_dup_frac drops the degenerate repeated doc that passes the
+    length gates; default (None) keeps the funnel unchanged."""
+    from sgp_sketch.pipeline import curate_corpus
+
+    rows = [("good", " ".join(f"w{i}" for i in range(30)), "s", 150),
+            ("loop", " ".join(["spam ham"] * 15), "s", 150)]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, text string, source string, n_chars long")
+    base = curate_corpus(docs, jaccard_threshold=0.99, min_words=20,
+                         max_words=40, max_chars_per_word=10.0,
+                         sample_per_source=5, persist=False)
+    kept = {r.doc_id for r in base["quality"].collect()}
+    assert kept == {"good", "loop"}
+    gated = curate_corpus(docs, jaccard_threshold=0.99, min_words=20,
+                          max_words=40, max_chars_per_word=10.0,
+                          max_dup_frac=0.2, sample_per_source=5,
+                          persist=False)
+    kept = {r.doc_id for r in gated["quality"].collect()}
+    assert kept == {"good"}
