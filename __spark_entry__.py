@@ -496,30 +496,14 @@ def q_lang_distribution(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (the dedup family's ground
-    truth), fully declarative — shingle explode + co-occurrence self-join."""
+    truth) via dedup.ngram_jaccard_pairs — shingle explode +
+    co-occurrence self-join, fully declarative; the library path fans
+    out single-row-group scans before the CPU-heavy shingle stage."""
+    from sgp_sketch import dedup
+
     _views(spark, sf_dir)
-    return spark.sql("""
-        WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
-        grams AS (
-            SELECT DISTINCT doc_id, g FROM (
-                SELECT doc_id, explode(
-                    CASE WHEN size(ws) >= 3
-                         THEN transform(sequence(1, size(ws) - 2),
-                                        i -> concat_ws(' ', slice(ws, i, 3)))
-                         ELSE array() END) AS g
-                FROM w)),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-        SELECT doc_a, doc_b,
-               ROUND(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON doc_a = sa.doc_id
-        JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
-    """)
+    return dedup.ngram_jaccard_pairs(spark.table("documents"),
+                                     min_jaccard=0.5)
 
 
 def q_token_count_bpe(spark, sf_dir):

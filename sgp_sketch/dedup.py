@@ -234,7 +234,10 @@ def minhash_near_duplicates(df, id_col: str = "doc_id",
     """
     from pyspark.sql import functions as F
 
-    shingled = word_shingles(df.select(id_col, text_col), text_col, n)
+    from .session import fan_out
+
+    shingled = word_shingles(fan_out(df.select(id_col, text_col)),
+                             text_col, n)
     sigs = minhash_signatures(shingled, k=k).select(id_col, "shingles",
                                                     "sig").cache()
     if caches is not None:
@@ -278,7 +281,9 @@ def ngram_jaccard_pairs(df, id_col: str = "doc_id", text_col: str = "text",
     """
     from pyspark.sql import functions as F
 
-    grams = (word_shingles(df.select(id_col, text_col), text_col, n)
+    from .session import fan_out
+
+    grams = (word_shingles(fan_out(df.select(id_col, text_col)), text_col, n)
              .select(id_col, F.explode("shingles").alias("g")))
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = grams.alias("a"), grams.alias("b")
@@ -335,10 +340,12 @@ def simhash_near_duplicates(df, id_col: str = "doc_id",
         raise ValueError(
             f"max_hamming must be in [0, 15], got {max_hamming}: chunk "
             "bucketing needs max_hamming+1 chunks of >= 4 bits each")
+    from .session import fan_out
+
     n_chunks = max_hamming + 1
     width = 64 // n_chunks  # top chunk absorbs the 64 % n_chunks remainder
-    fps = simhash_fingerprints(df.select(id_col, tokens_col), id_col,
-                               tokens_col).select(id_col, "simhash")
+    fps = simhash_fingerprints(fan_out(df.select(id_col, tokens_col)),
+                               id_col, tokens_col).select(id_col, "simhash")
     def chunk_expr(c):
         bits = 64 - c * width if c == n_chunks - 1 else width
         shifted = F.shiftrightunsigned("simhash", c * width)

@@ -33,3 +33,25 @@ def get_spark(app_name: str = "sgp_sketch", master: str | None = None,
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def fan_out(df, min_parts: int | None = None):
+    """Raise the parallelism of a CPU-heavy per-row stage when the scan
+    offers fewer partitions than the cluster has slots.
+
+    Spark splits parquet by byte ranges, but a file with a single row
+    group yields exactly one task no matter the config — and work that
+    EXPANDS each row (n-gram explode, shingle hashing, minhash/simhash
+    UDFs) then runs serially on one slot while the rest of the cluster
+    idles. This helper round-robin repartitions to the default
+    parallelism ONLY in that case; at 100-TB scale scans arrive with
+    thousands of partitions and it is a no-op, so the shuffle it adds is
+    by construction bounded by (cluster slots × small-file size).
+    Streaming DataFrames are returned unchanged (their parallelism is
+    the source's concern)."""
+    if df.isStreaming:
+        return df
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -127,7 +127,10 @@ def contamination_check(corpus, bench, id_col: str = "doc_id",
     the aggregation shuffles only the colliding (doc, gram) pairs."""
     from pyspark.sql import functions as F
 
-    cg = (word_ngram_strings(corpus.select(id_col, text_col), text_col, n)
+    from .session import fan_out
+
+    cg = (word_ngram_strings(fan_out(corpus.select(id_col, text_col)),
+                             text_col, n)
           .select(id_col, F.explode("grams").alias("g")))
     bg = (word_ngram_strings(bench.select(text_col), text_col, n)
           .select(F.explode("grams").alias("g")).distinct())
