@@ -1678,6 +1678,79 @@ def q_merge_upsert(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 2).alias("total")))
 
 
+def q_partition_quality(spark, sf_dir):
+    """Edge-cut ratio and Newman modularity of a hash(mod-8)
+    partitioning of the supplier↔part graph (graph.partition_quality) —
+    the reference's partitioner-evaluation metrics (edge-cut +
+    balance over LDG/Fennel/hash assignments) as one declarative
+    aggregate with an exact oracle; the learned partitioners' own
+    metrics stay under router_balance."""
+    from sgp_sketch.graph import partition_quality
+
+    _views(spark, sf_dir)
+    edges = _sp_edges(spark)
+    nodes = (edges.select(F.col("src").alias("id")).distinct())
+    assign = nodes.withColumn("part", F.col("id") % 8)
+    return (partition_quality(edges, assign)
+            .select("n_edges", "n_cut",
+                    F.round("cut_ratio", 6).alias("cut_ratio"),
+                    F.round("modularity", 6).alias("modularity")))
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Proportional-to-size corpus sampling: Efraimidis–Spirakis A-ES
+    weighted sample without replacement (text.sample_weighted), weight =
+    document length, 5 docs per source. The uniforms come from salted
+    md5, not rand(), so the exact draw is reproducible across runs,
+    retries, cluster sizes — and by the DuckDB oracle."""
+    from sgp_sketch.text import sample_weighted
+
+    _views(spark, sf_dir)
+    return (sample_weighted(spark.table("documents"), 5, "n_chars")
+            .select("source", "doc_id", "n_chars"))
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the word distribution
+    (text.token_entropy) — the diversity twin of repetition_score in
+    the quality-gate family; explode → two map-side-combinable
+    aggregates."""
+    from sgp_sketch.text import token_entropy
+
+    _views(spark, sf_dir)
+    return (token_entropy(spark.table("documents"))
+            .select("doc_id", F.round("entropy", 4).alias("entropy")))
+
+
+def q_normalized_dedup(spark, sf_dir):
+    """C4-style fuzzy-exact dedup (dedup.dedup_exact_normalized):
+    lowercase / strip-punctuation / collapse-whitespace canonical form,
+    one representative per normalized text, md5 group keys so only 32
+    bytes per row shuffle. Output: per-source kept-vs-total funnel."""
+    from sgp_sketch.dedup import dedup_exact_normalized
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    kept = (dedup_exact_normalized(docs).groupBy("source")
+            .agg(F.count("*").alias("n_kept")))
+    total = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return total.join(kept, "source", "left").select(
+        "source", "n_docs", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+
+
+def q_ks_drift(spark, sf_dir):
+    """Distribution-drift monitor: two-sample Kolmogorov–Smirnov
+    distance (stats.ks_statistic) between the click and purchase
+    event-value distributions — the pre-train gate that compares a new
+    corpus snapshot's score distribution against the previous one."""
+    from sgp_sketch.stats import ks_statistic
+
+    _views(spark, sf_dir)
+    return (ks_statistic(spark.table("events"), "value", "event_type",
+                         "click", "purchase")
+            .select(F.round("ks", 6).alias("ks"), "n_a", "n_b"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-source + global HLL++ distinct-token cardinality over
     the sf0.001 documents-derived token table."""
@@ -1696,6 +1769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # both scales regardless. Enumeration is deterministic and
     # import-side-effect-free.
     return {
+        "partition_quality": q_partition_quality,
+        "weighted_sample": q_weighted_sample,
+        "token_entropy": q_token_entropy,
+        "normalized_dedup": q_normalized_dedup,
+        "ks_drift": q_ks_drift,
         "repetition_score": q_repetition_score,
         "unigram_logprob": q_unigram_logprob,
         "shipping_priority": q_shipping_priority,
@@ -1793,6 +1871,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     stop = ",".join(f"'{w}'" for w in _STOPWORDS)
     return {
+        "partition_quality": """
+            WITH e AS (
+                SELECT DISTINCT l_partkey AS a, l_suppkey + 1000000 AS b
+                FROM lineitem),
+            stack AS (
+                SELECT a % 8 AS c,
+                       CAST(a % 8 = b % 8 AS BIGINT) AS intra FROM e
+                UNION ALL
+                SELECT b % 8 AS c,
+                       CAST(a % 8 = b % 8 AS BIGINT) AS intra FROM e),
+            per_c AS (
+                SELECT c, COUNT(*) AS d_c,
+                       CAST(SUM(intra) AS DOUBLE) / 2 AS e_c
+                FROM stack GROUP BY c),
+            tot AS (SELECT CAST(SUM(d_c) AS DOUBLE) / 2 AS m FROM per_c)
+            SELECT CAST(m AS BIGINT) AS n_edges,
+                   CAST(m - SUM(e_c) AS BIGINT) AS n_cut,
+                   ROUND((m - SUM(e_c)) / m, 6) AS cut_ratio,
+                   ROUND(SUM(e_c / m - (d_c / (2 * m)) * (d_c / (2 * m))),
+                         6) AS modularity
+            FROM per_c, tot GROUP BY m
+        """,
+        "weighted_sample": """
+            WITH keyed AS (
+                SELECT source, doc_id, n_chars,
+                       LN((('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),
+                                           1, 8))::BIGINT + 0.5)
+                          / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es
+                FROM documents),
+            r AS (
+                SELECT source, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY es DESC, doc_id) AS rn
+                FROM keyed)
+            SELECT source, doc_id, n_chars FROM r WHERE rn <= 5
+        """,
+        "token_entropy": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            c AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY 1, 2)
+            SELECT doc_id,
+                   ROUND(LOG2(CAST(SUM(c) AS DOUBLE))
+                         - SUM(c * LOG2(CAST(c AS DOUBLE)))
+                           / CAST(SUM(c) AS DOUBLE), 4) AS entropy
+            FROM c GROUP BY doc_id
+        """,
+        "normalized_dedup": """
+            WITH norm AS (
+                SELECT doc_id, source,
+                       md5(TRIM(regexp_replace(regexp_replace(LOWER(text),
+                               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS k
+                FROM documents),
+            keep AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY k)
+            SELECT n.source, COUNT(*) AS n_docs,
+                   COUNT(kp.doc_id) AS n_kept
+            FROM norm n LEFT JOIN keep kp USING (doc_id)
+            GROUP BY n.source
+        """,
+        "ks_drift": """
+            WITH f AS (
+                SELECT value AS v,
+                       CAST(event_type = 'click' AS BIGINT) AS ia
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND value IS NOT NULL),
+            c AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+                         CAST(SUM(1 - ia) AS BIGINT) AS cb
+                  FROM f GROUP BY v),
+            k AS (SELECT
+                    SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                        / CAST(SUM(ca) OVER () AS DOUBLE) AS fa,
+                    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                        / CAST(SUM(cb) OVER () AS DOUBLE) AS fb,
+                    CAST(SUM(ca) OVER () AS BIGINT) AS na,
+                    CAST(SUM(cb) OVER () AS BIGINT) AS nb
+                  FROM c)
+            SELECT ROUND(MAX(ABS(fa - fb)), 6) AS ks,
+                   MAX(na) AS n_a, MAX(nb) AS n_b
+            FROM k
+        """,
         "repetition_score": """
             WITH g AS (
                 SELECT doc_id, source,

@@ -45,6 +45,8 @@ HEADLINE = [
     # round-3 additions: quality scoring, multiway joins, PQ/semantic ANN
     "repetition_score", "unigram_logprob", "shipping_priority",
     "ann_pq_topk", "semantic_dedup",
+    # session-3 additions: sampling/entropy/drift + graph partition quality
+    "weighted_sample", "token_entropy", "ks_drift", "partition_quality",
 ]
 
 

@@ -267,6 +267,29 @@ def minhash_near_duplicates(df, id_col: str = "doc_id",
                     .alias("est_jaccard")))
 
 
+def dedup_exact_normalized(df, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """'Fuzzy-exact' dedup: keep one representative (min id) per
+    NORMALIZED text (text.normalized_text_expr — lowercase, strip
+    punctuation, collapse whitespace). Sits between raw-hash exact dedup
+    and MinHash near-dup in the curation ladder.
+
+    The group key is md5(normalized) — 32 bytes shuffled per row instead
+    of the full document, the same hash-don't-carry trick as
+    dedup_exact; a 128-bit collision is vanishingly less likely than the
+    normalization itself merging near-identical docs (by design).
+    groupBy-min + left-semi join back, no window over the text key."""
+    from pyspark.sql import functions as F
+
+    from .text import normalized_text_expr
+
+    keep = (df.select(F.col(id_col),
+                      F.md5(normalized_text_expr(text_col)).alias("_k"))
+            .groupBy("_k").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
 # ======================================================== exact n-gram Jaccard
 
 def ngram_jaccard_pairs(df, id_col: str = "doc_id", text_col: str = "text",

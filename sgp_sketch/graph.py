@@ -340,3 +340,54 @@ def triangle_count(edges, src: str = "src", dst: str = "dst") -> dict:
         e.unpersist()
         if oriented is not None:
             oriented.unpersist()
+
+
+def partition_quality(edges, assign, src: str = "src", dst: str = "dst",
+                      node_col: str = "id", part_col: str = "part"):
+    """Quality metrics of a node→partition assignment over an undirected
+    graph — the evaluation the reference runs on its edge-cut
+    partitioners (LDG/Fennel vs hash): edge-cut count and ratio, plus
+    Newman modularity Q = Σ_c (e_c/m − (d_c/2m)²), where e_c is the
+    intra-partition edge count and d_c the degree mass of partition c.
+
+    Shape: canonical edge set (least/greatest + distinct, self-loops
+    dropped, as in triangle_count) → one shuffle equi-join per endpoint
+    against the assignment (|V|-sized, so NOT broadcast) → endpoints
+    stacked so each edge contributes its two degree increments → ONE
+    per-partition aggregate; the scalar total rides back in as a
+    broadcast one-row crossJoin, never a driver collect.
+
+    → one-row DataFrame(n_edges, n_cut, cut_ratio, modularity).
+    """
+    from pyspark.sql import functions as F
+
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+         .distinct())
+    pa = assign.select(F.col(node_col).alias("a"),
+                       F.col(part_col).alias("pa"))
+    pb = assign.select(F.col(node_col).alias("b"),
+                       F.col(part_col).alias("pb"))
+    j = e.join(pa, "a").join(pb, "b")
+    intra = (F.col("pa") == F.col("pb")).cast("long")
+    stack = (j.select(F.col("pa").alias("c"), intra.alias("intra"))
+             .unionByName(j.select(F.col("pb").alias("c"),
+                                   intra.alias("intra"))))
+    # every intra edge appears twice with the same c → sum/2 is exact
+    per_c = stack.groupBy("c").agg(
+        F.count(F.lit(1)).alias("d_c"),
+        (F.sum("intra") / 2).alias("e_c"))
+    tot = per_c.agg((F.sum("d_c") / 2).alias("m"))
+    q = F.sum(F.col("e_c") / F.col("m")
+              - (F.col("d_c") / (2 * F.col("m"))) ** 2)
+    return (per_c.crossJoin(F.broadcast(tot))
+            .groupBy("m")
+            .agg(F.sum("e_c").alias("_intra"), q.alias("modularity"))
+            .select(F.col("m").cast("long").alias("n_edges"),
+                    (F.col("m") - F.col("_intra")).cast("long")
+                    .alias("n_cut"),
+                    ((F.col("m") - F.col("_intra")) / F.col("m"))
+                    .alias("cut_ratio"),
+                    "modularity"))

@@ -34,6 +34,65 @@ def sample_stratified(df, n_per_group: int, group_col: str = "source",
             .filter(F.col("_r") <= n_per_group).drop("_r"))
 
 
+def sample_weighted(df, n_per_group: int, weight_col: str,
+                    group_col: str = "source", key_col: str = "doc_id",
+                    salt: int = 0):
+    """Deterministic weighted sample WITHOUT replacement per group
+    (Efraimidis & Spirakis 2006, A-ES): each row draws a uniform u from
+    a salted md5 of its key and is ranked by ln(u)/w — the top
+    `n_per_group` per group win, with inclusion probability
+    proportional to `weight_col` (e.g. document length for
+    proportional-to-size corpus mixing). Like `sample_stratified`, the
+    draw is a hash, not `rand()`: reproducible across runs, retries and
+    cluster sizes, and exactly reproducible by any engine with md5.
+
+    One shuffle on the group key; the md5/ln ranking key is computed
+    map-side. Weights must be > 0."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    hx = F.substring(F.md5(F.concat_ws(":", F.lit(str(salt)),
+                                       F.col(key_col).cast("string"))), 1, 8)
+    u = ((F.conv(hx, 16, 10).cast("double") + F.lit(0.5))
+         / F.lit(float(1 << 32)))
+    es = F.log(u) / F.col(weight_col).cast("double")  # monotone in u^(1/w)
+    w = Window.partitionBy(group_col).orderBy(F.desc(es), F.col(key_col))
+    return (df.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n_per_group).drop("_r"))
+
+
+def token_entropy(df, id_col: str = "doc_id", text_col: str = "text",
+                  out_col: str = "entropy"):
+    """Per-document Shannon entropy (bits) of the word distribution —
+    the diversity twin of `repetition_scores` (low entropy = templated /
+    repetitive text, a standard corpus-quality gate). Fully declarative:
+    explode → per-(doc, word) counts → per-doc aggregate, using
+    H = log2(n) − Σ c·log2(c) / n so a single pass over the counts
+    suffices (map-side partial aggregation applies to both groupBys).
+
+    → DataFrame(id_col, out_col double)."""
+    from pyspark.sql import functions as F
+
+    terms = df.select(id_col, F.explode(F.split(F.col(text_col), " "))
+                      .alias("_w"))
+    cnt = terms.groupBy(id_col, "_w").agg(F.count("*").alias("_c"))
+    n = F.sum("_c").cast("double")
+    return cnt.groupBy(id_col).agg(
+        (F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n).alias(out_col))
+
+
+def normalized_text_expr(text_col: str = "text"):
+    """C4-style canonical form of a document: lowercase, strip everything
+    but [a-z0-9 ], collapse whitespace runs, trim. The 'fuzzy-exact'
+    dedup key — catches re-crawls that differ only in case, punctuation
+    or spacing, which raw-hash dedup misses (Raffel et al. 2020 §2.2
+    use the three-sentence-span variant of the same idea)."""
+    from pyspark.sql import functions as F
+
+    t = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(t, " +", " "))
+
+
 def _char_trigrams(text_col, n: int = 3):
     from pyspark.sql import functions as F
 

@@ -368,3 +368,12 @@ def test_null_embedding_raises_clear_error(spark):
     C = ivf_centroids(df.filter("embedding IS NOT NULL"), n_lists=1)
     with pytest.raises(Exception, match="NULL embedding"):
         ivf_assign(df, C).collect()
+
+
+def test_dedup_exact_normalized_keeps_min_id(spark):
+    from sgp_sketch.dedup import dedup_exact_normalized
+
+    rows = [(3, "Hello, World!"), (1, "hello   world"), (2, "other doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup_exact_normalized(df).collect())
+    assert kept == [1, 2]

@@ -181,3 +181,20 @@ def test_triangle_count_star_is_triangle_free(spark):
     edges = spark.createDataFrame(rows, "src long, dst long")
     m = triangle_count(edges)
     assert m == {"n_nodes": 8, "n_edges": 7, "n_triangles": 0}
+
+
+def test_partition_quality_known_graph(spark):
+    """Two triangles joined by one bridge, parts = the two triangles:
+    m=7, cut=1, Q = 2*(3/7 - (7/14)^2) = 2*(3/7 - 1/4)."""
+    from sgp_sketch.graph import partition_quality
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+         (2, 1)],  # reverse duplicate must not double-count
+        "src long, dst long")
+    assign = spark.createDataFrame(
+        [(n, n // 4) for n in range(1, 7)], "id long, part long")
+    r = partition_quality(edges, assign).collect()[0]
+    assert (r.n_edges, r.n_cut) == (7, 1)
+    assert abs(r.cut_ratio - 1 / 7) < 1e-12
+    assert abs(r.modularity - 2 * (3 / 7 - 0.25)) < 1e-12

@@ -299,3 +299,42 @@ def test_curation_repetition_gate(spark):
                           persist=False)
     kept = {r.doc_id for r in gated["quality"].collect()}
     assert kept == {"good"}
+
+
+def test_sample_weighted_deterministic_and_biased(spark):
+    """Same draw across partitionings; a dominant weight is (essentially)
+    always included; group cap respected."""
+    from sgp_sketch.text import sample_weighted
+
+    rows = ([("s", i, 10) for i in range(40)]
+            + [("s", 999, 10_000_000), ("t", 7, 5)])
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    got = sample_weighted(df, 3, "n_chars").toPandas()
+    assert len(got[got.source == "s"]) == 3
+    assert 999 in set(got.doc_id)          # P(miss) < 1e-4 at this ratio
+    assert set(got[got.source == "t"].doc_id) == {7}  # under-full group
+    rep = sample_weighted(df.repartition(7), 3, "n_chars").toPandas()
+    assert sorted(rep.doc_id) == sorted(got.doc_id)
+
+
+def test_token_entropy_known_values(spark):
+    from sgp_sketch.text import token_entropy
+
+    rows = [(1, "a a a a"), (2, "a b"), (3, "a a b b"), (4, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dict(token_entropy(df).collect())
+    assert abs(got[1] - 0.0) < 1e-9
+    assert abs(got[2] - 1.0) < 1e-9
+    assert abs(got[3] - 1.0) < 1e-9
+    assert abs(got[4] - 2.0) < 1e-9
+
+
+def test_normalized_text_expr(spark):
+    from pyspark.sql import functions as F
+
+    from sgp_sketch.text import normalized_text_expr
+
+    df = spark.createDataFrame(
+        [("  Hello,   World!!  ",), ("hello world",)], "text string")
+    vals = [r[0] for r in df.select(normalized_text_expr()).collect()]
+    assert vals == ["hello world", "hello world"]
