@@ -1678,6 +1678,38 @@ def q_merge_upsert(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 2).alias("total")))
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Iceberg-style snapshot time travel through the layout store
+    (catalog.write_layout append mode + catalog.load_snapshot): v1 holds
+    the even doc_ids, v2 appends the odd ones; the query reads BOTH
+    snapshots of the same table and reports per-version row counts and
+    source cardinality — the audit pass that diffs what a writer
+    appended. Setup is memoized per sf_dir; the oracle derives the same
+    counts from the documents table directly."""
+    import tempfile
+
+    from sgp_sketch import catalog
+
+    _views(spark, sf_dir)
+    key = ("snapshot_diff", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        work = tempfile.mkdtemp(prefix="sgp_snapshot_q_") + "/t"
+        docs = spark.table("documents").select("doc_id", "source")
+        catalog.write_layout(docs.filter(F.col("doc_id") % 2 == 0), work)
+        catalog.write_layout(docs.filter(F.col("doc_id") % 2 == 1), work,
+                             mode="append")
+        _STATEFUL_Q_CACHE[key] = work
+    work = _STATEFUL_Q_CACHE[key]
+    out = None
+    for v in (1, 2):
+        snap = (catalog.load_snapshot(spark, work, version=v)
+                .agg(F.lit(v).alias("version"),
+                     F.count("*").alias("n_rows"),
+                     F.countDistinct("source").alias("n_sources")))
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
 def q_partition_quality(spark, sf_dir):
     """Edge-cut ratio and Newman modularity of a hash(mod-8)
     partitioning of the supplier↔part graph (graph.partition_quality) —
@@ -1769,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # both scales regardless. Enumeration is deterministic and
     # import-side-effect-free.
     return {
+        "snapshot_diff": q_snapshot_diff,
         "partition_quality": q_partition_quality,
         "weighted_sample": q_weighted_sample,
         "token_entropy": q_token_entropy,
@@ -1871,6 +1904,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     stop = ",".join(f"'{w}'" for w in _STOPWORDS)
     return {
+        "snapshot_diff": """
+            SELECT 1 AS version, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT source) AS n_sources
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 2 AS version, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT source) AS n_sources
+            FROM documents
+        """,
         "partition_quality": """
             WITH e AS (
                 SELECT DISTINCT l_partkey AS a, l_suppkey + 1000000 AS b

@@ -155,6 +155,37 @@ def write_layout(df, path: str, mode: str = "overwrite",
     return manifest
 
 
+def load_snapshot(spark, path: str, version: int | None = None):
+    """Time-travel read of a layout table: load EXACTLY the parquet files
+    the requested snapshot's manifest lists (default: the current version
+    from `version-hint.text`) — Iceberg's snapshot-isolation / time-travel
+    contract at layout scale (`spark.read.option("snapshot-id", ...)` on a
+    real Iceberg runtime).
+
+    Append-mode writers keep every older snapshot readable: each
+    `write_layout(mode="append")` manifest lists the full file set visible
+    at that version, and earlier manifests keep pointing at files that
+    still exist. An overwrite-mode writer invalidates prior snapshots —
+    reading one then fails loudly on the missing files rather than
+    silently serving the new data. The manifest's recorded schema is
+    applied to the scan (no inference pass), and `basePath` recovers
+    partition columns for partitioned layouts."""
+    from pyspark.sql.types import StructType
+
+    meta_dir = _join(path, "metadata")
+    if version is None:
+        version = int(_fs_read_text(
+            spark, _join(meta_dir, "version-hint.text")).strip())
+    manifest = json.loads(_fs_read_text(
+        spark, _join(meta_dir, f"v{version}.metadata.json")))
+    schema = StructType.fromJson(manifest["schema"])
+    files = [_join(path, f["path"]) for f in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return (spark.read.schema(schema)
+            .option("basePath", _join(path, "data")).parquet(*files))
+
+
 def merge_upsert(base, updates, key):
     """SCD-1 style merge (upsert): every `updates` row replaces the base
     row with the same key; update rows with no base match are inserts.

@@ -105,3 +105,31 @@ def test_merge_upsert_semantics(spark):
     got2 = {r["k"]: r["v"] for r in
             merge_upsert(base, upd_null, "k").collect()}
     assert got2 == {1: None, 2: "b", 3: "c"}
+
+
+def test_load_snapshot_time_travel(spark, tmp_path):
+    """Append-mode snapshots: v1 stays readable after v2 appends;
+    default read = current version; partition columns recovered."""
+    path = str(tmp_path / "tt")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, src string")
+    df2 = spark.createDataFrame([(3, "a")], "id long, src string")
+    catalog.write_layout(df1, path, partition_by=["src"])
+    catalog.write_layout(df2, path, mode="append", partition_by=["src"])
+    v1 = catalog.load_snapshot(spark, path, version=1)
+    v2 = catalog.load_snapshot(spark, path, version=2)
+    cur = catalog.load_snapshot(spark, path)
+    assert sorted(r.id for r in v1.collect()) == [1, 2]
+    assert sorted(r.id for r in v2.collect()) == [1, 2, 3]
+    assert sorted(r.id for r in cur.collect()) == [1, 2, 3]
+    assert {r.src for r in v2.collect()} == {"a", "b"}  # partition col read
+
+
+def test_load_snapshot_overwrite_invalidates_old(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "ow")
+    df = spark.createDataFrame([(1,)], "id long")
+    catalog.write_layout(df, path)
+    catalog.write_layout(df, path, mode="overwrite")
+    with pytest.raises(Exception):
+        catalog.load_snapshot(spark, path, version=1).collect()
