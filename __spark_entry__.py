@@ -1726,7 +1726,8 @@ def q_partition_quality(spark, sf_dir):
     return (partition_quality(edges, assign)
             .select("n_edges", "n_cut",
                     F.round("cut_ratio", 6).alias("cut_ratio"),
-                    F.round("modularity", 6).alias("modularity")))
+                    F.round("modularity", 6).alias("modularity"),
+                    "n_unassigned"))
 
 
 def q_weighted_sample(spark, sf_dir):
@@ -1932,7 +1933,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m - SUM(e_c) AS BIGINT) AS n_cut,
                    ROUND((m - SUM(e_c)) / m, 6) AS cut_ratio,
                    ROUND(SUM(e_c / m - (d_c / (2 * m)) * (d_c / (2 * m))),
-                         6) AS modularity
+                         6) AS modularity,
+                   CAST(0 AS BIGINT) AS n_unassigned
             FROM per_c, tot GROUP BY m
         """,
         "weighted_sample": """
@@ -1941,7 +1943,7 @@ def oracle_sql() -> dict[str, str]:
                        LN((('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),
                                            1, 8))::BIGINT + 0.5)
                           / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es
-                FROM documents),
+                FROM documents WHERE n_chars > 0),
             r AS (
                 SELECT source, doc_id, n_chars,
                        ROW_NUMBER() OVER (PARTITION BY source
@@ -1962,10 +1964,14 @@ def oracle_sql() -> dict[str, str]:
         "normalized_dedup": """
             WITH norm AS (
                 SELECT doc_id, source,
-                       md5(TRIM(regexp_replace(regexp_replace(LOWER(text),
-                               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS k
+                       TRIM(regexp_replace(LOWER(text),
+                            '[^a-z0-9]+', ' ', 'g')) AS nt
                 FROM documents),
-            keep AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY k)
+            keep AS (
+                SELECT MIN(doc_id) AS doc_id FROM norm
+                WHERE nt IS NOT NULL AND nt <> '' GROUP BY md5(nt)
+                UNION ALL
+                SELECT doc_id FROM norm WHERE nt IS NULL OR nt = '')
             SELECT n.source, COUNT(*) AS n_docs,
                    COUNT(kp.doc_id) AS n_kept
             FROM norm n LEFT JOIN keep kp USING (doc_id)

@@ -251,10 +251,14 @@ def minhash_near_duplicates(df, id_col: str = "doc_id",
                          F.col("shingles").alias("sh_b"))
         jac = (F.size(F.array_intersect("sh_a", "sh_b"))
                / F.size(F.array_union("sh_a", "sh_b")))
+        # threshold the UNROUNDED value, round only for output — a pair
+        # in [thr − 5e-5, thr) must not round its way in (the oracle
+        # filters unrounded too)
         return (pairs.join(sa, "doc_a").join(sb, "doc_b")
-                .withColumn("jaccard", F.round(jac, 4))
-                .filter(F.col("jaccard") >= threshold)
-                .select("doc_a", "doc_b", "jaccard"))
+                .withColumn("_j", jac)
+                .filter(F.col("_j") >= threshold)
+                .select("doc_a", "doc_b",
+                        F.round("_j", 4).alias("jaccard")))
     sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
@@ -278,15 +282,25 @@ def dedup_exact_normalized(df, id_col: str = "doc_id",
     of the full document, the same hash-don't-carry trick as
     dedup_exact; a 128-bit collision is vanishingly less likely than the
     normalization itself merging near-identical docs (by design).
-    groupBy-min + left-semi join back, no window over the text key."""
+    groupBy-min + left-semi join back, no window over the text key.
+
+    Documents whose canonical form is EMPTY (no ASCII alphanumerics —
+    CJK/Cyrillic/emoji-only text) are kept unconditionally: the empty
+    key says 'this normalization can't see the document', not 'these
+    are all duplicates of each other', and folding a multilingual
+    corpus's non-Latin half into one representative would be silent
+    mass deletion."""
     from pyspark.sql import functions as F
 
     from .text import normalized_text_expr
 
-    keep = (df.select(F.col(id_col),
-                      F.md5(normalized_text_expr(text_col)).alias("_k"))
+    norm = normalized_text_expr(text_col)
+    keyed = df.select(F.col(id_col), F.md5(norm).alias("_k"),
+                      (norm.isNull() | (norm == "")).alias("_blank"))
+    keep = (keyed.filter(~F.col("_blank"))
             .groupBy("_k").agg(F.min(id_col).alias(id_col))
-            .select(id_col))
+            .select(id_col)
+            .unionByName(keyed.filter(F.col("_blank")).select(id_col)))
     return df.join(keep, id_col, "left_semi")
 
 
@@ -317,12 +331,13 @@ def ngram_jaccard_pairs(df, id_col: str = "doc_id", text_col: str = "text",
              .agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    # filter the unrounded value; round only for output (oracle parity —
+    # a threshold-edge pair must not round its way past the cut)
     return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jaccard", F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b")
-                                  - F.col("inter")), 4))
-            .filter(F.col("jaccard") >= min_jaccard)
-            .select("doc_a", "doc_b", "jaccard"))
+            .withColumn("_j", jac)
+            .filter(F.col("_j") >= min_jaccard)
+            .select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard")))
 
 
 # ================================================================ SimHash
@@ -444,12 +459,15 @@ def embedding_near_duplicates(df, id_col: str = "vec_id",
     nrm = (lambda side: F.sqrt(F.aggregate(
         F.col(f"{side}.{vec_col}"), F.lit(0.0).cast("double"),
         lambda acc, v: acc + v * v)))
+    # threshold the unrounded cosine, round only for output (same
+    # edge-of-threshold discipline as the Jaccard paths)
     return (x.join(y, ["table", "bucket"])
             .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
             .select(F.col(f"x.{id_col}").alias("id_a"),
                     F.col(f"y.{id_col}").alias("id_b"),
-                    F.round(dot / (nrm("x") * nrm("y")), 4).alias("cosine"))
-            .filter(F.col("cosine") >= threshold)
+                    (dot / (nrm("x") * nrm("y"))).alias("_c"))
+            .filter(F.col("_c") >= threshold)
+            .select("id_a", "id_b", F.round("_c", 4).alias("cosine"))
             .distinct())
 
 

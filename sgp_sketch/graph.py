@@ -354,10 +354,15 @@ def partition_quality(edges, assign, src: str = "src", dst: str = "dst",
     dropped, as in triangle_count) → one shuffle equi-join per endpoint
     against the assignment (|V|-sized, so NOT broadcast) → endpoints
     stacked so each edge contributes its two degree increments → ONE
-    per-partition aggregate; the scalar total rides back in as a
-    broadcast one-row crossJoin, never a driver collect.
+    per-partition aggregate; the scalar totals ride back in as
+    broadcast one-row crossJoins, never a driver collect.
 
-    → one-row DataFrame(n_edges, n_cut, cut_ratio, modularity).
+    Edges with an endpoint MISSING from `assign` are excluded from the
+    metrics but counted in `n_unassigned` — a partial assignment must
+    show up as a nonzero count, not silently score a smaller graph.
+
+    → one-row DataFrame(n_edges, n_cut, cut_ratio, modularity,
+    n_unassigned).
     """
     from pyspark.sql import functions as F
 
@@ -370,7 +375,11 @@ def partition_quality(edges, assign, src: str = "src", dst: str = "dst",
                        F.col(part_col).alias("pa"))
     pb = assign.select(F.col(node_col).alias("b"),
                        F.col(part_col).alias("pb"))
-    j = e.join(pa, "a").join(pb, "b")
+    lj = e.join(pa, "a", "left").join(pb, "b", "left")
+    miss = lj.agg(F.coalesce(F.sum((F.col("pa").isNull()
+                                    | F.col("pb").isNull()).cast("long")),
+                             F.lit(0)).alias("n_unassigned"))
+    j = lj.filter(F.col("pa").isNotNull() & F.col("pb").isNotNull())
     intra = (F.col("pa") == F.col("pb")).cast("long")
     stack = (j.select(F.col("pa").alias("c"), intra.alias("intra"))
              .unionByName(j.select(F.col("pb").alias("c"),
@@ -385,9 +394,10 @@ def partition_quality(edges, assign, src: str = "src", dst: str = "dst",
     return (per_c.crossJoin(F.broadcast(tot))
             .groupBy("m")
             .agg(F.sum("e_c").alias("_intra"), q.alias("modularity"))
+            .crossJoin(F.broadcast(miss))
             .select(F.col("m").cast("long").alias("n_edges"),
                     (F.col("m") - F.col("_intra")).cast("long")
                     .alias("n_cut"),
                     ((F.col("m") - F.col("_intra")) / F.col("m"))
                     .alias("cut_ratio"),
-                    "modularity"))
+                    "modularity", "n_unassigned"))

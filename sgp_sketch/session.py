@@ -35,6 +35,16 @@ def get_spark(app_name: str = "sgp_sketch", master: str | None = None,
     return b.getOrCreate()
 
 
+def _parse_bytes(v: str) -> int:
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+             "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30}
+    s = str(v).strip().lower()
+    for suf in sorted(units, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[:-len(suf)])) * units[suf]
+    return int(s)
+
+
 def fan_out(df, min_parts: int | None = None):
     """Raise the parallelism of a CPU-heavy per-row stage when the scan
     offers fewer partitions than the cluster has slots.
@@ -44,14 +54,38 @@ def fan_out(df, min_parts: int | None = None):
     EXPANDS each row (n-gram explode, shingle hashing, minhash/simhash
     UDFs) then runs serially on one slot while the rest of the cluster
     idles. This helper round-robin repartitions to the default
-    parallelism ONLY in that case; at 100-TB scale scans arrive with
-    thousands of partitions and it is a no-op, so the shuffle it adds is
-    by construction bounded by (cluster slots × small-file size).
-    Streaming DataFrames are returned unchanged (their parallelism is
-    the source's concern)."""
+    parallelism ONLY when the leaf input files are both fewer than the
+    cluster width AND too small to byte-split that wide — so the shuffle
+    it adds is by construction bounded by (cluster slots ×
+    maxPartitionBytes). At 100-TB scale scans arrive thousands of files
+    wide and this is a no-op.
+
+    Detection is LAZY: file count and sizes come from the plan's leaf
+    FileIndex (driver-side metadata), never from `df.rdd` — under AQE,
+    converting to an RDD EXECUTES every upstream shuffle stage as real
+    jobs, which would break pipeline laziness (and re-run the work when
+    the caller doesn't persist). Streaming DataFrames and plans with no
+    file-backed leaves (in-memory inputs; post-shuffle parallelism is
+    already governed by shuffle.partitions/AQE) are returned
+    unchanged."""
     if df.isStreaming:
         return df
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df
+    from .checkpoint import _fs_path
+
+    total = 0
+    for f in files:
+        fs, p = _fs_path(spark, f)
+        total += int(fs.getFileStatus(p).getLen())
+    max_pb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                         "134217728b"))
+    # bytes-based upper bound on scan splits: big-enough files split on
+    # their own (and a single huge file that under-splits on row-group
+    # boundaries would cost its full payload to reshuffle — leave it)
+    if total >= target * max_pb:
         return df
     return df.repartition(target)

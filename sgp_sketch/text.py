@@ -47,7 +47,14 @@ def sample_weighted(df, n_per_group: int, weight_col: str,
     cluster sizes, and exactly reproducible by any engine with md5.
 
     One shuffle on the group key; the md5/ln ranking key is computed
-    map-side. Weights must be > 0."""
+    map-side (and Spark plans the rank filter as a partial
+    WindowGroupLimit, so only ~n_per_group rows per group per map task
+    reach the shuffle — PLANS.md).
+
+    Rows with NULL or non-positive weight are EXCLUDED from the draw —
+    they carry no sampling mass, and without the guard a corrupt
+    negative weight would flip the key's sign and deterministically win
+    every draw."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -57,7 +64,8 @@ def sample_weighted(df, n_per_group: int, weight_col: str,
          / F.lit(float(1 << 32)))
     es = F.log(u) / F.col(weight_col).cast("double")  # monotone in u^(1/w)
     w = Window.partitionBy(group_col).orderBy(F.desc(es), F.col(key_col))
-    return (df.withColumn("_r", F.row_number().over(w))
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= n_per_group).drop("_r"))
 
 
@@ -82,15 +90,20 @@ def token_entropy(df, id_col: str = "doc_id", text_col: str = "text",
 
 
 def normalized_text_expr(text_col: str = "text"):
-    """C4-style canonical form of a document: lowercase, strip everything
-    but [a-z0-9 ], collapse whitespace runs, trim. The 'fuzzy-exact'
-    dedup key — catches re-crawls that differ only in case, punctuation
-    or spacing, which raw-hash dedup misses (Raffel et al. 2020 §2.2
-    use the three-sentence-span variant of the same idea)."""
+    """C4-style canonical form of a document: lowercase, then every run
+    of NON-alphanumeric characters (punctuation, newlines, tabs, spaces
+    alike) collapses to a single space, trimmed. The 'fuzzy-exact' dedup
+    key — catches re-crawls that differ only in case, punctuation or
+    spacing, which raw-hash dedup misses (Raffel et al. 2020 §2.2 use
+    the three-sentence-span variant of the same idea). Replacing the run
+    with a space (not deleting it) keeps 'hello\\nworld' == 'hello world'
+    != 'helloworld'. Text with no ASCII alphanumerics at all (CJK,
+    emoji-only, …) normalizes to '' — see dedup_exact_normalized for why
+    such rows are exempt from dedup."""
     from pyspark.sql import functions as F
 
-    t = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
-    return F.trim(F.regexp_replace(t, " +", " "))
+    t = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    return F.trim(t)
 
 
 def _char_trigrams(text_col, n: int = 3):

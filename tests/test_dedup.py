@@ -377,3 +377,27 @@ def test_dedup_exact_normalized_keeps_min_id(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = sorted(r.doc_id for r in dedup_exact_normalized(df).collect())
     assert kept == [1, 2]
+
+
+def test_dedup_normalized_blank_forms_exempt(spark):
+    """Docs with no ASCII alphanumerics (and NULL text) normalize to ''
+    and must ALL be kept — not folded into one representative."""
+    from sgp_sketch.dedup import dedup_exact_normalized
+
+    rows = [(1, "!!!"), (2, "¿¿¿"), (3, "abc"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup_exact_normalized(df).collect())
+    assert kept == [1, 2, 3, 4]
+
+
+def test_ngram_jaccard_thresholds_unrounded_value(spark):
+    """jaccard = 2/3 = 0.66667 rounds to 0.6667 >= 0.667 — the filter
+    must use the unrounded value and exclude the pair."""
+    from sgp_sketch.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d")], "doc_id long, text string")
+    got = ngram_jaccard_pairs(df, min_jaccard=0.667).collect()
+    assert got == []
+    got = ngram_jaccard_pairs(df, min_jaccard=0.6).collect()
+    assert len(got) == 1 and abs(got[0].jaccard - 0.6667) < 1e-9

@@ -195,6 +195,11 @@ def test_partition_quality_known_graph(spark):
     assign = spark.createDataFrame(
         [(n, n // 4) for n in range(1, 7)], "id long, part long")
     r = partition_quality(edges, assign).collect()[0]
-    assert (r.n_edges, r.n_cut) == (7, 1)
+    assert (r.n_edges, r.n_cut, r.n_unassigned) == (7, 1, 0)
     assert abs(r.cut_ratio - 1 / 7) < 1e-12
     assert abs(r.modularity - 2 * (3 / 7 - 0.25)) < 1e-12
+    # partial assignment: node 6 unassigned -> its 2 edges counted in
+    # n_unassigned, metrics scored over the remaining 5 edges
+    partial = assign.filter("id <> 6")
+    r = partition_quality(edges, partial).collect()[0]
+    assert (r.n_edges, r.n_unassigned) == (5, 2)

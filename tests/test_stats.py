@@ -28,3 +28,18 @@ def test_ks_known_small_case(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = ks_statistic(df, "v", "g", "a", "b").collect()[0]
     assert abs(r.ks - 0.5) < 1e-12 and r.n_a == 2 and r.n_b == 2
+
+
+def test_ks_binned_bounds_exact(spark):
+    """Binned KS stays within one bin of mass of the exact statistic,
+    and shrinks the window's input to the bin count."""
+    from sgp_sketch.stats import ks_statistic
+
+    rows = ([("a", v / 10.0) for v in range(100)]
+            + [("b", v / 10.0 + 2.0) for v in range(100)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    exact = ks_statistic(df, "v", "g", "a", "b").collect()[0].ks
+    binned = ks_statistic(df, "v", "g", "a", "b",
+                          bin_width=1.0).collect()[0].ks
+    assert abs(binned - exact) <= 0.1 + 1e-12  # <= one bin of mass
+    assert binned > 0.15  # still detects the shift
