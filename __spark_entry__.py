@@ -1678,6 +1678,49 @@ def q_merge_upsert(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 2).alias("total")))
 
 
+def q_incremental_hll(spark, sf_dir):
+    """Incremental table statistics on snapshot append
+    (catalog.incremental_sketch_update): HLL state built at snapshot v1
+    (even doc_ids) is updated by scanning ONLY the files v2 appended —
+    the manifest diff — and the per-source distinct-token estimates are
+    byte-equal to a full rebuild at v2 (gated in
+    tests/test_catalog.py::test_incremental_sketch_update_matches_full_rebuild).
+    Memoized per sf_dir; estimates are the returned check."""
+    import shutil
+    import tempfile
+
+    from sgp_sketch import agg, catalog
+    from sgp_sketch import queries as Q
+    from sgp_sketch.deploy import ensure_py_files
+    from sgp_sketch.testdata import doc_tokens_from
+
+    _views(spark, sf_dir)
+    key = ("incremental_hll", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        ensure_py_files(spark)
+        specs = {"hll": {"kind": "hll", "value_col": "tokens",
+                         "params": {"p": 14}}}
+        work = tempfile.mkdtemp(prefix="sgp_inc_q_") + "/t"
+        try:
+            docs = spark.table("documents")
+            catalog.write_layout(docs.filter(F.col("doc_id") % 2 == 0), work)
+            catalog.write_layout(docs.filter(F.col("doc_id") % 2 == 1), work,
+                                 mode="append")
+            state1 = agg.multi_sketch_agg(
+                doc_tokens_from(catalog.load_snapshot(spark, work, 1)),
+                specs)
+            blobs = catalog.incremental_sketch_update(
+                spark, work, state1, specs, from_version=1,
+                prepare=doc_tokens_from)
+            est = Q._estimate_udf()
+            _STATEFUL_Q_CACHE[key] = (
+                blobs.select("source", est("state").alias("est_distinct"))
+                .collect())
+        finally:
+            shutil.rmtree(work.rsplit("/", 1)[0], ignore_errors=True)
+    return spark.createDataFrame(_STATEFUL_Q_CACHE[key])
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Iceberg-style snapshot time travel through the layout store
     (catalog.write_layout append mode + catalog.load_snapshot): v1 holds
@@ -1802,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # both scales regardless. Enumeration is deterministic and
     # import-side-effect-free.
     return {
+        "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,
         "partition_quality": q_partition_quality,
         "weighted_sample": q_weighted_sample,

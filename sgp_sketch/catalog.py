@@ -186,6 +186,70 @@ def load_snapshot(spark, path: str, version: int | None = None):
             .option("basePath", _join(path, "data")).parquet(*files))
 
 
+def snapshot_new_files(spark, path: str, from_version: int,
+                       to_version: int | None = None) -> list[str]:
+    """Layout-absolute paths of data files listed by `to_version`'s
+    manifest but not by `from_version`'s — the append delta between two
+    snapshots (empty when nothing was appended; an overwrite shows up as
+    an entirely new file set)."""
+    meta_dir = _join(path, "metadata")
+    if to_version is None:
+        to_version = int(_fs_read_text(
+            spark, _join(meta_dir, "version-hint.text")).strip())
+
+    def _files(v: int) -> set:
+        m = json.loads(_fs_read_text(
+            spark, _join(meta_dir, f"v{v}.metadata.json")))
+        return {f["path"] for f in m["files"]}
+
+    return sorted(_join(path, p)
+                  for p in _files(to_version) - _files(from_version))
+
+
+def incremental_sketch_update(spark, path: str, state_blobs, specs: dict,
+                              from_version: int, to_version: int | None = None,
+                              group_cols=("source",), prepare=None):
+    """Incremental sketch maintenance on snapshot append: scan ONLY the
+    data files `to_version` added since `from_version` (snapshot_new_files
+    manifest diff), build partial sketches over that delta, and
+    kernel-merge them into the existing blob state — the table-statistics
+    pattern for an append-only 100-TB corpus, where re-scanning history
+    on every ingest is the thing that cannot happen.
+
+    Kernel associativity is what makes the result correct; for the
+    order-invariant kernels (HLL register-max, CMS counter-add, Bloom
+    bit-or, theta) the merged state is BYTE-identical to a full rebuild
+    at `to_version` (gated in tests/test_catalog.py); KLL/t-digest
+    states are merge-order-dependent but their estimates stay within the
+    same published bounds.
+
+    `prepare` (optional) maps the delta DataFrame before sketching —
+    e.g. testdata.doc_tokens_from to tokenize documents — and must be
+    the same function the original state was built with.
+
+    → updated blobs DataFrame (same schema as agg.multi_sketch_agg).
+    """
+    from pyspark.sql.types import StructType
+
+    from . import agg
+
+    new_files = snapshot_new_files(spark, path, from_version, to_version)
+    if not new_files:
+        return state_blobs
+    meta_dir = _join(path, "metadata")
+    v = to_version if to_version is not None else int(_fs_read_text(
+        spark, _join(meta_dir, "version-hint.text")).strip())
+    manifest = json.loads(_fs_read_text(
+        spark, _join(meta_dir, f"v{v}.metadata.json")))
+    delta = (spark.read.schema(StructType.fromJson(manifest["schema"]))
+             .option("basePath", _join(path, "data")).parquet(*new_files))
+    if prepare is not None:
+        delta = prepare(delta)
+    delta_blobs = agg.multi_sketch_agg(delta, specs, group_cols)
+    return agg.merge_across(state_blobs.unionByName(delta_blobs),
+                            group_cols=list(group_cols) + ["sketch"])
+
+
 def merge_upsert(base, updates, key):
     """SCD-1 style merge (upsert): every `updates` row replaces the base
     row with the same key; update rows with no base match are inserts.

@@ -133,3 +133,52 @@ def test_load_snapshot_overwrite_invalidates_old(spark, tmp_path):
     catalog.write_layout(df, path, mode="overwrite")
     with pytest.raises(Exception):
         catalog.load_snapshot(spark, path, version=1).collect()
+
+
+def test_incremental_sketch_update_matches_full_rebuild(spark, tmp_path):
+    """Append v2, update sketches from the manifest diff only: for the
+    order-invariant kernels the merged state is byte-identical to a
+    full rebuild over the v2 snapshot."""
+    from sgp_sketch import agg
+
+    path = str(tmp_path / "inc")
+    df1 = spark.createDataFrame(
+        [("s1", [int(i) for i in range(60)]),
+         ("s2", [int(i) for i in range(40, 90)])],
+        "source string, tokens array<bigint>")
+    df2 = spark.createDataFrame(
+        [("s1", [int(i) for i in range(80, 140)]),
+         ("s3", [int(i) for i in range(7)])],
+        "source string, tokens array<bigint>")
+    catalog.write_layout(df1, path)
+    catalog.write_layout(df2, path, mode="append")
+    specs = {
+        "hll": {"kind": "hll", "value_col": "tokens", "params": {"p": 12}},
+        "cms": {"kind": "cms", "value_col": "tokens",
+                "params": {"depth": 4, "width": 256}},
+        "bloom": {"kind": "bloom", "value_col": "tokens",
+                  "params": {"n_blocks": 64}},
+    }
+    state1 = agg.multi_sketch_agg(
+        catalog.load_snapshot(spark, path, version=1), specs)
+    inc = catalog.incremental_sketch_update(
+        spark, path, state1, specs, from_version=1)
+    full = agg.multi_sketch_agg(
+        catalog.load_snapshot(spark, path, version=2), specs)
+
+    def keyed(df):
+        return {(r.source, r.sketch): (bytes(r.state), r.n_items)
+                for r in df.collect()}
+
+    ki, kf = keyed(inc), keyed(full)
+    assert set(ki) == set(kf) and len(ki) == 9  # 3 sources x 3 sketches
+    for k in kf:
+        assert ki[k][1] == kf[k][1], k        # same item counts
+        assert ki[k][0] == kf[k][0], k        # byte-identical state
+
+
+def test_snapshot_new_files_empty_without_append(spark, tmp_path):
+    path = str(tmp_path / "nf")
+    df = spark.createDataFrame([(1,)], "id long")
+    catalog.write_layout(df, path)
+    assert catalog.snapshot_new_files(spark, path, 1, 1) == []
