@@ -58,3 +58,30 @@ def test_curate_corpus_job(tmp_path):
     funnel = json.loads((tmp_path / "curated" / "funnel.json").read_text())
     assert all(f["n_sampled"] <= 5 for f in funnel["funnel"])
     assert os.path.isdir(tmp_path / "curated" / "documents")
+
+
+def test_update_stats_job(spark, tmp_path):
+    """Bootstrap at v1, append v2, run the incremental update twice: the
+    second run (no new snapshot) is a no-op fold that preserves state."""
+    from sgp_sketch import catalog
+
+    layout = str(tmp_path / "layout")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    catalog.write_layout(docs.filter("doc_id % 2 = 0"), layout)
+    catalog.write_layout(docs.filter("doc_id % 2 = 1"), layout,
+                         mode="append")
+    state = str(tmp_path / "stats")
+    out = run_job(
+        "update_stats.py", "--table", layout, "--state", state,
+        "--from-version", "1", "--sketch", "hll:tokens:p=13",
+        "--master", "local[4]")
+    s1 = json.loads(out.strip().splitlines()[-1])
+    assert s1["bootstrapped"] and s1["n_new_files"] >= 1
+    est = spark.read.parquet(os.path.join(state, "estimates"))
+    assert est.count() == 20  # one HLL estimate per source
+    out2 = run_job(
+        "update_stats.py", "--table", layout, "--state", state,
+        "--from-version", "2", "--sketch", "hll:tokens:p=13",
+        "--master", "local[4]")
+    s2 = json.loads(out2.strip().splitlines()[-1])
+    assert not s2["bootstrapped"] and s2["n_new_files"] == 0
