@@ -346,9 +346,12 @@ def partition_quality(edges, assign, src: str = "src", dst: str = "dst",
                       node_col: str = "id", part_col: str = "part"):
     """Quality metrics of a node→partition assignment over an undirected
     graph — the evaluation the reference runs on its edge-cut
-    partitioners (LDG/Fennel vs hash): edge-cut count and ratio, plus
-    Newman modularity Q = Σ_c (e_c/m − (d_c/2m)²), where e_c is the
-    intra-partition edge count and d_c the degree mass of partition c.
+    partitioners (LDG/Fennel vs hash: the per-vertex edge-cut
+    accumulation at EdgeCutSGP.java:124-128/162-166/200-204, reported
+    at :257, recast as one declarative aggregate): edge-cut count and
+    ratio, plus Newman modularity Q = Σ_c (e_c/m − (d_c/2m)²), where
+    e_c is the intra-partition edge count and d_c the degree mass of
+    partition c.
 
     Shape: canonical edge set (least/greatest + distinct, self-loops
     dropped, as in triangle_count) → one shuffle equi-join per endpoint
