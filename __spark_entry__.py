@@ -1678,6 +1678,28 @@ def q_merge_upsert(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 2).alias("total")))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (bpe.train_bpe): 10 merges
+    learned from the documents corpus — one corpus-sized word-count
+    pass, then vocabulary-table-sized pair-count/argmax/rewrite rounds.
+    Iterative global argmax is not single-SQL-expressible, so no DuckDB
+    oracle; exactness vs a pure-Python reference implementation is
+    gated in tests/test_bpe.py. Memoized per sf_dir."""
+    from sgp_sketch.bpe import train_bpe
+    from sgp_sketch.deploy import ensure_py_files
+
+    _views(spark, sf_dir)
+    key = ("bpe_merges", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        ensure_py_files(spark)
+        merges, vocab = train_bpe(spark.table("documents"), n_merges=10)
+        vocab.unpersist()
+        _STATEFUL_Q_CACHE[key] = merges
+    return spark.createDataFrame(
+        _STATEFUL_Q_CACHE[key], "rank int, sym_a string, sym_b string, "
+                                "pair_count long")
+
+
 def q_incremental_hll(spark, sf_dir):
     """Incremental table statistics on snapshot append
     (catalog.incremental_sketch_update): HLL state built at snapshot v1
@@ -1845,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # both scales regardless. Enumeration is deterministic and
     # import-side-effect-free.
     return {
+        "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,
         "partition_quality": q_partition_quality,

@@ -1,0 +1,62 @@
+"""Distributed BPE vs a pure-Python reference implementation (identical
+tie-break: max count, then lexicographic pair)."""
+
+from collections import Counter
+
+from sgp_sketch.bpe import END, encode_with_merges, train_bpe
+
+
+def ref_bpe(word_freqs: dict, n_merges: int):
+    """Sennrich-style reference BPE on a word-frequency dict."""
+    vocab = {tuple(list(w) + [END]): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(n_merges):
+        counts = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((rank, a, b, cnt))
+        nxt = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + f
+        vocab = nxt
+    return merges
+
+
+CORPUS = ["low low low lower lower newest newest newest newest widest",
+          "widest widest newest low lowest lowest"]
+
+
+def test_train_bpe_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    wf = Counter(w for t in CORPUS for w in t.split(" ") if w)
+    expect = ref_bpe(dict(wf), 12)
+    got, vocab = train_bpe(df, n_merges=12, checkpoint_every=5)
+    assert got == expect
+    vocab.unpersist()
+
+
+def test_encode_with_merges_roundtrip(spark):
+    """Encoded symbols concatenate back to the original words, and the
+    top merge actually compresses the corpus encoding."""
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges, vocab = train_bpe(df, n_merges=8)
+    vocab.unpersist()
+    enc = encode_with_merges(df, merges).collect()
+    for row in enc:
+        rebuilt = "".join(row.bpe_tokens).replace(END, " ").strip()
+        assert rebuilt == " ".join(w for w in row.text.split(" ") if w)
+        n_chars = sum(len(w) + 1 for w in row.text.split(" ") if w)
+        assert len(row.bpe_tokens) < n_chars  # merges compressed it
