@@ -1678,6 +1678,146 @@ def q_merge_upsert(spark, sf_dir):
                  F.round(F.sum("o_totalprice"), 2).alias("total")))
 
 
+def q_zipf_slope(spark, sf_dir):
+    """Zipf power-law fit of the corpus token-frequency distribution
+    (stats.zipf_slope): explode → token counts → rank window over the
+    distinct-token axis → `regr_slope(ln cnt, ln rank)`. The corpus-level
+    health metric a curation pipeline tracks per snapshot."""
+    from sgp_sketch.stats import zipf_slope
+
+    _views(spark, sf_dir)
+    return zipf_slope(spark.table("documents"))
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier accounting via median absolute deviation
+    (stats.mad_outliers): med/MAD from Spark's exact `percentile`,
+    broadcast joined back, |v−med| > 3·MAD counted per event_type."""
+    from sgp_sketch.stats import mad_outliers
+
+    _views(spark, sf_dir)
+    return mad_outliers(spark.table("events"), "value", "event_type", k=3.0)
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-range equi-width histogram of events.value
+    (stats.equi_width_histogram): single map-side-combinable aggregate
+    keyed by the clamped bucket id — nbins output rows at any scale."""
+    from sgp_sketch.stats import equi_width_histogram
+
+    _views(spark, sf_dir)
+    return equi_width_histogram(spark.table("events"), "value",
+                                lo=0.0, hi=500.0, nbins=10)
+
+
+def q_day_anomalies(spark, sf_dir):
+    """Daily ingest-volume anomaly gate (stats.zscore_day_anomalies):
+    day counts → mean/stddev window over the bounded DAYS axis →
+    |z| > 1.5 flag computed from the 6-decimal-rounded z on both the
+    Spark and oracle side so the boolean cannot flip on ulp noise."""
+    from sgp_sketch.stats import zscore_day_anomalies
+
+    _views(spark, sf_dir)
+    return (zscore_day_anomalies(spark.table("events"), "ts", thresh=1.5)
+            .withColumn("day", F.col("day").cast("string")))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Denylist scrubbing pass (text.redact_terms): whole-word regex
+    redaction counted per source — JVM regexp_extract_all /
+    regexp_replace per row, one combinable aggregate; the PII-removal
+    stage of the curation pipeline exercised on a word denylist."""
+    from sgp_sketch.text import redact_terms
+
+    _views(spark, sf_dir)
+    return redact_terms(spark.table("documents"),
+                        ("hash", "key", "value"), "text", "source")
+
+
+def q_source_jaccard(spark, sf_dir):
+    """Exact pairwise vocabulary Jaccard between sources
+    (text.source_jaccard): distinct (source, token) → token-keyed
+    self-join (co-membership only, never cross) → per-pair counts with
+    broadcast vocabulary sizes. Exact twin of the theta/MinHash overlap
+    estimators."""
+    from sgp_sketch.text import source_jaccard
+
+    _views(spark, sf_dir)
+    return source_jaccard(spark.table("documents"))
+
+
+def q_ntile_bands(spark, sf_dir):
+    """Decile banding of document lengths: ntile(10) over a
+    deterministic (n_chars, doc_id) order, then per-decile stats — the
+    length-stratification step before balanced sampling. The ntile
+    window is a global sort, acceptable because its input is the
+    2-column projection and downstream state is 10 rows; for 100-TB
+    inputs the KLL/t-digest quantile path replaces the exact sort."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(nt AS INT) AS decile, COUNT(*) AS n,
+               MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars,
+               ROUND(AVG(n_chars), 6) AS avg_chars
+        FROM (SELECT n_chars,
+                     ntile(10) OVER (ORDER BY n_chars, doc_id) AS nt
+              FROM documents)
+        GROUP BY nt
+    """)
+
+
+def q_percent_rank_filter(spark, sf_dir):
+    """Top-quintile-by-length filter per language: percent_rank over a
+    deterministic per-lang order, keep pr ≥ 0.8, report per-lang stats —
+    the 'keep the best X% per stratum' quality gate. Window is
+    partitioned by lang, so each sort is per-group, shuffled once by
+    the lang key."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT lang, COUNT(*) AS n_kept,
+               MIN(n_chars) AS min_chars,
+               ROUND(AVG(n_chars), 6) AS avg_chars
+        FROM (SELECT lang, n_chars,
+                     percent_rank() OVER (PARTITION BY lang
+                                          ORDER BY n_chars, doc_id) AS pr
+              FROM documents)
+        WHERE pr >= 0.8
+        GROUP BY lang
+    """)
+
+
+def q_grouping_sets_stats(spark, sf_dir):
+    """Explicit GROUPING SETS ((lang),(source),()) — the two marginals
+    plus grand total WITHOUT the full cube lattice (cube_revenue's
+    cheaper sibling when only named rollups are wanted): one shuffle,
+    each input row expanded to exactly the 3 requested groupings."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT COALESCE(lang, '__all__') AS lang_grp,
+               COALESCE(source, '__all__') AS src_grp,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 6) AS avg_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+    """)
+
+
+def q_latest_event_dist(spark, sf_dir):
+    """Latest-event-per-user distribution via arg-max aggregation:
+    `max_by(event_type, struct(ts, event_id))` picks each user's most
+    recent event in ONE hash aggregate — no per-user window sort, so at
+    scale this is a partial-aggregable shuffle keyed by user_id instead
+    of a full repartition+sort (the row_number formulation the oracle
+    uses). Tie-broken on event_id for determinism."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT latest_type, COUNT(*) AS n_users
+        FROM (SELECT user_id,
+                     max_by(event_type, struct(ts, event_id)) AS latest_type
+              FROM events GROUP BY user_id)
+        GROUP BY latest_type
+    """)
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (bpe.train_bpe): 10 merges
     learned from the documents corpus — one corpus-sized word-count
@@ -1867,6 +2007,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # both scales regardless. Enumeration is deterministic and
     # import-side-effect-free.
     return {
+        "zipf_slope": q_zipf_slope,
+        "mad_outliers": q_mad_outliers,
+        "value_histogram": q_value_histogram,
+        "day_anomalies": q_day_anomalies,
+        "pii_scrub": q_pii_scrub,
+        "source_jaccard": q_source_jaccard,
+        "ntile_bands": q_ntile_bands,
+        "percent_rank_filter": q_percent_rank_filter,
+        "grouping_sets_stats": q_grouping_sets_stats,
+        "latest_event_dist": q_latest_event_dist,
         "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,
@@ -1972,6 +2122,141 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     stop = ",".join(f"'{w}'" for w in _STOPWORDS)
     return {
+        "zipf_slope": """
+            WITH c AS (
+                SELECT w, COUNT(*) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE w <> '' GROUP BY w),
+            r AS (SELECT cnt,
+                         row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+                  FROM c)
+            SELECT ROUND(regr_slope(ln(cnt), ln(rnk)), 6) AS slope,
+                   COUNT(*) AS n_types,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens
+            FROM r
+        """,
+        "mad_outliers": """
+            WITH m AS (
+                SELECT event_type, median(value) AS med
+                FROM events WHERE value IS NOT NULL GROUP BY event_type),
+            d AS (
+                SELECT e.event_type, m.med,
+                       ABS(e.value - m.med) AS dev
+                FROM events e JOIN m USING (event_type)
+                WHERE e.value IS NOT NULL),
+            md AS (
+                SELECT event_type, median(dev) AS mad
+                FROM d GROUP BY event_type)
+            SELECT d.event_type,
+                   ROUND(MAX(d.med), 6) AS med,
+                   ROUND(MAX(md.mad), 6) AS mad,
+                   CAST(SUM(CASE WHEN d.dev > 3.0 * md.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers,
+                   COUNT(*) AS n
+            FROM d JOIN md USING (event_type)
+            GROUP BY d.event_type
+        """,
+        "value_histogram": """
+            SELECT bucket,
+                   ROUND(bucket * 50.0, 6) AS lo_edge,
+                   COUNT(*) AS n,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM (SELECT CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9)
+                              AS BIGINT) AS bucket, value
+                  FROM events WHERE value IS NOT NULL)
+            GROUP BY bucket
+        """,
+        "day_anomalies": """
+            WITH d AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY 1),
+            z AS (
+                SELECT day, n_events,
+                       ROUND((n_events - AVG(n_events) OVER ())
+                             / STDDEV_SAMP(n_events) OVER (), 6) AS z
+                FROM d)
+            SELECT day, n_events, z,
+                   CAST(ABS(z) > 1.5 AS INT) AS is_anomaly
+            FROM z
+        """,
+        "pii_scrub": """
+            WITH d AS (
+                SELECT source AS grp,
+                       len(regexp_extract_all(
+                           text, '\\b(?:hash|key|value)\\b')) AS hits,
+                       length(text) - length(regexp_replace(
+                           text, '\\b(?:hash|key|value)\\b',
+                           '<REDACTED>', 'g')) AS removed
+                FROM documents)
+            SELECT grp, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_hit,
+                   CAST(SUM(hits) AS BIGINT) AS n_redactions,
+                   CAST(SUM(removed) AS BIGINT) AS chars_removed
+            FROM d GROUP BY grp
+        """,
+        "source_jaccard": """
+            WITH t AS (
+                SELECT DISTINCT source AS g, w
+                FROM (SELECT source,
+                             unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE w <> ''),
+            s AS (SELECT g, COUNT(*) AS n FROM t GROUP BY g),
+            i AS (SELECT a.g AS src_a, b.g AS src_b,
+                         COUNT(*) AS n_common
+                  FROM t a JOIN t b ON a.w = b.w AND a.g < b.g
+                  GROUP BY 1, 2)
+            SELECT i.src_a, i.src_b, i.n_common,
+                   sa.n + sb.n - i.n_common AS n_union,
+                   ROUND(CAST(i.n_common AS DOUBLE)
+                         / (sa.n + sb.n - i.n_common), 6) AS jaccard
+            FROM i
+            JOIN s sa ON sa.g = i.src_a
+            JOIN s sb ON sb.g = i.src_b
+        """,
+        "ntile_bands": """
+            SELECT CAST(nt AS INT) AS decile, COUNT(*) AS n,
+                   MIN(n_chars) AS lo_chars, MAX(n_chars) AS hi_chars,
+                   ROUND(AVG(n_chars), 6) AS avg_chars
+            FROM (SELECT n_chars,
+                         ntile(10) OVER (ORDER BY n_chars, doc_id) AS nt
+                  FROM documents)
+            GROUP BY nt
+        """,
+        "percent_rank_filter": """
+            SELECT lang, COUNT(*) AS n_kept,
+                   MIN(n_chars) AS min_chars,
+                   ROUND(AVG(n_chars), 6) AS avg_chars
+            FROM (SELECT lang, n_chars,
+                         percent_rank() OVER (PARTITION BY lang
+                                              ORDER BY n_chars, doc_id)
+                             AS pr
+                  FROM documents)
+            WHERE pr >= 0.8
+            GROUP BY lang
+        """,
+        "grouping_sets_stats": """
+            SELECT COALESCE(lang, '__all__') AS lang_grp,
+                   COALESCE(source, '__all__') AS src_grp,
+                   COUNT(*) AS n_docs,
+                   ROUND(AVG(n_chars), 6) AS avg_chars
+            FROM documents
+            GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
+        "latest_event_dist": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rn
+                FROM events)
+            SELECT event_type AS latest_type, COUNT(*) AS n_users
+            FROM r WHERE rn = 1 GROUP BY 1
+        """,
         "snapshot_diff": """
             SELECT 1 AS version, COUNT(*) AS n_rows,
                    COUNT(DISTINCT source) AS n_sources

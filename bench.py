@@ -47,6 +47,8 @@ HEADLINE = [
     "ann_pq_topk", "semantic_dedup",
     # session-3 additions: sampling/entropy/drift + graph partition quality
     "weighted_sample", "token_entropy", "ks_drift", "partition_quality",
+    # session-4 additions: corpus diagnostics + robust stats
+    "zipf_slope", "source_jaccard", "mad_outliers", "pii_scrub",
 ]
 
 

@@ -60,3 +60,139 @@ def ks_statistic(df, value_col: str, group_col: str, group_a, group_b,
                        F.sum("_cb").over(tot).alias("_nb"))
             .agg(F.max("_d").alias("ks"),
                  F.max("_na").alias("n_a"), F.max("_nb").alias("n_b")))
+
+def zipf_slope(df, text_col: str = "text", min_count: int = 1):
+    """Zipf power-law fit over the corpus token-frequency distribution:
+    OLS slope of ln(count) against ln(rank) — a healthy natural-language
+    corpus sits near −1; a slope drifting toward 0 flags boilerplate or
+    synthetic-text contamination, toward −2 a collapsed vocabulary.
+
+    Shape: token explode → one count shuffle keyed by token (map-side
+    combinable) → a single ordered window over the DISTINCT-token axis
+    to assign frequency ranks → `regr_slope` aggregate. The window input
+    is |vocabulary| rows, not |corpus| rows, so the unpartitioned
+    ordering is bounded (≤ a few 10⁷ types even at 100 TB); everything
+    upstream of it is fully parallel.
+
+    Ranks tie-break on the token string so the fit is deterministic.
+    → one row: (slope double, n_types long, n_tokens long).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    counts = (df.select(F.explode(F.split(F.col(text_col), " "))
+                        .alias("_w"))
+              .filter(F.col("_w") != "")
+              .groupBy("_w").count()
+              .filter(F.col("count") >= int(min_count)))
+    rnk = Window.orderBy(F.desc("count"), F.asc("_w"))
+    ranked = counts.select(F.col("count"),
+                           F.row_number().over(rnk).alias("_r"))
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("count"), F.log("_r")), 6)
+         .alias("slope"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("count").alias("n_tokens"))
+
+
+def mad_outliers(df, value_col: str = "value", group_col: str = "event_type",
+                 k: float = 3.0):
+    """Robust per-group outlier accounting via the median absolute
+    deviation: med = median(v), mad = median(|v − med|), outlier ⇔
+    |v − med| > k·mad. Unlike mean/stddev gates, one huge value cannot
+    drag the threshold toward itself — the standard robust filter for
+    score/length columns before training.
+
+    Shape: an exact-percentile aggregation per group for the median, a
+    broadcast join of the (tiny, |groups|-row) medians back onto the
+    rows to form deviations, a second per-group percentile for the MAD,
+    then one more broadcast join + aggregation for the flag counts.
+    Three shuffles, all keyed by the group column, and the two joins
+    broadcast KB-sized per-group tables — the full data is scanned
+    twice, never reshuffled by anything but the group key. `percentile`
+    is Spark's exact linear-interpolated quantile, bit-equal to DuckDB
+    `median`/`mad`.
+
+    → per group: (group, med, mad, n_outliers, n) with med/mad rounded
+    to 6 decimals; the outlier compare uses the unrounded MAD.
+    """
+    from pyspark.sql import functions as F
+
+    g = F.col(group_col)
+    v = F.col(value_col)
+    rows = df.filter(v.isNotNull()).select(g.alias("_g"), v.alias("_v"))
+    meds = (rows.groupBy("_g")
+            .agg(F.percentile(F.col("_v"), F.lit(0.5)).alias("_med")))
+    dev = (rows.join(F.broadcast(meds), "_g", "inner")
+           .select(F.col("_g"), F.abs(F.col("_v") - F.col("_med"))
+                   .alias("_dev")))
+    mads = (dev.groupBy("_g")
+            .agg(F.percentile(F.col("_dev"), F.lit(0.5)).alias("_mad")))
+    return (dev.join(F.broadcast(meds), "_g", "inner")
+            .join(F.broadcast(mads), "_g", "inner")
+            .groupBy(F.col("_g").alias(group_col))
+            .agg(F.round(F.max("_med"), 6).alias("med"),
+                 F.round(F.max("_mad"), 6).alias("mad"),
+                 F.sum((F.col("_dev") > F.lit(float(k)) * F.col("_mad"))
+                       .cast("long")).alias("n_outliers"),
+                 F.count(F.lit(1)).alias("n")))
+
+def equi_width_histogram(df, value_col: str = "value",
+                         lo: float = 0.0, hi: float = 500.0,
+                         nbins: int = 10):
+    """Fixed-range equi-width histogram: bucket i covers
+    [lo + i·w, lo + (i+1)·w) with w = (hi−lo)/nbins; values ≥ hi clamp
+    into the last bucket, values < lo into bucket 0. One aggregation
+    keyed by the bucket id — map-side combinable, output is nbins rows
+    regardless of input size, so the plan is a single partial+final
+    hash aggregate at any scale.
+
+    → per bucket: (bucket, lo_edge, n, avg_value) ordered by bucket.
+    """
+    from pyspark.sql import functions as F
+
+    w = (float(hi) - float(lo)) / int(nbins)
+    v = F.col(value_col)
+    b = F.least(F.greatest(F.floor((v - F.lit(float(lo))) / F.lit(w)),
+                           F.lit(0)),
+                F.lit(int(nbins) - 1)).cast("bigint")
+    return (df.filter(v.isNotNull())
+            .groupBy(b.alias("bucket"))
+            .agg(F.round(F.lit(float(lo)) + F.col("bucket") * F.lit(w), 6)
+                 .alias("lo_edge"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(v), 6).alias("avg_value"))
+            .orderBy("bucket"))
+
+
+def zscore_day_anomalies(df, ts_col: str = "ts", thresh: float = 1.5):
+    """Volume-anomaly detection over the daily event-count series: a day
+    is anomalous when its count sits more than `thresh` sample standard
+    deviations from the mean daily count. The load-monitoring gate a
+    pipeline runs before trusting a day's ingest.
+
+    Shape: one count aggregation keyed by day (map-side combinable),
+    then mean/stddev as unpartitioned window aggregates over the DAYS
+    axis — bounded at ~365 rows/year no matter the corpus size, so the
+    single-partition window is safe by construction.
+
+    The flag is computed from the 6-decimal-rounded z-score so the
+    boolean cannot flip on sub-ulp engine differences in the stddev
+    accumulation order.
+
+    → per day: (day, n_events, z, is_anomaly) ordered by day.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    days = (df.groupBy(F.to_date(F.col(ts_col)).alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    z = F.round((F.col("n_events") - F.avg("n_events").over(tot))
+                / F.stddev_samp("n_events").over(tot), 6)
+    return (days.select(F.col("day"), F.col("n_events"), z.alias("z"))
+            .select("day", "n_events", "z",
+                    (F.abs(F.col("z")) > F.lit(float(thresh)))
+                    .cast("int").alias("is_anomaly"))
+            .orderBy("day"))

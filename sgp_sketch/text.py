@@ -385,3 +385,81 @@ def pack_sequences(df, budget: int = 2048, id_col: str = "doc_id",
     start = F.sum("n_tok").over(w) - F.col("n_tok")
     return with_tok.withColumn(
         out_col, F.floor(start / F.lit(budget)).cast("bigint"))
+
+def redact_terms(df, terms, text_col: str = "text",
+                 group_col: str = "source", token: str = "<REDACTED>"):
+    """Denylist scrubbing — the PII/secret-removal stage of a curation
+    pipeline, exercised here with a word denylist (the same regex path
+    handles email/phone/key patterns in production): every whole-word
+    occurrence of a denylisted term is replaced by `token`, and the
+    pass reports how much it touched, per group.
+
+    Shape: pure per-row JVM regex (`regexp_extract_all` to count,
+    `regexp_replace` to rewrite — one compiled automaton each, no
+    Python), then one map-side-combinable aggregation keyed by the
+    group column. Embarrassingly parallel at any scale.
+
+    → per group: (group, n_docs, docs_hit, n_redactions, chars_removed)
+    where chars_removed counts characters deleted net of the inserted
+    tokens (negative when the token is longer than the matched terms).
+    """
+    from pyspark.sql import functions as F
+
+    pat = r"\b(?:" + "|".join(sorted(terms)) + r")\b"
+    hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+    red = F.regexp_replace(F.col(text_col), pat, token)
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        hits.alias("_hits"),
+        (F.length(F.col(text_col)) - F.length(red)).alias("_removed"))
+    return (per_doc.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("_hits") > 0).cast("long")).alias("docs_hit"),
+                 F.sum("_hits").alias("n_redactions"),
+                 F.sum("_removed").alias("chars_removed"))
+            .orderBy("grp"))
+
+
+def source_jaccard(df, text_col: str = "text", group_col: str = "source"):
+    """Exact pairwise vocabulary Jaccard between groups:
+    J(a,b) = |V_a ∩ V_b| / |V_a ∪ V_b| over the distinct-token sets —
+    the corpus-mixing diagnostic (two sources with J near 1 are the
+    same crawl twice; near 0, genuinely disjoint domains).
+
+    Shape: one distinct on (group, token), a self-equi-join keyed by
+    TOKEN (never a cross join — co-membership pairs only), one count
+    per ordered pair, and a broadcast of the |groups|-row vocabulary
+    sizes for the union denominator. Scales with shared-token
+    co-occurrence, not |groups|²·|vocab|. For thousands of groups or
+    adversarially shared vocabularies, the MinHash/theta sketch paths
+    (dedup.py, kernels/theta.py) estimate the same matrix in one pass —
+    this is their exact oracle twin, same discipline as
+    ngram_jaccard vs minhash_near_duplicates.
+
+    → per pair (src_a < src_b): (src_a, src_b, n_common, n_union,
+    jaccard rounded to 6 decimals).
+    """
+    from pyspark.sql import functions as F
+
+    toks = (df.select(F.col(group_col).alias("g"),
+                      F.explode(F.split(F.col(text_col), " ")).alias("w"))
+            .filter(F.col("w") != "").distinct())
+    sizes = toks.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                    & (F.col("a.g") < F.col("b.g")))
+             .groupBy(F.col("a.g").alias("src_a"),
+                      F.col("b.g").alias("src_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = F.broadcast(sizes.select(F.col("g").alias("src_a"),
+                                  F.col("n").alias("_na")))
+    sb = F.broadcast(sizes.select(F.col("g").alias("src_b"),
+                                  F.col("n").alias("_nb")))
+    return (inter.join(sa, "src_a").join(sb, "src_b")
+            .select("src_a", "src_b", "n_common",
+                    (F.col("_na") + F.col("_nb") - F.col("n_common"))
+                    .alias("n_union"))
+            .select("src_a", "src_b", "n_common", "n_union",
+                    F.round(F.col("n_common") / F.col("n_union"), 6)
+                    .alias("jaccard"))
+            .orderBy("src_a", "src_b"))

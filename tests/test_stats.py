@@ -43,3 +43,84 @@ def test_ks_binned_bounds_exact(spark):
                           bin_width=1.0).collect()[0].ks
     assert abs(binned - exact) <= 0.1 + 1e-12  # <= one bin of mass
     assert binned > 0.15  # still detects the shift
+
+def test_zipf_slope_exact_power_law(spark):
+    """Tokens drawn with exact count = 64 >> 1: count_r = 2^(7-r) for
+    rank r in 1..4 gives slope = ln(c)/ln(r) regression we can compute
+    with numpy and must match to 6 decimals."""
+    import numpy as np
+
+    from sgp_sketch.stats import zipf_slope
+
+    words = {"aa": 64, "bb": 32, "cc": 16, "dd": 8}
+    text = " ".join(w for w, c in sorted(words.items()) for _ in range(c))
+    df = spark.createDataFrame([(text,)], "text string")
+    r = zipf_slope(df).collect()[0]
+    x = np.log(np.arange(1, 5)); y = np.log([64.0, 32, 16, 8])
+    want = np.polyfit(x, y, 1)[0]
+    assert r.n_types == 4 and r.n_tokens == 120
+    assert abs(r.slope - round(float(want), 6)) <= 1e-6
+
+
+def test_zipf_slope_rank_ties_break_on_token(spark):
+    from sgp_sketch.stats import zipf_slope
+
+    # all counts equal: slope of constant y is 0; ties must not crash
+    df = spark.createDataFrame([("x y z",)], "text string")
+    r = zipf_slope(df).collect()[0]
+    assert r.slope == 0.0 and r.n_types == 3 and r.n_tokens == 3
+
+
+def test_mad_outliers_known_values(spark):
+    from sgp_sketch.stats import mad_outliers
+
+    # group g: values 1..9 plus one wild 1000
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "t string, v double")
+    r = mad_outliers(df, "v", "t", k=3.0).collect()[0]
+    # median of 10 sorted values = (5+6)/2 = 5.5; devs of 1..9 are
+    # 4.5,3.5,...,3.5 and 994.5 -> sorted devs .5,.5,1.5,1.5,2.5,2.5,
+    # 3.5,3.5,4.5,994.5, mad = 2.5; only 1000 exceeds 5.5+3*2.5
+    assert r.med == 5.5 and r.mad == 2.5
+    assert r.n_outliers == 1 and r.n == 10
+
+
+def test_mad_outliers_null_safe_and_grouped(spark):
+    from sgp_sketch.stats import mad_outliers
+
+    rows = [("a", 1.0), ("a", 1.0), ("a", None), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "t string, v double")
+    out = {r.t: r for r in mad_outliers(df, "v", "t").collect()}
+    assert out["a"].n == 2 and out["a"].mad == 0.0
+    assert out["b"].med == 7.0 and out["b"].n_outliers == 0
+
+
+def test_equi_width_histogram_edges_and_clamp(spark):
+    from sgp_sketch.stats import equi_width_histogram
+
+    rows = [(-5.0,), (0.0,), (49.999,), (50.0,), (499.0,), (777.0,),
+            (None,)]
+    df = spark.createDataFrame(rows, "value double")
+    out = {r.bucket: r for r in
+           equi_width_histogram(df, "value", 0.0, 500.0, 10).collect()}
+    assert out[0].n == 3            # -5 clamps down, 0 and 49.999 in
+    assert out[1].n == 1            # 50.0 is the half-open right edge
+    assert out[9].n == 2            # 499 in range, 777 clamps up
+    assert out[0].lo_edge == 0.0 and out[9].lo_edge == 450.0
+    assert sum(r.n for r in out.values()) == 6  # NULL dropped
+
+
+def test_zscore_day_anomalies_flags_spike(spark):
+    from sgp_sketch.stats import zscore_day_anomalies
+
+    rows = ([(f"2024-01-{d:02d} 00:00:0{i}",) for d in range(1, 8)
+             for i in range(3)]            # 7 quiet days, 3 events each
+            + [("2024-01-08 00:00:00",)] * 30)  # one spike day
+    df = spark.createDataFrame(rows, "s string").selectExpr(
+        "CAST(s AS TIMESTAMP) AS ts")
+    out = {str(r.day): r for r in zscore_day_anomalies(df, "ts").collect()}
+    assert len(out) == 8
+    assert out["2024-01-08"].is_anomaly == 1
+    assert all(v.is_anomaly == 0 for k, v in out.items()
+               if k != "2024-01-08")
+    assert out["2024-01-08"].z > 2.0

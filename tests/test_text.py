@@ -338,3 +338,33 @@ def test_normalized_text_expr(spark):
         [("  Hello,   World!!  ",), ("hello world",)], "text string")
     vals = [r[0] for r in df.select(normalized_text_expr()).collect()]
     assert vals == ["hello world", "hello world"]
+
+def test_redact_terms_counts_and_chars(spark):
+    from sgp_sketch.text import redact_terms
+
+    rows = [("s1", "key value keyvalue monkey key"),
+            ("s1", "no hits here"),
+            ("s2", "hash")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.grp: r for r in
+           redact_terms(df, ("hash", "key", "value")).collect()}
+    # whole words only: 'keyvalue' and 'monkey' must NOT match
+    assert out["s1"].n_redactions == 3 and out["s1"].docs_hit == 1
+    assert out["s1"].n_docs == 2
+    # each hit swaps len(term) for len('<REDACTED>')=10 chars
+    assert out["s1"].chars_removed == (3 + 5 + 3) - 3 * 10
+    assert out["s2"].n_redactions == 1 and out["s2"].chars_removed == 4 - 10
+
+
+def test_source_jaccard_exact_small(spark):
+    from sgp_sketch.text import source_jaccard
+
+    rows = [("a", "x y z"), ("a", "x"),       # V_a = {x,y,z}
+            ("b", "y z w"),                   # V_b = {y,z,w}
+            ("c", "q")]                       # V_c disjoint
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.src_a, r.src_b): r for r in source_jaccard(df).collect()}
+    ab = out[("a", "b")]
+    assert ab.n_common == 2 and ab.n_union == 4 and ab.jaccard == 0.5
+    # disjoint pairs produce no row at all (inner join on shared tokens)
+    assert ("a", "c") not in out and ("b", "c") not in out
