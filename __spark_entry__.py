@@ -1818,6 +1818,18 @@ def q_latest_event_dist(spark, sf_dir):
     """)
 
 
+def q_mg_heavy_hitters(spark, sf_dir):
+    """Misra–Gries top-10 tokens per source (queries.mg_heavy_hitters):
+    deterministic counter-based heavy hitters with a per-row
+    [est_min, est_max] count bracket — the one-sided-undercount twin of
+    cms_heavy_hitters (which never undercounts); bracketing and merge
+    bounds are pytest-gated (tests/test_kernels.py). Rows-only check:
+    token ids are xxhash64(word), not DuckDB-reproducible."""
+    from sgp_sketch import queries as Q
+
+    return Q.mg_heavy_hitters(_doc_tokens(spark, sf_dir), k=10)
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (bpe.train_bpe): 10 merges
     learned from the documents corpus — one corpus-sized word-count
@@ -2017,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_rank_filter": q_percent_rank_filter,
         "grouping_sets_stats": q_grouping_sets_stats,
         "latest_event_dist": q_latest_event_dist,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
         "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,

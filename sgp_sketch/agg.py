@@ -90,9 +90,11 @@ def _update(state, kind: str, flat: np.ndarray, prep=None):
     if kind in _NUMERIC_KINDS:
         state.update(flat)
         return state
-    if kind in ("hll", "cms", "bloom", "theta"):
+    if kind in ("hll", "cms", "bloom", "theta", "mg"):
         uniq, counts, h = prep if prep is not None else _prep_tokens(flat)
-        if kind == "cms":
+        if kind == "mg":
+            state.update(uniq, counts)
+        elif kind == "cms":
             state.update_hashes(h, counts=counts)
         elif kind == "bloom":
             state.update_hashes(h, assume_unique=True, n_raw=flat.size)
@@ -283,7 +285,8 @@ def _grouped_token_stats(flat, token_gids, codes_present):
             toks = (uniq[lo:hi] & np.uint64(0xFFFFFFFF)) \
                 .astype(np.uint32).view(np.int32)
             h = hash64(toks.astype(np.uint64, copy=False))
-            out[g] = (counts[lo:hi], h, int(counts[lo:hi].sum()))
+            out[g] = (counts[lo:hi], h, int(counts[lo:hi].sum()),
+                      toks.astype(np.int64))
     else:
         for g in codes_present:
             sel = flat[token_gids == g]
@@ -291,7 +294,7 @@ def _grouped_token_stats(flat, token_gids, codes_present):
                 continue
             uniq, counts = np.unique(sel, return_counts=True)
             out[g] = (counts, hash64(uniq.astype(np.uint64, copy=False)),
-                      int(sel.size))
+                      int(sel.size), uniq.astype(np.int64))
     return out
 
 
@@ -317,7 +320,7 @@ def build_partials_multi(df, specs: dict, group_cols=("source",)):
         "sketch string, " + PARTIAL_SCHEMA_TAIL
     value_cols = sorted({s["value_col"] for s in specs.values()})
     needed = group_cols + value_cols
-    hash_kinds = ("hll", "cms", "bloom", "theta")
+    hash_kinds = ("hll", "cms", "bloom", "theta", "mg")
 
     def acc(batches):
         import pyarrow as pa
@@ -370,15 +373,19 @@ def build_partials_multi(df, specs: dict, group_cols=("source",)):
                             uniq, ucounts = _unique_counts(flat)
                             h = hash64(uniq.astype(np.uint64, copy=False))
                             stats_cache[vc] = {present[0]: (
-                                ucounts, h, int(flat.size))}
+                                ucounts, h, int(flat.size),
+                                uniq.astype(np.int64))}
                         else:
                             stats_cache[vc] = _grouped_token_stats(
                                 flat, tg, present)
-                    for g, (gcounts, h, n_raw) in stats_cache[vc].items():
+                    for g, (gcounts, h, n_raw, toks) \
+                            in stats_cache[vc].items():
                         gkey = mapping[g]
                         st = state_for(gkey, name)
                         if kind == "cms":
                             st.update_hashes(h, counts=gcounts)
+                        elif kind == "mg":
+                            st.update(toks, gcounts)
                         elif kind == "bloom":
                             st.update_hashes(h, assume_unique=True,
                                              n_raw=n_raw)

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import struct
 
-from . import bloom, cms, hll, kll, tdigest, theta
+from . import bloom, cms, hll, kll, mg, tdigest, theta
 
 _TYPES = {
     hll.TYPE_HLL: hll.HLL,
@@ -15,6 +15,7 @@ _TYPES = {
     kll.TYPE_KLL: kll.KLL,
     tdigest.TYPE_TDIGEST: tdigest.TDigest,
     theta.TYPE_THETA: theta.Theta,
+    mg.TYPE_MG: mg.MG,
 }
 
 _FACTORIES = {
@@ -24,6 +25,7 @@ _FACTORIES = {
     "kll": kll.empty,
     "tdigest": tdigest.empty,
     "theta": theta.empty,
+    "mg": mg.empty,
 }
 
 

@@ -433,3 +433,48 @@ def probe_membership(spark, blobs_df, probes, group_cols=("source",)):
 
     return probes.withColumn(
         "maybe_present", probe(F.col("token"), *[F.col(c) for c in group_cols]))
+
+def mg_heavy_hitters(df, k: int = 10, counters: int = 1024,
+                     value_col="tokens", group_cols=("source",)):
+    """Top-K most frequent tokens per group via the Misra–Gries summary
+    (kernels/mg.py) — the deterministic, one-sided twin of the CMS path
+    in `heavy_hitters`: every reported count is a lower bound tight to
+    within the summary's decrement total, reported per row as the
+    [est_min, est_max] bracket (est_max − est_min = dec ≤ n/(counters+1)).
+    When the group's vocabulary fits the counter budget no eviction ever
+    happens, dec = 0, and the bracket collapses to the exact count.
+
+    Shape: the shared Arrow scan (`agg.sketch_agg`, one pass, zero-copy
+    token buffers) builds per-partition MG states; blobs merge tree-wise
+    by the PODS'12 summary-merge; the final per-group blob (KB-sized,
+    |groups| rows) is exploded driver-free by one pandas pass.
+
+    → DataFrame(group_cols..., token long, est_min long, est_max long,
+    rank int), rank by (count desc, token asc).
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    group_cols = list(group_cols)
+    blobs = agg.sketch_agg(df, "mg", value_col, group_cols,
+                           {"k": int(counters)})
+    in_schema = blobs.schema
+    group_fields = ", ".join(
+        f"{c} {in_schema[c].dataType.simpleString()}" for c in group_cols)
+    out_schema = ((group_fields + ", ") if group_fields else "") + \
+        "token long, est_min long, est_max long, rank int"
+
+    def explode(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                st = registry.from_bytes(r["state"])
+                keys, cnts = st.heavy_hitters()
+                for i in range(min(int(k), keys.size)):
+                    rows.append(tuple(r[c] for c in group_cols)
+                                + (int(keys[i]), int(cnts[i]),
+                                   int(cnts[i]) + st.dec, i + 1))
+            yield pd.DataFrame(
+                rows, columns=group_cols + ["token", "est_min",
+                                            "est_max", "rank"])
+
+    return blobs.mapInPandas(explode, out_schema)

@@ -337,3 +337,115 @@ def test_theta_serde_and_mismatch():
 
     with pytest.raises(ValueError, match="k mismatch"):
         st.merge(other)
+
+# ---------------------------------------------------------------- MG
+
+def test_mg_exact_when_capacity_sufficient():
+    import numpy as np
+
+    from sgp_sketch.kernels.mg import MG
+
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 50, size=10000)  # 50 distinct << k=64
+    s = MG(k=64).update(data)
+    assert s.dec == 0
+    import collections
+    true = collections.Counter(data.tolist())
+    keys, cnts = s.heavy_hitters()
+    assert dict(zip(keys.tolist(), cnts.tolist())) == dict(true)
+
+
+def test_mg_bound_and_bracket_under_eviction():
+    import collections
+
+    import numpy as np
+
+    from sgp_sketch.kernels.mg import MG
+
+    rng = np.random.default_rng(11)
+    data = rng.zipf(1.3, 100000)
+    data = data[data < 1 << 20]
+    k = 32
+    s = MG(k=k).update(data)
+    n = data.size
+    assert 0 < s.dec <= n // (k + 1)
+    assert s.keys.size <= k
+    true = collections.Counter(data.tolist())
+    items = np.fromiter(true.keys(), dtype=np.int64)
+    est = s.estimate(items)
+    for v, e in zip(items.tolist(), est.tolist()):
+        assert e <= true[v] <= e + s.dec
+    # heavy guarantee: anything above n/(k+1) must be tracked
+    tracked = set(s.keys.tolist())
+    for v, c in true.items():
+        if c > n / (k + 1):
+            assert v in tracked
+
+
+def test_mg_merge_bound_any_split_order():
+    """Counter sets are split-dependent (documented), but the error bound
+    and the bracket invariant must survive every merge order."""
+    import collections
+
+    import numpy as np
+
+    from sgp_sketch.kernels.mg import MG
+
+    rng = np.random.default_rng(23)
+    data = rng.zipf(1.4, 60000)
+    data = data[data < 1 << 16]
+    true = collections.Counter(data.tolist())
+    n = data.size
+    k = 24
+    for n_parts, seed in ((3, 0), (7, 1), (16, 2)):
+        perm = np.random.default_rng(seed).permutation(data)
+        parts = np.array_split(perm, n_parts)
+        m = MG(k=k)
+        for p in parts:
+            m = m.merge(MG(k=k).update(p))
+        assert m.n_items == n and m.dec <= n // (k + 1)
+        est = m.estimate(np.fromiter(true.keys(), dtype=np.int64))
+        for v, e in zip(true.keys(), est.tolist()):
+            assert e <= true[v] <= e + m.dec
+
+
+def test_mg_serde_roundtrip_and_mismatch():
+    import numpy as np
+    import pytest
+
+    from sgp_sketch.kernels import registry
+    from sgp_sketch.kernels.mg import MG
+
+    s = MG(k=8).update(np.array([1, 1, 2, 3, 3, 3]))
+    r = registry.from_bytes(s.to_bytes())
+    assert np.array_equal(r.keys, s.keys)
+    assert np.array_equal(r.counts, s.counts)
+    assert (r.k, r.n_items, r.dec) == (s.k, s.n_items, s.dec)
+    with pytest.raises(ValueError):
+        s.merge(MG(k=16))
+    with pytest.raises(TypeError):
+        s.merge(object())
+
+
+def test_mg_cms_bracket_true_count():
+    """MG never overestimates, CMS never underestimates: together they
+    bracket the truth — the cross-kernel invariant the module docstring
+    promises."""
+    import collections
+
+    import numpy as np
+
+    from sgp_sketch.kernels.cms import CMS
+    from sgp_sketch.kernels.mg import MG
+
+    rng = np.random.default_rng(31)
+    data = rng.zipf(1.5, 50000)
+    data = data[data < 1 << 16]
+    true = collections.Counter(data.tolist())
+    mg = MG(k=64).update(data)
+    cms = CMS(depth=4, width=1 << 12).update(data)
+    items = np.fromiter(true.keys(), dtype=np.int64)
+    lo = mg.estimate(items)
+    hi = cms.estimate(items)
+    for v, l, h in zip(items.tolist(), lo.tolist(), hi.tolist()):
+        assert l <= true[v] <= h

@@ -220,3 +220,41 @@ def test_theta_vocab_overlap_vs_exact(spark, tokens_sdf, tokens_pdf):
         assert abs(r.est_diff_ab - len(A - B)) <= tol, (r.group_a, r.group_b)
         checked += 1
     assert checked == len(exact_sets) * (len(exact_sets) - 1) // 2
+
+def test_mg_heavy_hitters_bracket_and_topk(spark, tokens_sdf, tokens_pdf):
+    """Distributed MG build: every reported [est_min, est_max] must bracket
+    the exact count, and with a generous counter budget (no eviction,
+    dec=0) the top-k must equal the exact top-k."""
+    k = 10
+    out = queries.mg_heavy_hitters(tokens_sdf, k=k,
+                                   counters=1 << 15).toPandas()
+    per_source = exact_stats(tokens_pdf)
+    for src, flat in per_source.items():
+        uniq, counts = np.unique(flat, return_counts=True)
+        truth = dict(zip(uniq.tolist(), counts.tolist()))
+        sub = out[out.source == src].sort_values("rank")
+        assert len(sub) == k
+        for _, r in sub.iterrows():
+            assert r.est_min <= truth[r.token] <= r.est_max
+        order = np.lexsort((uniq, -counts))
+        assert sub.token.tolist() == uniq[order[:k]].tolist()
+        # capacity sufficient => exact: bracket collapses
+        assert (sub.est_min == sub.est_max).all()
+
+
+def test_mg_eviction_regime_bounds(spark, tokens_sdf, tokens_pdf):
+    """Small counter budget forces evictions across partitions; the merged
+    summary must keep dec <= n/(k+1) per group (reported as the bracket
+    width) and still never overestimate."""
+    out = queries.mg_heavy_hitters(tokens_sdf, k=5,
+                                   counters=16).toPandas()
+    per_source = exact_stats(tokens_pdf)
+    for src, flat in per_source.items():
+        truth = dict(zip(*[a.tolist() for a in
+                           np.unique(flat, return_counts=True)]))
+        sub = out[out.source == src]
+        n = flat.size
+        for _, r in sub.iterrows():
+            width = r.est_max - r.est_min
+            assert width <= n // 17 + 1
+            assert r.est_min <= truth.get(r.token, 0)
