@@ -1818,6 +1818,21 @@ def q_latest_event_dist(spark, sf_dir):
     """)
 
 
+def q_principal_spectrum(spark, sf_dir):
+    """Frequent Directions spectral summary of the embeddings table
+    (matrix.principal_spectrum): top-5 certified singular values from a
+    mergeable (ell x d) sketch built in one Arrow scan + tree merge —
+    the 'how concentrated is this embedding space' diagnostic. Rows-only
+    check (SVD is not DuckDB-expressible); the spectral bounds
+    sigma_i(A) >= sigma_i(B), sigma_i(B)^2 >= sigma_i(A)^2 - shed are
+    pytest-gated against exact numpy SVD (tests/test_matrix.py)."""
+    from sgp_sketch.matrix import principal_spectrum
+
+    _views(spark, sf_dir)
+    return principal_spectrum(spark.table("embeddings"), "embedding",
+                              d=64, ell=16, k=5)
+
+
 def q_mg_heavy_hitters(spark, sf_dir):
     """Misra–Gries top-10 tokens per source (queries.mg_heavy_hitters):
     deterministic counter-based heavy hitters with a per-row
@@ -2030,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_stats": q_grouping_sets_stats,
         "latest_event_dist": q_latest_event_dist,
         "mg_heavy_hitters": q_mg_heavy_hitters,
+        "principal_spectrum": q_principal_spectrum,
         "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,

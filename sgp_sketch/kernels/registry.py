@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import struct
 
-from . import bloom, cms, hll, kll, mg, tdigest, theta
+from . import bloom, cms, fd, hll, kll, mg, tdigest, theta
 
 _TYPES = {
     hll.TYPE_HLL: hll.HLL,
@@ -16,6 +16,7 @@ _TYPES = {
     tdigest.TYPE_TDIGEST: tdigest.TDigest,
     theta.TYPE_THETA: theta.Theta,
     mg.TYPE_MG: mg.MG,
+    fd.TYPE_FD: fd.FD,
 }
 
 _FACTORIES = {
@@ -26,6 +27,7 @@ _FACTORIES = {
     "tdigest": tdigest.empty,
     "theta": theta.empty,
     "mg": mg.empty,
+    "fd": fd.empty,
 }
 
 

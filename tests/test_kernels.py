@@ -449,3 +449,83 @@ def test_mg_cms_bracket_true_count():
     hi = cms.estimate(items)
     for v, l, h in zip(items.tolist(), lo.tolist(), hi.tolist()):
         assert l <= true[v] <= h
+
+# ---------------------------------------------------------------- FD
+
+def test_fd_gram_bound_and_underestimate():
+    import numpy as np
+
+    from sgp_sketch.kernels.fd import FD
+
+    rng = np.random.default_rng(5)
+    n, d, ell = 2000, 32, 8
+    A = (rng.normal(size=(n, 3)) @ rng.normal(size=(3, d)) * 3
+         + rng.normal(size=(n, d)) * 0.1)
+    s = FD(ell, d).update(A)
+    G, Gs = A.T @ A, s.gram()
+    frob = float((A ** 2).sum())
+    assert np.linalg.norm(G - Gs, 2) <= s.shed + 1e-6
+    assert s.shed <= frob / ell + 1e-6
+    # one-sided: sketch Gram never exceeds the data Gram in any direction
+    assert np.linalg.eigvalsh(G - Gs).min() >= -1e-6
+    # working buffer may hold up to 2*ell-1 rows; serialization shrinks
+    from sgp_sketch.kernels import registry
+    assert registry.from_bytes(s.to_bytes()).rows.shape[0] <= ell
+    assert s.n_rows == n
+
+
+def test_fd_merge_bound_any_split():
+    import numpy as np
+
+    from sgp_sketch.kernels.fd import FD
+
+    rng = np.random.default_rng(9)
+    n, d, ell = 1500, 16, 6
+    A = rng.normal(size=(n, 2)) @ rng.normal(size=(2, d)) * 2
+    G = A.T @ A
+    frob = float((A ** 2).sum())
+    for parts, seed in ((2, 0), (5, 1), (11, 2)):
+        order = np.random.default_rng(seed).permutation(n)
+        m = FD(ell, d)
+        for p in np.array_split(A[order], parts):
+            m = m.merge(FD(ell, d).update(p))
+        assert m.n_rows == n
+        assert np.linalg.norm(G - m.gram(), 2) <= m.shed + 1e-6
+        assert m.shed <= frob / ell + 1e-6
+
+
+def test_fd_low_rank_spectrum_recovery():
+    """On genuinely low-rank data the shed mass is tiny and the sketch's
+    top singular values match the data's."""
+    import numpy as np
+
+    from sgp_sketch.kernels.fd import FD
+
+    rng = np.random.default_rng(13)
+    A = rng.normal(size=(4000, 2)) @ rng.normal(size=(2, 24)) * 5
+    s = FD(12, 24).update(A)
+    sv_a = np.linalg.svd(A, compute_uv=False)[:2]
+    sv_b = s.spectrum(2)
+    assert np.all(sv_b <= sv_a + 1e-6)
+    assert np.all(sv_b ** 2 >= sv_a ** 2 - s.shed - 1e-6)
+    # rank-2 data into a 12-row sketch: near-exact
+    assert np.allclose(sv_b, sv_a, rtol=1e-3)
+
+
+def test_fd_serde_and_mismatch():
+    import numpy as np
+    import pytest
+
+    from sgp_sketch.kernels import registry
+    from sgp_sketch.kernels.fd import FD
+
+    s = FD(4, 8).update(np.arange(80, dtype=np.float64).reshape(10, 8))
+    r = registry.from_bytes(s.to_bytes())
+    assert np.allclose(r.rows, s.rows)
+    assert (r.ell, r.d, r.n_rows) == (4, 8, 10) and r.shed == s.shed
+    with pytest.raises(ValueError):
+        s.merge(FD(4, 16))
+    with pytest.raises(ValueError):
+        s.update(np.ones((2, 5)))
+    with pytest.raises(TypeError):
+        s.merge(42)
