@@ -286,3 +286,35 @@ def test_stream_stream_join_matches_batch_and_horizon(spark):
                   & (p.pts >= c.cts)
                   & (p.pts <= c.cts + F.expr("INTERVAL 1 HOUR"))).count()
     assert n == want
+
+def test_streamed_mg_bracket_matches_exact(spark, stream_input, tokens_pdf,
+                                           tmp_path):
+    """The new kinds flow through the generic streaming build: an MG spec
+    streamed over micro-batches must bracket the exact counts computed on
+    the same input. Byte-equality with the batch build is NOT asserted —
+    MG counter sets are split-dependent (kernels/mg.py docstring); the
+    guarantee that survives any merge order is the bracket."""
+    import numpy as np
+
+    from sgp_sketch.kernels import registry
+    from sgp_sketch import streaming
+
+    specs = {"mg": {"kind": "mg", "value_col": "tokens",
+                    "params": {"k": 64}}}
+    state_dir = str(tmp_path / "state_mg")
+    q = streaming.stream_sketch_build(
+        spark, stream_input, state_dir, specs,
+        checkpoint_dir=str(tmp_path / "ckpt_mg"), available_now=True)
+    q.awaitTermination(120)
+    blobs = {r["source"]: bytes(r["state"])
+             for r in streaming.streamed_estimates(spark, state_dir)
+             .collect()}
+    for src, sub in tokens_pdf.groupby("source"):
+        flat = np.concatenate(sub["tokens"].to_numpy())
+        uniq, counts = np.unique(flat, return_counts=True)
+        st = registry.from_bytes(blobs[src])
+        assert st.n_items == flat.size
+        assert st.dec <= flat.size // 65 + 1
+        est = st.estimate(uniq.astype(np.int64))
+        assert np.all(est <= counts)
+        assert np.all(counts <= est + st.dec)
