@@ -1818,6 +1818,43 @@ def q_latest_event_dist(spark, sf_dir):
     """)
 
 
+def q_edgelist_scan(spark, sf_dir):
+    """S1 native text edge-list scan via the Spark 4 Python DataSource
+    (sources.EdgeListDataSource): the supplier→part edge set is exported
+    once per sf_dir as '#'-commented `src dst` text (the reference's
+    SNAP-style layout), then read back with
+    `spark.read.format("edgelist")` over byte-range partitions (tiny
+    chunk_bytes here to force many boundary crossings) and aggregated to
+    out-degrees. The oracle derives the same degrees from lineitem
+    directly: a hash match proves the parallel ranged text scan reads
+    every line exactly once."""
+    import tempfile
+
+    from sgp_sketch import sources
+
+    _views(spark, sf_dir)
+    if sf_dir not in _EDGELIST_STAGE:
+        out = tempfile.mkdtemp(prefix="sgp_edges_") + "/edges"
+        (spark.table("lineitem")
+         .select(F.col("l_suppkey").alias("src"),
+                 F.col("l_partkey").alias("dst"))
+         .distinct()
+         .selectExpr("concat(src, ' ', dst) AS value")
+         .write.text(out))  # distributed text export, no driver loop
+        _EDGELIST_STAGE[sf_dir] = out + "/part-*"
+    sources.register(spark)
+    edges = (spark.read.format("edgelist")
+             .option("chunk_bytes", 4096)
+             .load(_EDGELIST_STAGE[sf_dir]))
+    return (edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("out_degree"),
+                 F.min("dst").alias("min_dst"),
+                 F.max("dst").alias("max_dst")))
+
+
+_EDGELIST_STAGE: dict = {}
+
+
 def q_principal_spectrum(spark, sf_dir):
     """Frequent Directions spectral summary of the embeddings table
     (matrix.principal_spectrum): top-5 certified singular values from a
@@ -2046,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_dist": q_latest_event_dist,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "principal_spectrum": q_principal_spectrum,
+        "edgelist_scan": q_edgelist_scan,
         "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,
@@ -2275,6 +2313,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents
             GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
+        "edgelist_scan": """
+            SELECT src, COUNT(*) AS out_degree,
+                   MIN(dst) AS min_dst, MAX(dst) AS max_dst
+            FROM (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+                  FROM lineitem)
+            GROUP BY src
         """,
         "latest_event_dist": """
             WITH r AS (

@@ -115,3 +115,31 @@ def test_bucketed_join_query_has_no_prejoin_exchange(spark):
                 if "Exchange hashpartitioning" in ln]
     assert len(shuffles) == 1 and "o_orderpriority" in shuffles[0], shuffles
     assert "Bucketed: true" in p
+
+def test_latest_event_dist_is_aggregate_not_window(spark):
+    """The arg-max query must plan as a combinable max_by hash aggregate
+    (partial_max_by below the user_id exchange), never a
+    repartition+sort window."""
+    p = _plan(entry.q_latest_event_dist(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in p
+    assert "max_by" in p and "partial_max_by" in p
+
+
+def test_mad_outliers_broadcasts_group_tables(spark):
+    """The per-group median/MAD tables must come back as broadcast
+    joins; the events fact is never shuffled by anything but the group
+    key (no SortMergeJoin over the rows)."""
+    p = _plan(entry.q_mad_outliers(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_zipf_rank_window_is_post_aggregate(spark):
+    """zipf_slope's single-partition rank window must consume the
+    aggregated distinct-token table (its child contains the count
+    HashAggregate), never raw corpus rows."""
+    p = _plan(entry.q_zipf_slope(spark, "/root/testdata/sf0.001"))
+    lines = p.splitlines()
+    widx = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    assert any("HashAggregate" in ln for ln in lines[widx:]), \
+        "rank window must sit above the token-count aggregate"

@@ -1,0 +1,96 @@
+"""sources.EdgeListDataSource: parallel text graph ingestion — range
+ownership must partition the file exactly (every line read once) for
+any chunk size, both layouts must parse, and malformed input must fail
+loudly."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def edge_file(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    edges = rng.integers(0, 1000, size=(5000, 2))
+    p = tmp_path_factory.mktemp("graph") / "edges.txt"
+    with open(p, "w") as f:
+        f.write("# comment header\n")
+        for s, d in edges:
+            f.write(f"{s} {d}\n")
+    return str(p), edges
+
+
+def test_edge_layout_reads_every_line_once(spark, edge_file):
+    from sgp_sketch import sources
+
+    path, edges = edge_file
+    sources.register(spark)
+    # tiny chunks: dozens of ranges, lots of boundary crossings
+    df = (spark.read.format("edgelist")
+          .option("chunk_bytes", 512).load(path))
+    got = df.toPandas().sort_values(["src", "dst"]).to_numpy()
+    want = edges[np.lexsort((edges[:, 1], edges[:, 0]))]
+    assert np.array_equal(got, want)
+
+
+def test_range_ownership_partitions_file_exactly(edge_file):
+    """Pure-python check across many chunk sizes: concatenating every
+    range's owned block reproduces the file's data lines exactly."""
+    from sgp_sketch.sources import _read_range
+    import os
+
+    path, _ = edge_file
+    size = os.path.getsize(path)
+    whole = open(path, "rb").read()
+    for chunk in (1, 7, 64, 1000, size, size + 10):
+        blocks = []
+        for s in range(0, size, chunk):
+            blocks.append(_read_range(path, s, min(s + chunk, size)))
+        merged = b"".join(b if b.endswith(b"\n") or not b else b + b"\n"
+                          for b in blocks)
+        assert merged.replace(b"\n", b"") == whole.replace(b"\n", b"")
+        # stronger: same multiset of lines
+        assert sorted(merged.split(b"\n")) == sorted(whole.split(b"\n"))
+
+
+def test_adjacency_layout(spark, tmp_path):
+    from sgp_sketch import sources
+
+    p = tmp_path / "adj.txt"
+    p.write_text("# header\n1 3 10 11 12\n2 1 20\n3 0\n")
+    sources.register(spark)
+    df = (spark.read.format("edgelist").option("layout", "adj")
+          .load(str(p)))
+    got = sorted(map(tuple, df.collect()))
+    assert got == [(1, 10), (1, 11), (1, 12), (2, 20)]
+
+
+def test_filter_and_agg_compose(spark, edge_file):
+    """The datasource output is a normal DataFrame: filters/aggregates
+    compose (predicate evaluation happens Spark-side)."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch import sources
+
+    path, edges = edge_file
+    sources.register(spark)
+    df = spark.read.format("edgelist").load(path)
+    got = df.filter(F.col("src") < 100).groupBy().count().collect()[0][0]
+    assert got == int((edges[:, 0] < 100).sum())
+
+
+def test_malformed_inputs_raise(spark, tmp_path):
+    from sgp_sketch import sources
+
+    sources.register(spark)
+    bad_edge = tmp_path / "bad.txt"
+    bad_edge.write_text("1 2\n3\n")  # odd field count
+    with pytest.raises(Exception, match="odd field count"):
+        spark.read.format("edgelist").load(str(bad_edge)).collect()
+    bad_adj = tmp_path / "bad_adj.txt"
+    bad_adj.write_text("1 5 10 11\n")  # degree 5, two neighbors
+    with pytest.raises(Exception, match="degree"):
+        (spark.read.format("edgelist").option("layout", "adj")
+         .load(str(bad_adj)).collect())
+    with pytest.raises(Exception):
+        spark.read.format("edgelist").option("layout", "zzz") \
+            .load(str(bad_edge)).collect()
