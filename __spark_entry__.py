@@ -1818,6 +1818,17 @@ def q_latest_event_dist(spark, sf_dir):
     """)
 
 
+def q_pmi_bigrams(spark, sf_dir):
+    """Top-20 bigram collocations by PMI (text.pmi_bigrams): zip-sliced
+    adjacent pairs, two combinable count aggregates, vocabulary-bounded
+    joins, TakeOrderedAndProject top-k — the collocation/boilerplate
+    signal a tokenizer pipeline extracts before merge selection."""
+    from sgp_sketch.text import pmi_bigrams
+
+    _views(spark, sf_dir)
+    return pmi_bigrams(spark.table("documents"), min_count=5, k=20)
+
+
 def q_edgelist_scan(spark, sf_dir):
     """S1 native text edge-list scan via the Spark 4 Python DataSource
     (sources.EdgeListDataSource): the supplier→part edge set is exported
@@ -2084,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "principal_spectrum": q_principal_spectrum,
         "edgelist_scan": q_edgelist_scan,
+        "pmi_bigrams": q_pmi_bigrams,
         "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,
@@ -2313,6 +2325,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents
             GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
+        "pmi_bigrams": """
+            WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+            pairs AS (
+                SELECT u.z[1] AS w1, u.z[2] AS w2
+                FROM t, UNNEST(list_zip(l[1:len(l)-1], l[2:len(l)]))
+                     AS u(z)
+                WHERE u.z[1] <> '' AND u.z[2] <> ''),
+            big AS (SELECT w1, w2, COUNT(*) AS c_ab
+                    FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            uni AS (SELECT w, COUNT(*) AS c FROM
+                    (SELECT unnest(string_split(text, ' ')) AS w
+                     FROM documents)
+                    WHERE w <> '' GROUP BY w),
+            n AS (SELECT CAST(SUM(c) AS DOUBLE) AS nn FROM uni)
+            SELECT b.w1, b.w2, b.c_ab,
+                   ROUND(ln(b.c_ab) + ln(n.nn) - ln(ua.c) - ln(ub.c), 6)
+                       AS pmi
+            FROM big b, n
+            JOIN uni ua ON ua.w = b.w1
+            JOIN uni ub ON ub.w = b.w2
+            ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20
         """,
         "edgelist_scan": """
             SELECT src, COUNT(*) AS out_degree,

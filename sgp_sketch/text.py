@@ -463,3 +463,51 @@ def source_jaccard(df, text_col: str = "text", group_col: str = "source"):
                     F.round(F.col("n_common") / F.col("n_union"), 6)
                     .alias("jaccard"))
             .orderBy("src_a", "src_b"))
+
+def pmi_bigrams(df, text_col: str = "text", min_count: int = 5,
+                k: int = 20):
+    """Top-k bigram collocations by pointwise mutual information:
+    pmi(a,b) = ln(c_ab) + ln(N) − ln(c_a) − ln(c_b) with N the unigram
+    total — the classic collocation/multi-word-expression extractor a
+    tokenizer-construction pipeline runs before deciding merge
+    candidates (and a quality signal: boilerplate corpora surface
+    abnormally high-PMI templates).
+
+    Shape: adjacent pairs come from one `arrays_zip(slice, slice)` +
+    explode (pure JVM, no UDF); bigram and unigram counts are two
+    map-side-combinable aggregations; unigram counts join back onto the
+    (min_count-filtered) bigram table keyed by the word — AQE broadcasts
+    the side that is actually small (both are |vocab|-bounded, so
+    neither join ever sees corpus-sized input); the final top-k is
+    `orderBy(...).limit(k)` — Spark plans TakeOrderedAndProject, a
+    per-partition heap + driver merge of k rows, never a global sort
+    materialization.
+
+    → DataFrame(w1, w2, c_ab, pmi) — k rows, pmi rounded to 6 decimals,
+    ties broken on (w1, w2).
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(F.split(F.col(text_col), " ").alias("l"))
+    z = F.arrays_zip(
+        F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
+        F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))))
+    pairs = (toks.select(F.explode(z).alias("p"))
+             .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+             .filter((F.col("w1") != "") & (F.col("w2") != "")))
+    big = (pairs.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c_ab"))
+           .filter(F.col("c_ab") >= int(min_count)))
+    uni = (df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+           .filter(F.col("w") != "")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    n_tokens = uni.agg(F.sum("c").alias("nn"))
+    scored = (big
+              .join(uni.selectExpr("w AS w1", "c AS c_a"), "w1")
+              .join(uni.selectExpr("w AS w2", "c AS c_b"), "w2")
+              .crossJoin(F.broadcast(n_tokens))
+              .select("w1", "w2", "c_ab",
+                      F.round(F.log("c_ab") + F.log(F.col("nn").cast("double"))
+                              - F.log("c_a") - F.log("c_b"), 6)
+                      .alias("pmi")))
+    return (scored.orderBy(F.desc("pmi"), "w1", "w2").limit(int(k)))

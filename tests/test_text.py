@@ -368,3 +368,33 @@ def test_source_jaccard_exact_small(spark):
     assert ab.n_common == 2 and ab.n_union == 4 and ab.jaccard == 0.5
     # disjoint pairs produce no row at all (inner join on shared tokens)
     assert ("a", "c") not in out and ("b", "c") not in out
+
+def test_pmi_bigrams_known_values(spark):
+    import math
+
+    from sgp_sketch.text import pmi_bigrams
+
+    # corpus: "a b" x 4, "a c" x 2 -> N = 12 unigrams
+    rows = [("a b",)] * 4 + [("a c",)] * 2
+    df = spark.createDataFrame(rows, "text string")
+    out = {(r.w1, r.w2): r for r in
+           pmi_bigrams(df, min_count=1, k=10).collect()}
+    # c_a=6, c_b=4, c_ab("a","b")=4: pmi = ln(4*12/(6*4))
+    assert out[("a", "b")].c_ab == 4
+    assert abs(out[("a", "b")].pmi
+               - round(math.log(4 * 12 / (6 * 4)), 6)) <= 1e-6
+    assert out[("a", "c")].c_ab == 2
+    assert abs(out[("a", "c")].pmi
+               - round(math.log(2 * 12 / (6 * 2)), 6)) <= 1e-6
+    # no pair spans documents; single-word docs produce no bigrams
+    assert len(out) == 2
+
+
+def test_pmi_bigrams_min_count_and_k(spark):
+    from sgp_sketch.text import pmi_bigrams
+
+    rows = [("x y x y x y",)] + [("p q",)]  # xy:3 yx:2, pq:1
+    df = spark.createDataFrame(rows, "text string")
+    out = pmi_bigrams(df, min_count=2, k=1).collect()
+    assert len(out) == 1  # k limit after the min_count filter
+    assert (out[0].w1, out[0].w2) in {("x", "y"), ("y", "x")}
