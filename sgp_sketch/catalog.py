@@ -219,9 +219,9 @@ def incremental_sketch_update(spark, path: str, state_blobs, specs: dict,
     Kernel associativity is what makes the result correct; for the
     order-invariant kernels (HLL register-max, CMS counter-add, Bloom
     bit-or, theta) the merged state is BYTE-identical to a full rebuild
-    at `to_version` (gated in tests/test_catalog.py); KLL/t-digest
+    at `to_version` (gated in tests/test_catalog.py); KLL/t-digest/MG/FD
     states are merge-order-dependent but their estimates stay within the
-    same published bounds.
+    same published bounds (MG bracket gated in tests/test_catalog.py).
 
     `prepare` (optional) maps the delta DataFrame before sketching —
     e.g. testdata.doc_tokens_from to tokenize documents — and must be

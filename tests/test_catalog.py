@@ -182,3 +182,36 @@ def test_snapshot_new_files_empty_without_append(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "id long")
     catalog.write_layout(df, path)
     assert catalog.snapshot_new_files(spark, path, 1, 1) == []
+
+def test_incremental_mg_update_keeps_bracket(spark, tmp_path):
+    """Incremental update with a merge-order-dependent kind: the MG state
+    after delta-merge is not byte-pinned, but its bracket must still
+    contain the exact v2 counts and its decrement bound must hold."""
+    import numpy as np
+
+    from sgp_sketch import agg
+    from sgp_sketch.kernels import registry
+
+    path = str(tmp_path / "inc_mg")
+    rng = np.random.default_rng(41)
+    t1 = [int(v) for v in rng.zipf(1.4, 4000) if v < 1 << 16]
+    t2 = [int(v) for v in rng.zipf(1.4, 4000) if v < 1 << 16]
+    df1 = spark.createDataFrame([("s1", t1)],
+                                "source string, tokens array<bigint>")
+    df2 = spark.createDataFrame([("s1", t2)],
+                                "source string, tokens array<bigint>")
+    catalog.write_layout(df1, path)
+    catalog.write_layout(df2, path, mode="append")
+    specs = {"mg": {"kind": "mg", "value_col": "tokens",
+                    "params": {"k": 32}}}
+    state1 = agg.multi_sketch_agg(
+        catalog.load_snapshot(spark, path, version=1), specs)
+    inc = catalog.incremental_sketch_update(
+        spark, path, state1, specs, from_version=1)
+    st = registry.from_bytes(bytes(inc.collect()[0]["state"]))
+    allv = np.array(t1 + t2, dtype=np.int64)
+    uniq, counts = np.unique(allv, return_counts=True)
+    assert st.n_items == allv.size
+    assert st.dec <= allv.size // 33 + 1
+    est = st.estimate(uniq)
+    assert np.all(est <= counts) and np.all(counts <= est + st.dec)
