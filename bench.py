@@ -49,6 +49,8 @@ HEADLINE = [
     "weighted_sample", "token_entropy", "ks_drift", "partition_quality",
     # session-4 additions: corpus diagnostics + robust stats
     "zipf_slope", "source_jaccard", "mad_outliers", "pii_scrub",
+    # session-4 kernels: MG heavy hitters, FD spectrum, PMI collocations
+    "mg_heavy_hitters", "principal_spectrum", "pmi_bigrams",
 ]
 
 
