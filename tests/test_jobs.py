@@ -85,3 +85,14 @@ def test_update_stats_job(spark, tmp_path):
         "--master", "local[4]")
     s2 = json.loads(out2.strip().splitlines()[-1])
     assert not s2["bootstrapped"] and s2["n_new_files"] == 0
+
+def test_spectral_report_job(tmp_path):
+    out = run_job(
+        "spectral_report.py", "--input", SF, "--table", "embeddings",
+        "--d", "64", "--ell", "8", "--k", "3",
+        "--output", str(tmp_path / "spec"), "--master", "local[4]")
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["n_groups"] == 1 and summary["k"] == 3
+    assert summary["top_sing_value"] > 0
+    assert os.path.exists(tmp_path / "spec" / "blobs")
+    assert os.path.exists(tmp_path / "spec" / "spectrum")
