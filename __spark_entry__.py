@@ -1818,6 +1818,18 @@ def q_latest_event_dist(spark, sf_dir):
     """)
 
 
+def q_dup_windows(spark, sf_dir):
+    """ExactSubstr-style duplicated 8-token-window accounting per source
+    (dedup.duplicate_window_stats): declarative window keying
+    (transform+slice+md5, no UDF), one key shuffle, corpus-wide repeat
+    marking — the span-level boilerplate signal document-level dedup
+    misses."""
+    from sgp_sketch.dedup import duplicate_window_stats
+
+    _views(spark, sf_dir)
+    return duplicate_window_stats(spark.table("documents"), w=8)
+
+
 def q_pmi_bigrams(spark, sf_dir):
     """Top-20 bigram collocations by PMI (text.pmi_bigrams): zip-sliced
     adjacent pairs, two combinable count aggregates, vocabulary-bounded
@@ -2096,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "principal_spectrum": q_principal_spectrum,
         "edgelist_scan": q_edgelist_scan,
         "pmi_bigrams": q_pmi_bigrams,
+        "dup_windows": q_dup_windows,
         "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,
@@ -2325,6 +2338,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents
             GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
+        "dup_windows": """
+            WITH t AS (SELECT doc_id, source,
+                              string_split(text, ' ') AS l
+                       FROM documents),
+            w AS (SELECT doc_id, source,
+                         md5(array_to_string(l[i:i+7], ' ')) AS h
+                  FROM t, UNNEST(generate_series(1,
+                                 greatest(len(l) - 7, 0))) AS g(i)),
+            dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1)
+            SELECT source,
+                   COUNT(*) AS n_windows,
+                   CAST(SUM(CASE WHEN h IN (SELECT h FROM dup)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_windows,
+                   COUNT(DISTINCT CASE WHEN h IN (SELECT h FROM dup)
+                                       THEN doc_id END) AS docs_hit
+            FROM w GROUP BY source
         """,
         "pmi_bigrams": """
             WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),

@@ -834,3 +834,54 @@ def ann_topk_ivfpq(spark, index_path: str, query_vec, centroids, codebooks,
                     _cosine_to_query(vec_col, q).alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))
+
+def duplicate_window_stats(df, w: int = 8, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           group_col: str = "source"):
+    """ExactSubstr-style duplicated-span detection (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", 2021):
+    every length-`w` token window is keyed, and a window is DUPLICATED
+    when its key occurs more than once anywhere in the corpus — the
+    signal that drives span-level dedup, where document-level near-dup
+    passes miss templated boilerplate embedded in otherwise-unique
+    documents.
+
+    Shape (declarative, exact): per-row `transform(sequence, i ->
+    md5(array_join(slice(words, i, w))))` builds all window keys JVM-side
+    (no UDF, no per-window Python); one explode; one count shuffle keyed
+    by the 128-bit window key; a self-semi-join marks duplicated windows;
+    one aggregate per group. The corpus expands ~n_tok-fold in the
+    exploded column, but each row is (id, key) only — at the 100-TB scale
+    this is the same O(total tokens) shuffle ExactSubstr's suffix-array
+    pays, distributed instead of in one machine's RAM. The md5 string key
+    is what makes the DuckDB oracle byte-reproducible; a production run
+    would truncate to 16 hex chars (64 bits) to halve shuffle bytes.
+
+    → per group: (group, n_windows, n_dup_windows, docs_hit) — total
+    windows, windows whose key repeats corpus-wide, documents containing
+    at least one duplicated window.
+    """
+    from pyspark.sql import functions as F
+
+    words = F.split(F.col(text_col), " ")
+    n_win = F.size(words) - (w - 1)
+    # NB sequence(1, 0) is the DESCENDING [1, 0] in Spark, not empty —
+    # short documents must produce an empty window list explicitly
+    idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)) \
+        .otherwise(F.array().cast("array<int>"))
+    keys = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(words, i, w), " ")))
+    wins = (df.select(F.col(id_col).alias("_id"),
+                      F.col(group_col).alias("_g"),
+                      F.explode(keys).alias("_h")))
+    dup_keys = (wins.groupBy("_h").count()
+                .filter(F.col("count") > 1).select("_h"))
+    flagged = wins.join(dup_keys.withColumn("_dup", F.lit(1)), "_h",
+                        "left")
+    return (flagged.groupBy(F.col("_g").alias(group_col))
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.sum(F.coalesce(F.col("_dup"), F.lit(0)).cast("long"))
+                  .alias("n_dup_windows"),
+                 F.countDistinct(F.when(F.col("_dup").isNotNull(),
+                                        F.col("_id"))).alias("docs_hit"))
+            .orderBy(group_col))

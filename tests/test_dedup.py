@@ -401,3 +401,31 @@ def test_ngram_jaccard_thresholds_unrounded_value(spark):
     assert got == []
     got = ngram_jaccard_pairs(df, min_jaccard=0.6).collect()
     assert len(got) == 1 and abs(got[0].jaccard - 0.6667) < 1e-9
+
+def test_duplicate_window_stats_known(spark):
+    from sgp_sketch.dedup import duplicate_window_stats
+
+    # w=3: doc1 and doc2 share the window "a b c"; doc3 is unique;
+    # doc4 is too short to have any window
+    rows = [(1, "s1", "a b c d"), (2, "s1", "x a b c"),
+            (3, "s2", "p q r s"), (4, "s2", "t u")]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, text string")
+    out = {r.source: r for r in
+           duplicate_window_stats(df, w=3).collect()}
+    # doc1 windows: abc,bcd; doc2: xab,abc -> 'abc' duplicated
+    assert out["s1"].n_windows == 4
+    assert out["s1"].n_dup_windows == 2      # one occurrence in each doc
+    assert out["s1"].docs_hit == 2
+    assert out["s2"].n_windows == 2           # short doc contributes 0
+    assert out["s2"].n_dup_windows == 0 and out["s2"].docs_hit == 0
+
+
+def test_duplicate_window_stats_within_doc_repeat(spark):
+    from sgp_sketch.dedup import duplicate_window_stats
+
+    # repetition INSIDE one document also counts (w=2: "a b" x2)
+    df = spark.createDataFrame([(1, "s", "a b a b")],
+                               "doc_id long, source string, text string")
+    r = duplicate_window_stats(df, w=2).collect()[0]
+    assert r.n_windows == 3 and r.n_dup_windows == 2 and r.docs_hit == 1
