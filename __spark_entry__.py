@@ -1818,6 +1818,20 @@ def q_latest_event_dist(spark, sf_dir):
     """)
 
 
+def q_degree_profile(spark, sf_dir):
+    """Out-degree characterization of the supplier→part graph
+    (graph.degree_profile): n/m/max-degree — the stats the reference
+    pins per benchmark graph (twitter.properties:5-8) — plus the
+    log-log histogram slope (heavy-tail indicator that predicts when
+    HDRF-style replication pays off)."""
+    from sgp_sketch.graph import degree_profile
+
+    _views(spark, sf_dir)
+    edges = spark.sql(
+        "SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem")
+    return degree_profile(edges)
+
+
 def q_dup_windows(spark, sf_dir):
     """ExactSubstr-style duplicated 8-token-window accounting per source
     (dedup.duplicate_window_stats): declarative window keying
@@ -2109,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edgelist_scan": q_edgelist_scan,
         "pmi_bigrams": q_pmi_bigrams,
         "dup_windows": q_dup_windows,
+        "degree_profile": q_degree_profile,
         "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,
@@ -2338,6 +2353,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents
             GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
+        "degree_profile": """
+            WITH e AS (SELECT DISTINCT l_suppkey AS src,
+                                       l_partkey AS dst FROM lineitem),
+            deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+            hist AS (SELECT d, COUNT(*) AS n FROM deg GROUP BY d)
+            SELECT CAST(SUM(n) AS BIGINT) AS n_vertices,
+                   CAST(SUM(d * n) AS BIGINT) AS n_edges,
+                   MAX(d) AS max_degree,
+                   ROUND(CAST(SUM(d * n) AS DOUBLE) / SUM(n), 6)
+                       AS avg_degree,
+                   ROUND(regr_slope(ln(n), ln(d)), 6) AS loglog_slope
+            FROM hist WHERE d > 0
         """,
         "dup_windows": """
             WITH t AS (SELECT doc_id, source,

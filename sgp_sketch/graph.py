@@ -404,3 +404,36 @@ def partition_quality(edges, assign, src: str = "src", dst: str = "dst",
                     ((F.col("m") - F.col("_intra")) / F.col("m"))
                     .alias("cut_ratio"),
                     "modularity", "n_unassigned"))
+
+def degree_profile(edges, src: str = "src", dst: str = "dst"):
+    """One-row out-degree characterization of an edge set — the dataset
+    table every partitioning evaluation leads with (the reference pins
+    n, m, and max degree for each benchmark graph:
+    /root/reference/src/main/resources/twitter.properties:5-8,
+    README.md:42-44) plus a log-log OLS slope of the degree histogram,
+    the standard heavy-tail/power-law indicator that predicts which
+    partitioner family wins (HDRF-style replication pays off only on
+    heavy-tailed graphs).
+
+    Shape: one degree aggregation keyed by vertex, one histogram
+    aggregation keyed by degree (output ≤ max_degree rows), then a
+    single-row fold with `regr_slope` over the log-log histogram.
+    Nothing bigger than the degree histogram ever sits in one task.
+
+    → one row: (n_vertices, n_edges, max_degree, avg_degree,
+    loglog_slope) — doubles rounded to 6 decimals.
+    """
+    from pyspark.sql import functions as F
+
+    deg = (edges.groupBy(F.col(src).alias("_v"))
+           .agg(F.count(F.lit(1)).alias("_d")))
+    hist = deg.groupBy("_d").agg(F.count(F.lit(1)).alias("_n"))
+    return (hist.filter(F.col("_d") > 0)
+            .agg(F.sum("_n").alias("n_vertices"),
+                 F.sum(F.col("_d") * F.col("_n")).alias("n_edges"),
+                 F.max("_d").alias("max_degree"),
+                 F.round(F.sum(F.col("_d") * F.col("_n"))
+                         / F.sum("_n").cast("double"), 6)
+                  .alias("avg_degree"),
+                 F.round(F.regr_slope(F.log("_n"), F.log("_d")), 6)
+                  .alias("loglog_slope")))

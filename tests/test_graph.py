@@ -203,3 +203,19 @@ def test_partition_quality_known_graph(spark):
     partial = assign.filter("id <> 6")
     r = partition_quality(edges, partial).collect()[0]
     assert (r.n_edges, r.n_unassigned) == (5, 2)
+
+def test_degree_profile_known_graph(spark):
+    import math
+
+    from sgp_sketch.graph import degree_profile
+
+    # degrees: v1->3 edges, v2->3, v3->1 : hist {3: 2, 1: 1}
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 13),
+             (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = degree_profile(df).collect()[0]
+    assert r.n_vertices == 3 and r.n_edges == 7 and r.max_degree == 3
+    assert abs(r.avg_degree - round(7 / 3, 6)) <= 1e-6
+    # slope of {(ln1, ln1), (ln3, ln2)} = (ln2-ln1)/(ln3-ln1)... exact:
+    want = (math.log(2) - math.log(1)) / (math.log(3) - math.log(1))
+    assert abs(r.loglog_slope - round(want, 6)) <= 1e-6
