@@ -577,6 +577,22 @@ def q_ann_lsh_topk(spark, sf_dir):
     return dedup.ann_topk_lsh(emb.filter("vec_id <> 0"), q, k=5)
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-k (dedup.ann_topk_lsh_multiprobe, VLDB'07):
+    probes the query bucket PLUS the lowest-margin single-bit-flip
+    buckets per table — recall of ~n_probes× more tables at zero extra
+    index size; still a constant-bucket pruned read. Recall-dominance
+    over the single-probe variant is pytest-gated
+    (tests/test_dedup.py)."""
+    from sgp_sketch import dedup
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    return dedup.ann_topk_lsh_multiprobe(emb.filter("vec_id <> 0"), q,
+                                         k=5, n_probes=3)
+
+
 def q_cosine_pairs(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (brute force, the ground truth
     the LSH path approximates) — JVM zip_with/aggregate, no Python."""
@@ -2124,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": q_pmi_bigrams,
         "dup_windows": q_dup_windows,
         "degree_profile": q_degree_profile,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,

@@ -429,3 +429,42 @@ def test_duplicate_window_stats_within_doc_repeat(spark):
                                "doc_id long, source string, text string")
     r = duplicate_window_stats(df, w=2).collect()[0]
     assert r.n_windows == 3 and r.n_dup_windows == 2 and r.docs_hit == 1
+
+def test_ann_lsh_multiprobe_recall_dominates_single(spark, planted_vectors):
+    """Multi-probe must (a) still find the planted neighbor, (b) never
+    probe fewer candidates than the single-probe variant (its probe set
+    is a superset), and (c) with a deliberately weak index (1 table,
+    many planes) recover neighbors single-probe misses — measured as
+    recall vs brute-force top-5 over several query points."""
+    from pyspark.sql import functions as F
+
+    data = planted_vectors.filter("vec_id <> 0")
+    q0 = np.asarray(
+        planted_vectors.filter("vec_id = 0").collect()[0]["embedding"])
+    got = dedup.ann_topk_lsh_multiprobe(data, q0, k=3,
+                                        n_probes=3).toPandas()
+    assert got.vec_id.iloc[0] == 500 and got.cosine.iloc[0] > 0.95
+
+    # weak index: recall comparison over 5 queries
+    all_rows = planted_vectors.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in all_rows}
+
+    def brute_top5(q, exclude):
+        sims = sorted(((float(v @ q), i) for i, v in vecs.items()
+                       if i != exclude), reverse=True)
+        return {i for _, i in sims[:5]}
+
+    single_hits = multi_hits = 0
+    for qid in (1, 2, 3, 4, 5):
+        q = vecs[qid]
+        data_q = planted_vectors.filter(f"vec_id <> {qid}")
+        kw = dict(k=5, n_planes=4, n_tables=1, seed=11)
+        s = set(dedup.ann_topk_lsh(data_q, q, **kw)
+                .toPandas().vec_id)
+        m = set(dedup.ann_topk_lsh_multiprobe(data_q, q, n_probes=3, **kw)
+                .toPandas().vec_id)
+        truth = brute_top5(q, qid)
+        single_hits += len(s & truth)
+        multi_hits += len(m & truth)
+    assert multi_hits >= single_hits        # probe superset ⇒ recall ≥
+    assert multi_hits > 0
