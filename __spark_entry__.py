@@ -1834,6 +1834,70 @@ def q_latest_event_dist(spark, sf_dir):
     """)
 
 
+def q_trailing_7day_revenue(spark, sf_dir):
+    """RANGE-frame trailing window: 7-day revenue trailing sum ordered by
+    DAY VALUE (interval range frame), not row position — days missing
+    from the data shorten the window, which a rowsBetween frame gets
+    wrong. The window input is the pre-aggregated days axis (bounded),
+    so the unpartitioned sort is safe by construction."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                          ROUND(SUM(value), 2) AS rev
+                   FROM events GROUP BY 1)
+        SELECT CAST(day AS STRING) AS day, rev,
+               ROUND(SUM(rev) OVER (ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                           AND CURRENT ROW), 2) AS rev_7d
+        FROM d
+    """)
+
+
+def q_unpivot_lang_counts(spark, sf_dir):
+    """UNPIVOT (melt): wide per-source language counts back to long form
+    — the inverse of pivot_event_matrix, exercising Spark's native
+    UNPIVOT relation (one Expand node, no per-column union)."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH p AS (SELECT source,
+                          COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en,
+                          COUNT(CASE WHEN lang = 'de' THEN 1 END) AS de,
+                          COUNT(CASE WHEN lang = 'es' THEN 1 END) AS es
+                   FROM documents GROUP BY source)
+        SELECT source, lang, n
+        FROM p UNPIVOT (n FOR lang IN (en, de, es))
+    """)
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup gate: new-snapshot docs (odd doc_id, the
+    same v1/v2 split as snapshot_diff) checked against the existing
+    corpus by a cheap 4-word-prefix fingerprint (the pre-filter) AND by
+    full-content md5 (the verifier) — per source, how much of the new
+    batch is already present. One semi-join per key on md5 fingerprints:
+    32 bytes per row shuffle, never full text."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   md5(array_join(slice(split(text, ' '), 1, 4), ' '))
+                       AS pre_h,
+                   md5(text) AS full_h
+            FROM documents),
+        v1 AS (SELECT pre_h, full_h FROM keyed WHERE doc_id % 2 = 0),
+        v2 AS (SELECT * FROM keyed WHERE doc_id % 2 = 1)
+        SELECT v2.source,
+               COUNT(*) AS n_new,
+               CAST(SUM(CASE WHEN v2.pre_h IN (SELECT pre_h FROM v1)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS prefix_hits,
+               CAST(SUM(CASE WHEN v2.full_h IN (SELECT full_h FROM v1)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS exact_hits
+        FROM v2 GROUP BY v2.source
+    """)
+
+
 def q_degree_profile(spark, sf_dir):
     """Out-degree characterization of the supplier→part graph
     (graph.degree_profile): n/m/max-degree — the stats the reference
@@ -2141,6 +2205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_windows": q_dup_windows,
         "degree_profile": q_degree_profile,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "trailing_7day_revenue": q_trailing_7day_revenue,
+        "unpivot_lang_counts": q_unpivot_lang_counts,
+        "incremental_dedup": q_incremental_dedup,
         "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,
@@ -2370,6 +2437,48 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents
             GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
+        "trailing_7day_revenue": """
+            WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                              ROUND(SUM(value), 2) AS rev
+                       FROM events GROUP BY 1)
+            SELECT CAST(day AS VARCHAR) AS day, rev,
+                   ROUND(SUM(rev) OVER (ORDER BY day
+                         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                               AND CURRENT ROW), 2) AS rev_7d
+            FROM d
+        """,
+        "unpivot_lang_counts": """
+            WITH p AS (SELECT source,
+                              COUNT(CASE WHEN lang = 'en' THEN 1 END)
+                                  AS en,
+                              COUNT(CASE WHEN lang = 'de' THEN 1 END)
+                                  AS de,
+                              COUNT(CASE WHEN lang = 'es' THEN 1 END)
+                                  AS es
+                       FROM documents GROUP BY source)
+            SELECT source, lang, n
+            FROM p UNPIVOT (n FOR lang IN (en, de, es))
+        """,
+        "incremental_dedup": """
+            WITH keyed AS (
+                SELECT doc_id, source,
+                       md5(array_to_string(string_split(text, ' ')[1:4],
+                                           ' ')) AS pre_h,
+                       md5(text) AS full_h
+                FROM documents),
+            v1 AS (SELECT pre_h, full_h FROM keyed WHERE doc_id % 2 = 0),
+            v2 AS (SELECT * FROM keyed WHERE doc_id % 2 = 1)
+            SELECT v2.source,
+                   COUNT(*) AS n_new,
+                   CAST(SUM(CASE WHEN v2.pre_h IN (SELECT pre_h FROM v1)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS prefix_hits,
+                   CAST(SUM(CASE WHEN v2.full_h IN
+                                      (SELECT full_h FROM v1)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS exact_hits
+            FROM v2 GROUP BY v2.source
         """,
         "degree_profile": """
             WITH e AS (SELECT DISTINCT l_suppkey AS src,
