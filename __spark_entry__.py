@@ -1834,6 +1834,52 @@ def q_latest_event_dist(spark, sf_dir):
     """)
 
 
+def q_variant_json_stats(spark, sf_dir):
+    """Semi-structured aggregation over the Spark 4 VARIANT type:
+    `parse_json(props)` materializes the open-schema column once as a
+    binary variant and `variant_get` extracts typed paths with no
+    per-row schema inference (the modern replacement for the
+    from_json(schema) pattern in q_json_extract). Oracle: DuckDB
+    json_extract on the same strings."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(variant_get(parse_json(props), '$.k', 'int')
+                             AS BIGINT)) AS BIGINT) AS sum_k,
+               MAX(variant_get(parse_json(props), '$.k', 'int')) AS max_k
+        FROM events GROUP BY event_type
+    """)
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking audit: split every document into
+    40-token chunks (the pre-packing step for long documents — the
+    complement of pack_sequences, which concatenates SHORT ones) and
+    report per-source chunk accounting. Chunk lengths come from one
+    transform(sequence)+explode projection — no UDF, no join; at
+    100 TB the chunk rows are the same O(total tokens) the training
+    writer must emit anyway."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH t AS (SELECT doc_id, source, split(text, ' ') AS l
+                   FROM documents),
+        c AS (SELECT doc_id, source, chunk_len
+              FROM t LATERAL VIEW explode(
+                  transform(sequence(0,
+                                CAST(ceil(size(l) / 40.0) AS INT) - 1),
+                            i -> size(slice(l, i * 40 + 1, 40))))
+                  AS chunk_len)
+        SELECT source,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN chunk_len = 40 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS full_chunks,
+               CAST(SUM(chunk_len) AS BIGINT) AS n_tokens,
+               MIN(chunk_len) AS min_chunk_len
+        FROM c GROUP BY source
+    """)
+
+
 def q_trailing_7day_revenue(spark, sf_dir):
     """RANGE-frame trailing window: 7-day revenue trailing sum ordered by
     DAY VALUE (interval range frame), not row position — days missing
@@ -2208,6 +2254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_7day_revenue": q_trailing_7day_revenue,
         "unpivot_lang_counts": q_unpivot_lang_counts,
         "incremental_dedup": q_incremental_dedup,
+        "variant_json_stats": q_variant_json_stats,
+        "chunk_documents": q_chunk_documents,
         "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,
@@ -2437,6 +2485,31 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents
             GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
+        "variant_json_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS INT))
+                        AS BIGINT) AS sum_k,
+                   MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "chunk_documents": """
+            WITH t AS (SELECT doc_id, source,
+                              string_split(text, ' ') AS l
+                       FROM documents),
+            c AS (SELECT doc_id, source,
+                         CAST(LEAST(40, len(l) - i * 40) AS INT)
+                             AS chunk_len
+                  FROM t, UNNEST(generate_series(0,
+                       CAST(ceil(len(l) / 40.0) AS INT) - 1)) AS g(i))
+            SELECT source,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_chunks,
+                   CAST(SUM(CASE WHEN chunk_len = 40 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS full_chunks,
+                   CAST(SUM(chunk_len) AS BIGINT) AS n_tokens,
+                   MIN(chunk_len) AS min_chunk_len
+            FROM c GROUP BY source
         """,
         "trailing_7day_revenue": """
             WITH d AS (SELECT CAST(ts AS DATE) AS day,
