@@ -1834,6 +1834,17 @@ def q_latest_event_dist(spark, sf_dir):
     """)
 
 
+def q_key_skew_gini(spark, sf_dir):
+    """Key-skew diagnostic (routing.key_skew_profile): Gini coefficient
+    + heaviest-key share of per-user event counts — the salting/AQE
+    decision input, computed from the bounded count-of-counts histogram
+    (the window never touches the key axis)."""
+    from sgp_sketch.routing import key_skew_profile
+
+    _views(spark, sf_dir)
+    return key_skew_profile(spark.table("events"), "user_id")
+
+
 def q_variant_json_stats(spark, sf_dir):
     """Semi-structured aggregation over the Spark 4 VARIANT type:
     `parse_json(props)` materializes the open-schema column once as a
@@ -2256,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "variant_json_stats": q_variant_json_stats,
         "chunk_documents": q_chunk_documents,
+        "key_skew_gini": q_key_skew_gini,
         "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,
@@ -2485,6 +2497,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents
             GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
+        "key_skew_gini": """
+            WITH c AS (SELECT user_id, COUNT(*) AS n FROM events
+                       GROUP BY user_id),
+            r AS (SELECT n,
+                         row_number() OVER (ORDER BY n, user_id) AS i,
+                         COUNT(*) OVER () AS k, SUM(n) OVER () AS tot
+                  FROM c)
+            SELECT CAST(MAX(k) AS BIGINT) AS n_keys,
+                   CAST(MAX(tot) AS BIGINT) AS n_rows,
+                   MAX(n) AS max_count,
+                   ROUND(CAST(MAX(n) AS DOUBLE) / MAX(tot), 6)
+                       AS top1_share,
+                   ROUND((2.0 * SUM(i * n) / (MAX(k) * MAX(tot)))
+                         - (CAST(MAX(k) AS DOUBLE) + 1) / MAX(k), 6)
+                       AS gini
+            FROM r
         """,
         "variant_json_stats": """
             SELECT event_type, COUNT(*) AS n,

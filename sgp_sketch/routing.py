@@ -434,3 +434,49 @@ def salted_join(big, small, key, n_salts: int = 8, scatter_cols=None,
     out = big_s.join(small_s.hint("shuffle_hash"),
                      keys + ["_salt"], how)
     return out.drop("_salt")
+
+def key_skew_profile(df, key_col: str = "user_id"):
+    """Key-skew diagnostic for shuffle/routing decisions: Gini
+    coefficient of the per-key row-count distribution plus the heaviest
+    key's share — the numbers that decide whether a join/groupBy on this
+    key needs salting (routing.route_tokens_salted) or AQE skew
+    handling before it hits a 10^12-row shuffle. Gini 0 = perfectly
+    balanced keys; → 1 = a handful of keys own the table.
+
+    Scale shape: one count keyed by the key column, then a HISTOGRAM of
+    counts (count value → #keys) — the same bounded-support trick as
+    stats.ks_statistic — so the single cumulative window runs over
+    |distinct count values| rows (≤ max key count), never over the key
+    axis itself. For a run of m keys sharing count v after C lighter
+    keys, their rank-weighted mass is v·(m·C + m(m+1)/2), which sums to
+    the exact Σ rank·count of the classic Gini formula independent of
+    tie order.
+
+    → one row: (n_keys, n_rows, max_count, top1_share, gini), doubles
+    rounded to 6 decimals.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    counts = (df.groupBy(F.col(key_col).alias("_k"))
+              .agg(F.count(F.lit(1)).alias("_n")))
+    hist = counts.groupBy("_n").agg(F.count(F.lit(1)).alias("_m"))
+    cum = Window.orderBy("_n").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    c_before = F.sum("_m").over(cum) - F.col("_m")
+    contrib = F.col("_n") * (F.col("_m") * c_before
+                             + F.col("_m") * (F.col("_m") + 1) / 2)
+    k = F.sum("_m").over(tot)
+    t = F.sum(F.col("_n") * F.col("_m")).over(tot)
+    return (hist.select(contrib.alias("_s"), k.alias("_k2"),
+                        t.alias("_t"), F.col("_n"))
+            .agg(F.max("_k2").cast("bigint").alias("n_keys"),
+                 F.max("_t").cast("bigint").alias("n_rows"),
+                 F.max("_n").alias("max_count"),
+                 F.round(F.max("_n").cast("double") / F.max("_t"), 6)
+                  .alias("top1_share"),
+                 F.round(2 * F.sum("_s") / (F.max("_k2") * F.max("_t"))
+                         - (F.max("_k2").cast("double") + 1)
+                         / F.max("_k2"), 6).alias("gini")))

@@ -321,3 +321,28 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
                       scatter_cols=["row_id"])
     assert got.count() == 100
     assert got.where(F.col("m").isNull()).count() == 50
+
+def test_key_skew_profile_known_values(spark):
+    from sgp_sketch.routing import key_skew_profile
+
+    # keys: a->1 row, b->1, c->2: sorted counts [1,1,2]
+    # gini = 2*(1*1+2*1+3*2)/(3*4) - 4/3 = 18/12 - 4/3 = 1/6
+    rows = [("a",), ("b",), ("c",), ("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r.n_keys == 3 and r.n_rows == 4 and r.max_count == 2
+    assert r.top1_share == 0.5
+    assert abs(r.gini - round(1 / 6, 6)) <= 1e-6
+
+
+def test_key_skew_profile_extremes(spark):
+    from sgp_sketch.routing import key_skew_profile
+
+    # perfectly balanced: gini = 0
+    bal = spark.createDataFrame([(i % 5,) for i in range(50)], "k long")
+    assert key_skew_profile(bal, "k").collect()[0].gini == 0.0
+    # one dominant key among many singletons: gini near 1
+    skew = spark.createDataFrame([(0,)] * 1000 + [(i,) for i in range(1, 11)],
+                                 "k long")
+    r = key_skew_profile(skew, "k").collect()[0]
+    assert r.gini > 0.85 and r.top1_share > 0.98
