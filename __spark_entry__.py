@@ -1834,6 +1834,48 @@ def q_latest_event_dist(spark, sf_dir):
     """)
 
 
+def q_table_profile(spark, sf_dir):
+    """Data-card profiling: per-column null count, exact distinct count,
+    and min/max over orders — ONE scan (the distinct aggregates share it
+    via Expand), long-form output via named_struct + explode so adding a
+    column never adds a pass. The snapshot audit a pipeline publishes
+    with every corpus release."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH s AS (SELECT
+            COUNT(*) AS n_rows,
+            ARRAY(
+              named_struct(
+                'col_name', 'o_orderkey',
+                'n_null', SUM(CAST(o_orderkey IS NULL AS BIGINT)),
+                'n_distinct', COUNT(DISTINCT o_orderkey),
+                'min_s', CAST(MIN(o_orderkey) AS STRING),
+                'max_s', CAST(MAX(o_orderkey) AS STRING)),
+              named_struct(
+                'col_name', 'o_totalprice',
+                'n_null', SUM(CAST(o_totalprice IS NULL AS BIGINT)),
+                'n_distinct', COUNT(DISTINCT o_totalprice),
+                'min_s', CAST(ROUND(MIN(o_totalprice), 2) AS STRING),
+                'max_s', CAST(ROUND(MAX(o_totalprice), 2) AS STRING)),
+              named_struct(
+                'col_name', 'o_orderstatus',
+                'n_null', SUM(CAST(o_orderstatus IS NULL AS BIGINT)),
+                'n_distinct', COUNT(DISTINCT o_orderstatus),
+                'min_s', MIN(o_orderstatus),
+                'max_s', MAX(o_orderstatus)),
+              named_struct(
+                'col_name', 'o_custkey',
+                'n_null', SUM(CAST(o_custkey IS NULL AS BIGINT)),
+                'n_distinct', COUNT(DISTINCT o_custkey),
+                'min_s', CAST(MIN(o_custkey) AS STRING),
+                'max_s', CAST(MAX(o_custkey) AS STRING))) AS cols
+            FROM orders)
+        SELECT n_rows, c.col_name, c.n_null, c.n_distinct, c.min_s,
+               c.max_s
+        FROM s LATERAL VIEW explode(cols) AS c
+    """)
+
+
 def q_key_skew_gini(spark, sf_dir):
     """Key-skew diagnostic (routing.key_skew_profile): Gini coefficient
     + heaviest-key share of per-user event counts — the salting/AQE
@@ -2268,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_json_stats": q_variant_json_stats,
         "chunk_documents": q_chunk_documents,
         "key_skew_gini": q_key_skew_gini,
+        "table_profile": q_table_profile,
         "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,
@@ -2497,6 +2540,40 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents
             GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
+        "table_profile": """
+            SELECT (SELECT COUNT(*) FROM orders) AS n_rows, *
+            FROM (
+              SELECT 'o_orderkey' AS col_name,
+                     CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_null,
+                     COUNT(DISTINCT o_orderkey) AS n_distinct,
+                     CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+                     CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice',
+                     CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1
+                              ELSE 0 END) AS BIGINT),
+                     COUNT(DISTINCT o_totalprice),
+                     CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+                     CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus',
+                     CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1
+                              ELSE 0 END) AS BIGINT),
+                     COUNT(DISTINCT o_orderstatus),
+                     MIN(o_orderstatus), MAX(o_orderstatus)
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey',
+                     CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1
+                              ELSE 0 END) AS BIGINT),
+                     COUNT(DISTINCT o_custkey),
+                     CAST(MIN(o_custkey) AS VARCHAR),
+                     CAST(MAX(o_custkey) AS VARCHAR)
+              FROM orders)
         """,
         "key_skew_gini": """
             WITH c AS (SELECT user_id, COUNT(*) AS n FROM events
