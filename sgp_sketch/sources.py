@@ -138,6 +138,11 @@ class EdgeListReader(DataSourceReader):
         paths = sorted(_glob.glob(self.path)) or [self.path]
         parts = []
         for p in paths:
+            if p.endswith(".gz"):
+                # gzip streams are not seek-splittable: one whole-file
+                # partition (parallelism = file count, the Hadoop rule)
+                parts.append(_Range(p, 0, -1))
+                continue
             size = os.path.getsize(p)
             for s in range(0, max(size, 1), self.chunk):
                 parts.append(_Range(p, s, min(s + self.chunk, size)))
@@ -146,7 +151,14 @@ class EdgeListReader(DataSourceReader):
     def read(self, partition: _Range):
         import pyarrow as pa
 
-        buf = _read_range(partition.path, partition.start, partition.end)
+        if partition.end == -1:  # whole gzip file
+            import gzip
+
+            with gzip.open(partition.path, "rb") as f:
+                buf = f.read()
+        else:
+            buf = _read_range(partition.path, partition.start,
+                              partition.end)
         src, dst = _parse_edges(buf, self.layout)
         yield pa.RecordBatch.from_arrays(
             [pa.array(src, pa.int64()), pa.array(dst, pa.int64())],

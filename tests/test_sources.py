@@ -94,3 +94,20 @@ def test_malformed_inputs_raise(spark, tmp_path):
     with pytest.raises(Exception):
         spark.read.format("edgelist").option("layout", "zzz") \
             .load(str(bad_edge)).collect()
+
+def test_gzip_files_read_whole(spark, edge_file, tmp_path):
+    """.gz inputs are not splittable: one partition per file, same rows."""
+    import gzip
+
+    from sgp_sketch import sources
+
+    path, edges = edge_file
+    gz = tmp_path / "edges.txt.gz"
+    with open(path, "rb") as fi, gzip.open(gz, "wb") as fo:
+        fo.write(fi.read())
+    sources.register(spark)
+    df = spark.read.format("edgelist").load(str(gz))
+    assert df.count() == len(edges)
+    got = df.toPandas().sort_values(["src", "dst"]).to_numpy()
+    want = edges[np.lexsort((edges[:, 1], edges[:, 0]))]
+    assert np.array_equal(got, want)
