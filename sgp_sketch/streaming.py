@@ -424,3 +424,75 @@ def running_distinct_stream(spark, input_path: str, p: int = 12,
             .groupBy(group_col)
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+def windowed_heavy_hitters_stream(spark, input_path: str,
+                                  window: str = "1 day",
+                                  watermark: str = "1 day",
+                                  k: int = 64, topk: int = 5,
+                                  key_col: str = "event_type",
+                                  ts_col: str = "ts",
+                                  val_col: str = "user_id",
+                                  schema=None):
+    """Custom stateful streaming operator: per-(key × event-time window)
+    Misra–Gries state carried in GroupState (applyInPandasWithState),
+    emitting the current top-k values with their [est, est+dec] bracket
+    each micro-batch. State per group is ≤ k (value, count) pairs — the
+    bounded-memory form of streaming GROUP BY value COUNT(*) ORDER BY
+    count DESC LIMIT k, which an exact implementation cannot bound when
+    the value domain is unbounded. A ProcessingTime timeout (2× the
+    window) retires groups whose window can no longer receive rows, so
+    total state is O(active windows × k), not O(stream lifetime).
+
+    Returns the streaming DataFrame; the caller attaches a sink.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    from .kernels import registry
+    from .kernels.mg import MG
+
+    if schema is None:
+        schema = spark.read.parquet(input_path).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    keyed = (stream
+             .withWatermark(ts_col, watermark)
+             .select(F.col(key_col).alias("k"),
+                     F.window(F.col(ts_col), window).start
+                     .cast("string").alias("w"),
+                     F.col(val_col).cast("long").alias("v")))
+    out_schema = ("k string, w string, rank int, value long, "
+                  "est_min long, est_max long")
+    state_schema = "state binary"
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            st = registry.from_bytes(bytes(state.get[0]))
+        else:
+            st = MG(k=k)
+        for pdf in pdfs:
+            vals = pdf["v"].to_numpy()
+            vals = vals[~pd.isna(vals)].astype(np.int64)
+            st.update(vals)
+        state.update((st.to_bytes(),))
+        state.setTimeoutDuration(2 * 24 * 3600 * 1000)
+        keys, cnts = st.heavy_hitters()
+        n = min(topk, keys.size)
+        yield pd.DataFrame({
+            "k": [key[0]] * n, "w": [key[1]] * n,
+            "rank": np.arange(1, n + 1, dtype=np.int32),
+            "value": keys[:n].astype(np.int64),
+            "est_min": cnts[:n].astype(np.int64),
+            "est_max": (cnts[:n] + st.dec).astype(np.int64)})
+
+    return (keyed.groupBy("k", "w")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.ProcessingTimeTimeout))

@@ -318,3 +318,46 @@ def test_streamed_mg_bracket_matches_exact(spark, stream_input, tokens_pdf,
         est = st.estimate(uniq.astype(np.int64))
         assert np.all(est <= counts)
         assert np.all(counts <= est + st.dec)
+
+def test_windowed_heavy_hitters_stream_matches_exact(spark, tmp_path):
+    """Stateful windowed MG over a replayed event stream: with counter
+    capacity >= the per-window value domain no eviction happens, so the
+    final emitted top-k per (type, day) must EQUAL the exact batch
+    top-k, bracket collapsed."""
+    import numpy as np
+    import pandas as pd
+
+    from sgp_sketch import streaming
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    pdf = pd.DataFrame({
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 3 * 86400, n), unit="s"),
+        "event_type": rng.choice(["a", "b"], n),
+        "user_id": rng.zipf(1.5, n).astype("int64") % 50,
+    })
+    src = str(tmp_path / "hh_events")
+    spark.createDataFrame(pdf).repartition(3).write.parquet(src)
+
+    q = (streaming.windowed_heavy_hitters_stream(
+            spark, src, window="1 day", k=256, topk=3)
+         .writeStream.format("memory").queryName("hh_out")
+         .outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.table("hh_out").toPandas()
+           .sort_values(["k", "w", "rank"])
+           .groupby(["k", "w"]).tail(3))  # last emission per group
+    # exact per (type, day)
+    pdf["day"] = pdf["ts"].dt.floor("D").astype(str).str[:10]
+    for (t, day), sub in pdf.groupby(["event_type", "day"]):
+        counts = sub.groupby("user_id").size().reset_index(name="c")
+        counts = counts.sort_values(["c", "user_id"],
+                                    ascending=[False, True])
+        want = counts.head(3)
+        g = got[(got.k == t) & (got.w.str.startswith(day))]
+        assert len(g) == min(3, len(counts)), (t, day)
+        assert g["value"].tolist() == want["user_id"].tolist(), (t, day)
+        assert g["est_min"].tolist() == want["c"].tolist(), (t, day)
+        assert (g["est_min"] == g["est_max"]).all()
