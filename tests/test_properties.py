@@ -210,3 +210,62 @@ def test_theta_chunking_invariance(v, cut):
     two = theta.Theta(k=16).update(v[:cut]).merge(
         theta.Theta(k=16).update(v[cut:]))
     assert one.to_bytes() == two.to_bytes()
+
+# ----------------------------------------------- bound-stable: MG and FD
+
+int_arrays = st.lists(st.integers(0, 200), min_size=0, max_size=400).map(
+    lambda xs: np.array(xs, dtype=np.int64))
+
+
+@given(a=int_arrays, b=int_arrays, c=int_arrays,
+       k=st.integers(2, 16))
+@settings(**SETTINGS)
+def test_mg_merge_bound_invariants(a, b, c, k):
+    """MG counter sets are merge-order-dependent, but for EVERY merge
+    order: n_items is exact, dec <= n/(k+1), and every estimate brackets
+    the true count (est <= true <= est + dec). Identity merge is exact."""
+    from sgp_sketch.kernels.mg import MG
+
+    data = np.concatenate([a, b, c])
+    for m in (MG(k).update(a).merge(MG(k).update(b)).merge(MG(k).update(c)),
+              MG(k).update(a).merge(MG(k).update(b).merge(MG(k).update(c))),
+              MG(k).update(c).merge(MG(k).update(a)).merge(MG(k).update(b))):
+        assert m.n_items == data.size
+        assert m.dec <= data.size // (k + 1) + 1
+        if data.size:
+            uniq, counts = np.unique(data, return_counts=True)
+            est = m.estimate(uniq)
+            assert np.all(est <= counts)
+            assert np.all(counts <= est + m.dec)
+    s = MG(k).update(a)
+    ident = s.merge(MG(k))
+    assert np.array_equal(ident.keys, s.keys)
+    assert np.array_equal(ident.counts, s.counts) and ident.dec == s.dec
+
+
+small_mats = st.integers(0, 60).flatmap(
+    lambda n: st.lists(
+        st.lists(st.floats(-100, 100, allow_nan=False),
+                 min_size=6, max_size=6),
+        min_size=n, max_size=n)).map(
+    lambda rows: np.array(rows, dtype=np.float64).reshape(-1, 6))
+
+
+@given(a=small_mats, b=small_mats, ell=st.integers(2, 5))
+@settings(**SETTINGS)
+def test_fd_merge_bound_invariants(a, b, ell):
+    """For any split and ell: the merged FD sketch's Gram error is within
+    its own tracked shed, shed <= ||A||_F^2/ell, and A'A - B'B is PSD
+    (the sketch never overestimates any direction)."""
+    from sgp_sketch.kernels.fd import FD
+
+    A = np.concatenate([a, b]) if a.size or b.size else a
+    m = FD(ell, 6).update(a).merge(FD(ell, 6).update(b))
+    assert m.n_rows == A.shape[0]
+    G = A.T @ A if A.size else np.zeros((6, 6))
+    D = G - m.gram()
+    tol = 1e-6 * max(1.0, float(np.abs(G).max()))
+    assert np.linalg.norm(D, 2) <= m.shed + tol
+    frob = float((A ** 2).sum())
+    assert m.shed <= frob / ell + tol
+    assert np.linalg.eigvalsh(D).min() >= -tol
