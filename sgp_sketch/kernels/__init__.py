@@ -9,4 +9,5 @@ Every kernel exposes the same surface:
     to_bytes(state) / from_bytes(buf)   versioned little-endian serialization
 """
 
-from . import hashing, hll, cms, bloom, kll, tdigest  # noqa: F401
+from . import (hashing, hll, cms, bloom, kll, tdigest,  # noqa: F401
+               theta, mg, fd)  # noqa: F401
