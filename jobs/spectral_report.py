@@ -46,7 +46,7 @@ def main(argv=None) -> int:
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
-    from sgp_sketch.matrix import fd_agg, principal_spectrum
+    from sgp_sketch.matrix import fd_agg, spectrum_from_blobs
     from sgp_sketch.session import get_spark
 
     spark = get_spark("spectral-report", master=args.master)
@@ -57,19 +57,21 @@ def main(argv=None) -> int:
             path = os.path.join(path, f"{args.table}.parquet")
         df = spark.read.parquet(path)
         groups = tuple(c for c in args.group_cols.split(",") if c)
+        # one corpus scan: write the blobs, then derive the spectrum by
+        # re-READING the written blob table (KB-sized), never rescanning
         blobs = fd_agg(df, args.vec_col, d=args.d, ell=args.ell,
                        group_cols=groups)
         blobs.write.mode("overwrite").parquet(
             os.path.join(args.output, "blobs"))
-        spec = principal_spectrum(df, args.vec_col, d=args.d,
-                                  ell=args.ell, k=args.k,
-                                  group_cols=groups)
+        blob_tbl = spark.read.parquet(os.path.join(args.output, "blobs"))
+        spec = spectrum_from_blobs(blob_tbl, k=args.k, group_cols=groups)
         spec.write.mode("overwrite").parquet(
             os.path.join(args.output, "spectrum"))
-        out = spark.read.parquet(os.path.join(args.output, "spectrum"))
-        n_groups = out.select(*groups).distinct().count() if groups else 1
-        top = (out.orderBy("rank").limit(1).collect()[0]
-               if out.count() else None)
+        rows = (spark.read.parquet(os.path.join(args.output, "spectrum"))
+                .collect())  # groups x k rows — tiny
+        n_groups = (len({tuple(r[c] for c in groups) for r in rows})
+                    if groups else 1)
+        top = min(rows, key=lambda r: r["rank"]) if rows else None
         print(json.dumps({
             "job": "spectral_report", "n_rows_sketched":
                 int(top["n_rows"]) if top else 0,

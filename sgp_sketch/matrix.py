@@ -20,10 +20,12 @@ from . import agg
 from .kernels import registry
 
 
-def _matrix_from_list_column(col, d: int) -> np.ndarray:
-    """Arrow List/LargeList/FixedSizeList<float> column → (n, d) float64.
-    Rows with NULL or wrong-length vectors are dropped (they carry no
-    usable direction)."""
+def _matrix_from_list_column(col, d: int):
+    """Arrow List/LargeList/FixedSizeList<float> column → ((n_kept, d)
+    float64 matrix, bool keep-mask of length n_rows). Rows with NULL or
+    wrong-length vectors are dropped (they carry no usable direction);
+    the mask lets callers filter row-aligned metadata (e.g. group codes)
+    consistently."""
     import pyarrow as pa
 
     if isinstance(col, pa.ChunkedArray):
@@ -31,21 +33,22 @@ def _matrix_from_list_column(col, d: int) -> np.ndarray:
     if pa.types.is_fixed_size_list(col.type):
         flat = col.values.to_numpy(zero_copy_only=False)
         m = flat.reshape(-1, col.type.list_size)
-        if col.null_count:
-            m = m[np.asarray(col.is_valid())]
+        keep = (np.asarray(col.is_valid()) if col.null_count
+                else np.ones(m.shape[0], dtype=bool))
+        m = m[keep]
     else:
         off = np.asarray(col.offsets)
         lens = off[1:] - off[:-1]
-        valid = lens == d
+        keep = lens == d
         if col.null_count:
-            valid &= np.asarray(col.is_valid())
+            keep &= np.asarray(col.is_valid())
         flat = col.values.to_numpy(zero_copy_only=False)[off[0]:off[-1]]
-        starts = (off[:-1] - off[0])[valid]
+        starts = (off[:-1] - off[0])[keep]
         idx = starts[:, None] + np.arange(d)[None, :]
         m = flat[idx]
     if m.shape[1] != d:
         raise ValueError(f"vector dim {m.shape[1]} != configured d={d}")
-    return np.ascontiguousarray(m, dtype=np.float64)
+    return np.ascontiguousarray(m, dtype=np.float64), keep
 
 
 def fd_agg(df, vec_col: str = "embedding", d: int = 64, ell: int = 16,
@@ -72,9 +75,10 @@ def fd_agg(df, vec_col: str = "embedding", d: int = 64, ell: int = 16,
         states: dict[tuple, object] = {}
         for batch in batches:
             codes, mapping = agg._batch_columns(batch, group_cols)
-            m = _matrix_from_list_column(batch.column(vec_col), d)
+            m, keep = _matrix_from_list_column(batch.column(vec_col), d)
             if m.shape[0] == 0:
                 continue
+            codes = codes[keep]  # align group codes with the kept rows
             for g in sorted(mapping):
                 sel = m if len(mapping) == 1 else m[codes == g]
                 if sel.shape[0] == 0:
@@ -114,10 +118,18 @@ def principal_spectrum(df, vec_col: str = "embedding", d: int = 64,
     (SVD is deterministic per input but not across BLAS builds; the
     oracle-exact twin for small inputs is gated in pytest, not DuckDB).
     """
+    blobs = fd_agg(df, vec_col, d=d, ell=ell, group_cols=group_cols)
+    return spectrum_from_blobs(blobs, k=k, group_cols=group_cols)
+
+
+def spectrum_from_blobs(blobs, k: int = 5, group_cols=()):
+    """Explode an fd_agg blob table into the per-rank spectral summary —
+    the cheap half of `principal_spectrum`, exposed so callers that
+    already materialized (or persisted/wrote) the blobs never rerun the
+    corpus scan just to read singular values."""
     import pandas as pd
 
     group_cols = list(group_cols)
-    blobs = fd_agg(df, vec_col, d=d, ell=ell, group_cols=group_cols)
     in_schema = blobs.schema
     group_fields = ", ".join(
         f"{c} {in_schema[c].dataType.simpleString()}" for c in group_cols)
@@ -128,7 +140,7 @@ def principal_spectrum(df, vec_col: str = "embedding", d: int = 64,
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                st = registry.from_bytes(r["state"])
+                st = registry.from_bytes(bytes(r["state"]))
                 for i, sv in enumerate(st.spectrum(k)):
                     rows.append(tuple(r[c] for c in group_cols)
                                 + (i + 1, round(float(sv), 4),

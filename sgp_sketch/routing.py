@@ -477,6 +477,7 @@ def key_skew_profile(df, key_col: str = "user_id"):
                  F.max("_n").alias("max_count"),
                  F.round(F.max("_n").cast("double") / F.max("_t"), 6)
                   .alias("top1_share"),
-                 F.round(2 * F.sum("_s") / (F.max("_k2") * F.max("_t"))
+                 F.round(2 * F.sum("_s")
+                         / (F.max("_k2").cast("double") * F.max("_t"))
                          - (F.max("_k2").cast("double") + 1)
                          / F.max("_k2"), 6).alias("gini")))

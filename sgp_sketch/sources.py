@@ -54,10 +54,9 @@ class _Range(InputPartition):
 def _parse_edges(buf: bytes, layout: str, comment: bytes = b"#"):
     """Raw text block → (src int64[], dst int64[]), vectorized.
 
-    Lines are split with one newline scan; numeric fields parse through
-    np.fromstring-style `np.array(..., dtype=int64)` over pre-split
-    tokens only for adjacency rows (variable arity); the hot edge-pair
-    layout parses the whole block with ONE np.fromstring pass."""
+    Lines are split with one newline scan; adjacency rows (variable
+    arity) parse per line; the hot edge-pair layout parses the whole
+    block with ONE tokenize + numeric-cast pass."""
     if not buf:
         return (np.empty(0, np.int64),) * 2
     lines = buf.split(b"\n")
@@ -136,8 +135,18 @@ class EdgeListReader(DataSourceReader):
 
     def partitions(self):
         paths = sorted(_glob.glob(self.path)) or [self.path]
-        parts = []
+        # the standard .load("/dir") idiom: expand directories to their
+        # contained data files (skip dotfiles and _SUCCESS-style markers)
+        expanded = []
         for p in paths:
+            if os.path.isdir(p):
+                expanded.extend(
+                    os.path.join(p, f) for f in sorted(os.listdir(p))
+                    if not f.startswith((".", "_")))
+            else:
+                expanded.append(p)
+        parts = []
+        for p in expanded:
             if p.endswith(".gz"):
                 # gzip streams are not seek-splittable: one whole-file
                 # partition (parallelism = file count, the Hadoop rule)

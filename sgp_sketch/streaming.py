@@ -425,6 +425,15 @@ def running_distinct_stream(spark, input_path: str, p: int = 12,
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
 
+def _interval_ms(spec: str) -> int:
+    """'2 days' / '30 minutes' → milliseconds (the subset of Spark's
+    interval grammar the streaming operators accept)."""
+    qty, unit = spec.strip().split()
+    per = {"second": 1000, "minute": 60000, "hour": 3600000,
+           "day": 86400000, "week": 7 * 86400000}
+    return int(float(qty) * per[unit.rstrip("s")])
+
+
 def windowed_heavy_hitters_stream(spark, input_path: str,
                                   window: str = "1 day",
                                   watermark: str = "1 day",
@@ -451,6 +460,8 @@ def windowed_heavy_hitters_stream(spark, input_path: str,
 
     from .kernels import registry
     from .kernels.mg import MG
+
+    timeout_ms = 2 * (_interval_ms(window) + _interval_ms(watermark))
 
     if schema is None:
         schema = spark.read.parquet(input_path).schema
@@ -482,7 +493,7 @@ def windowed_heavy_hitters_stream(spark, input_path: str,
             vals = vals[~pd.isna(vals)].astype(np.int64)
             st.update(vals)
         state.update((st.to_bytes(),))
-        state.setTimeoutDuration(2 * 24 * 3600 * 1000)
+        state.setTimeoutDuration(timeout_ms)
         keys, cnts = st.heavy_hitters()
         n = min(topk, keys.size)
         yield pd.DataFrame({

@@ -403,9 +403,19 @@ def redact_terms(df, terms, text_col: str = "text",
     where chars_removed counts characters deleted net of the inserted
     tokens (negative when the token is longer than the matched terms).
     """
+    import re as _re
+
     from pyspark.sql import functions as F
 
-    pat = r"\b(?:" + "|".join(sorted(terms)) + r")\b"
+    # escape every term: denylists carry literal strings ("c++", "a.b"),
+    # not patterns — unescaped metacharacters would crash the executor
+    # regex compile or silently over-match. NB: \b is the WORD-boundary
+    # assertion, so a term that starts/ends with a non-word character
+    # ("c++") only matches where that edge touches a word character —
+    # the standard \b-denylist semantics (kept because the DuckDB
+    # oracle's RE2 engine has no lookaround alternative)
+    pat = r"\b(?:" + "|".join(_re.escape(t) for t in sorted(terms)) \
+        + r")\b"
     hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
     red = F.regexp_replace(F.col(text_col), pat, token)
     per_doc = df.select(

@@ -84,3 +84,22 @@ def test_fd_null_and_ragged_vectors_dropped(spark):
     assert st.n_rows == 2  # null + wrong-length rows contributed nothing
     A = np.array([[1.0, 2.0], [0.5, 0.5]])
     assert np.linalg.norm(A.T @ A - st.gram(), 2) <= st.shed + 1e-9
+
+def test_fd_grouped_with_nulls_aligns_codes(spark):
+    """Regression: NULL/ragged vectors in a MULTI-group batch must not
+    misalign the group-code mask (the kept-row mask filters codes too)."""
+    from sgp_sketch.kernels import registry
+    from sgp_sketch.matrix import fd_agg
+
+    rows = [("a", [1.0, 0.0]), ("b", None), ("a", [3.0]),
+            ("b", [0.0, 2.0]), ("a", [1.0, 0.0]), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, vec array<double>")
+    blobs = fd_agg(df.coalesce(1), "vec", d=2, ell=2,
+                   group_cols=("g",)).toPandas()
+    sts = {r.g: registry.from_bytes(bytes(r.state))
+           for r in blobs.itertuples()}
+    assert sts["a"].n_rows == 2 and sts["b"].n_rows == 1
+    A = np.array([[1.0, 0.0], [1.0, 0.0]])
+    B = np.array([[0.0, 2.0]])
+    assert np.linalg.norm(A.T @ A - sts["a"].gram(), 2) <= sts["a"].shed + 1e-9
+    assert np.linalg.norm(B.T @ B - sts["b"].gram(), 2) <= sts["b"].shed + 1e-9

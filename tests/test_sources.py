@@ -111,3 +111,20 @@ def test_gzip_files_read_whole(spark, edge_file, tmp_path):
     got = df.toPandas().sort_values(["src", "dst"]).to_numpy()
     want = edges[np.lexsort((edges[:, 1], edges[:, 0]))]
     assert np.array_equal(got, want)
+
+def test_directory_path_expands_to_files(spark, edge_file, tmp_path):
+    """Regression: .load('/dir') must read the contained data files and
+    skip _SUCCESS-style markers and dotfiles."""
+    import shutil
+
+    from sgp_sketch import sources
+
+    path, edges = edge_file
+    d = tmp_path / "edges_dir"
+    d.mkdir()
+    shutil.copy(path, d / "part-00000.txt")
+    (d / "_SUCCESS").write_text("")
+    (d / ".hidden").write_text("junk not numbers")
+    sources.register(spark)
+    df = spark.read.format("edgelist").load(str(d))
+    assert df.count() == len(edges)

@@ -361,3 +361,11 @@ def test_windowed_heavy_hitters_stream_matches_exact(spark, tmp_path):
         assert g["value"].tolist() == want["user_id"].tolist(), (t, day)
         assert g["est_min"].tolist() == want["c"].tolist(), (t, day)
         assert (g["est_min"] == g["est_max"]).all()
+
+def test_interval_ms_parses_spark_interval_subset():
+    from sgp_sketch.streaming import _interval_ms
+
+    assert _interval_ms("1 day") == 86400000
+    assert _interval_ms("2 days") == 2 * 86400000
+    assert _interval_ms("30 minutes") == 30 * 60000
+    assert _interval_ms("1 week") == 7 * 86400000

@@ -398,3 +398,18 @@ def test_pmi_bigrams_min_count_and_k(spark):
     out = pmi_bigrams(df, min_count=2, k=1).collect()
     assert len(out) == 1  # k limit after the min_count filter
     assert (out[0].w1, out[0].w2) in {("x", "y"), ("y", "x")}
+
+def test_redact_terms_escapes_metacharacters(spark):
+    """Regression: denylist terms are literals — 'c++' must not crash the
+    regex compile and 'a.b' must not match 'axb'."""
+    from sgp_sketch.text import redact_terms
+
+    rows = [("s", "use c++ today"), ("s", "axb vs a.b c")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    # must not crash on 'c++' (escaped); 'a.b' must hit the literal only,
+    # never 'axb'. ('c++' itself cannot match under \b semantics — its
+    # trailing '+' touches a space, not a word char — documented.)
+    out = {r.grp: r for r in
+           redact_terms(df, ("c++", "a.b")).collect()}
+    assert out["s"].n_redactions == 1 and out["s"].docs_hit == 1
+    assert out["s"].n_docs == 2
