@@ -1834,6 +1834,42 @@ def q_latest_event_dist(spark, sf_dir):
     """)
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index between click and purchase value
+    distributions (stats.psi_drift): the binned, O(nbins)-state drift
+    gate — coarse monotone companion of ks_drift, one bucket-keyed
+    aggregation at any value support."""
+    from sgp_sketch.stats import psi_drift
+
+    _views(spark, sf_dir)
+    return psi_drift(spark.table("events"), "value", "event_type",
+                     "click", "purchase", lo=0.0, hi=500.0, nbins=10)
+
+
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per source against the corpus-global
+    top-20 token vocabulary — the tokenizer-coverage metric run after
+    every vocab_build: a source whose OOV spikes is mis-tokenized. The
+    vocabulary is a TakeOrdered top-k broadcast back into a semi-join
+    flag; one explode + two combinable aggregations."""
+    _views(spark, sf_dir)
+    return spark.sql("""
+        WITH w AS (SELECT source, explode(split(text, ' ')) AS w
+                   FROM documents),
+        w2 AS (SELECT * FROM w WHERE w <> ''),
+        v AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM w2 GROUP BY w
+                             ORDER BY c DESC, w LIMIT 20)),
+        m AS (SELECT source,
+                     CAST(w IN (SELECT w FROM v) AS BIGINT) AS known
+              FROM w2)
+        SELECT source, COUNT(*) AS n_tokens,
+               CAST(SUM(1 - known) AS BIGINT) AS n_oov,
+               ROUND(CAST(SUM(1 - known) AS DOUBLE) / COUNT(*), 6)
+                   AS oov_rate
+        FROM m GROUP BY source
+    """)
+
+
 def q_table_profile(spark, sf_dir):
     """Data-card profiling: per-column null count, exact distinct count,
     and min/max over orders — ONE scan (the distinct aggregates share it
@@ -2311,6 +2347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "key_skew_gini": q_key_skew_gini,
         "table_profile": q_table_profile,
+        "psi_drift": q_psi_drift,
+        "oov_rate": q_oov_rate,
         "bpe_merges": q_bpe_merges,
         "incremental_hll": q_incremental_hll,
         "snapshot_diff": q_snapshot_diff,
@@ -2540,6 +2578,40 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n_chars), 6) AS avg_chars
             FROM documents
             GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
+        "psi_drift": """
+            WITH f AS (SELECT CAST(LEAST(GREATEST(FLOOR(value / 50.0),
+                                                  0), 9) AS BIGINT) AS b,
+                              CAST(event_type = 'click' AS BIGINT) AS ia
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')
+                         AND value IS NOT NULL),
+            c AS (SELECT b, SUM(ia) AS ca, SUM(1 - ia) AS cb
+                  FROM f GROUP BY b),
+            t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c)
+            SELECT ROUND(SUM((GREATEST(ca / na, 1e-6)
+                              - GREATEST(cb / nb, 1e-6))
+                         * ln(GREATEST(ca / na, 1e-6)
+                              / GREATEST(cb / nb, 1e-6))), 6) AS psi,
+                   CAST(MAX(na) AS BIGINT) AS n_a,
+                   CAST(MAX(nb) AS BIGINT) AS n_b
+            FROM c, t
+        """,
+        "oov_rate": """
+            WITH w AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            w2 AS (SELECT * FROM w WHERE w <> ''),
+            v AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM w2
+                                 GROUP BY w ORDER BY c DESC, w LIMIT 20)),
+            m AS (SELECT source,
+                         CAST(w IN (SELECT w FROM v) AS BIGINT) AS known
+                  FROM w2)
+            SELECT source, COUNT(*) AS n_tokens,
+                   CAST(SUM(1 - known) AS BIGINT) AS n_oov,
+                   ROUND(CAST(SUM(1 - known) AS DOUBLE) / COUNT(*), 6)
+                       AS oov_rate
+            FROM m GROUP BY source
         """,
         "table_profile": """
             SELECT (SELECT COUNT(*) FROM orders) AS n_rows, *

@@ -196,3 +196,46 @@ def zscore_day_anomalies(df, ts_col: str = "ts", thresh: float = 1.5):
                     (F.abs(F.col("z")) > F.lit(float(thresh)))
                     .cast("int").alias("is_anomaly"))
             .orderBy("day"))
+
+def psi_drift(df, value_col: str, group_col: str, group_a, group_b,
+              lo: float, hi: float, nbins: int = 10, eps: float = 1e-6):
+    """Population Stability Index between two groups' distributions of
+    `value_col` over a fixed equi-width binning:
+    PSI = Σ_i (p_i − q_i)·ln(p_i/q_i). The standard production drift
+    gate (rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 act) —
+    the coarse, monotone companion of the exact KS distance
+    (ks_statistic): PSI is binned by construction, so it costs one
+    aggregation keyed by (bucket) no matter the value support, while KS
+    needs the distinct-value axis.
+
+    Bins clamp at [lo, hi) edges like equi_width_histogram; `eps` floors
+    empty-bin probabilities so the log stays finite (the conventional
+    smoothing — flagged loudly by the bin counts either way).
+
+    → one row: (psi double, n_a long, n_b long), psi rounded to
+    6 decimals.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (float(hi) - float(lo)) / int(nbins)
+    v = F.col(value_col)
+    b = F.least(F.greatest(F.floor((v - F.lit(float(lo))) / F.lit(w)),
+                           F.lit(0)), F.lit(int(nbins) - 1))
+    is_a = (F.col(group_col) == group_a).cast("long")
+    cnt = (df.filter(F.col(group_col).isin([group_a, group_b])
+                     & v.isNotNull())
+           .groupBy(b.alias("_b"))
+           .agg(F.sum(is_a).alias("_ca"), F.sum(1 - is_a).alias("_cb")))
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    p = F.greatest(F.col("_ca") / F.sum("_ca").over(tot),
+                   F.lit(float(eps)))
+    q = F.greatest(F.col("_cb") / F.sum("_cb").over(tot),
+                   F.lit(float(eps)))
+    term = (p - q) * F.log(p / q)
+    return (cnt.select(term.alias("_t"),
+                       F.sum("_ca").over(tot).alias("_na"),
+                       F.sum("_cb").over(tot).alias("_nb"))
+            .agg(F.round(F.sum("_t"), 6).alias("psi"),
+                 F.max("_na").alias("n_a"), F.max("_nb").alias("n_b")))

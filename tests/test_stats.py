@@ -124,3 +124,39 @@ def test_zscore_day_anomalies_flags_spike(spark):
     assert all(v.is_anomaly == 0 for k, v in out.items()
                if k != "2024-01-08")
     assert out["2024-01-08"].z > 2.0
+
+def test_psi_identical_distributions_is_zero(spark):
+    from sgp_sketch.stats import psi_drift
+
+    rows = [(g, float(v % 100)) for g in ("a", "b") for v in range(200)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = psi_drift(df, "v", "g", "a", "b", lo=0.0, hi=100.0,
+                  nbins=5).collect()[0]
+    assert r.psi == 0.0 and r.n_a == 200 and r.n_b == 200
+
+
+def test_psi_known_two_bin_case(spark):
+    import math
+
+    from sgp_sketch.stats import psi_drift
+
+    # a: 80/20 across the two bins, b: 20/80
+    rows = ([("a", 1.0)] * 80 + [("a", 9.0)] * 20
+            + [("b", 1.0)] * 20 + [("b", 9.0)] * 80)
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = psi_drift(df, "v", "g", "a", "b", lo=0.0, hi=10.0,
+                  nbins=2).collect()[0]
+    want = 2 * (0.8 - 0.2) * math.log(0.8 / 0.2)
+    assert abs(r.psi - round(want, 6)) <= 1e-6
+
+
+def test_psi_empty_bin_smoothing_finite(spark):
+    from sgp_sketch.stats import psi_drift
+
+    # group b never hits the upper bin: eps floor keeps psi finite
+    rows = [("a", 1.0)] * 5 + [("a", 9.0)] * 5 + [("b", 1.0)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = psi_drift(df, "v", "g", "a", "b", lo=0.0, hi=10.0,
+                  nbins=2).collect()[0]
+    import math
+    assert math.isfinite(r.psi) and r.psi > 0
