@@ -28,6 +28,21 @@ _VIEWS = ("region", "nation", "customer", "supplier", "part", "orders",
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
+def _scratch(prefix: str) -> str:
+    """tempfile.mkdtemp + atexit cleanup: queries that stage exports
+    (csv/json/edgelist round-trips, bucketed tables, checkpoints) memoize
+    the staged path per sf_dir for the life of the process, and the
+    directory is removed at interpreter exit so repeated harness runs
+    don't accumulate temp data."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def _views(spark: SparkSession, sf_dir: str) -> None:
     from sgp_sketch.deploy import ensure_py_files
 
@@ -649,7 +664,6 @@ def q_ann_ivf_topk(spark, sf_dir):
     not a post-scan filter. Same rows as the inline `ann_topk_ivf`
     variant (identical centroids, assignment math, and exact-cosine
     ranking); the index tempdir lives for the process lifetime."""
-    import tempfile
 
     from sgp_sketch import dedup
 
@@ -658,7 +672,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     key = ("ann_ivf_index", sf_dir)
     if key not in _STATEFUL_Q_CACHE:
         C = _ivf_centroids_cached(emb, sf_dir)
-        path = tempfile.mkdtemp(prefix="sgp_ivf_q_")
+        path = _scratch(prefix="sgp_ivf_q_")
         dedup.ivf_write_index(emb.filter("vec_id <> 0"), C, path)
         _STATEFUL_Q_CACHE[key] = (path, C)
     path, C = _STATEFUL_Q_CACHE[key]
@@ -691,7 +705,6 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     vectors — both scale levers at once. Index built once per sf_dir
     (memoized). Rows-only (approximate); planted-neighbor recall and
     pruning are pytest-gated (test_ann_ivfpq_finds_planted_neighbor)."""
-    import tempfile
 
     from sgp_sketch import dedup
 
@@ -701,7 +714,7 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     if key not in _STATEFUL_Q_CACHE:
         C = _ivf_centroids_cached(emb, sf_dir)
         B = _pq_books_cached(emb, sf_dir)
-        path = tempfile.mkdtemp(prefix="sgp_ivfpq_q_")
+        path = _scratch(prefix="sgp_ivfpq_q_")
         dedup.ivfpq_write_index(emb.filter("vec_id <> 0"), C, B, path)
         _STATEFUL_Q_CACHE[key] = (path, C, B)
     path, C, B = _STATEFUL_Q_CACHE[key]
@@ -1134,14 +1147,13 @@ def q_bucketed_join(spark, sf_dir):
     oracle), the layout only changes the physical plan; at 100 TB this
     is the difference between paying one shuffle at write time and one
     per query."""
-    import tempfile
 
     from sgp_sketch import catalog
 
     _views(spark, sf_dir)
     key = ("bucketed_join", sf_dir)
     if key not in _STATEFUL_Q_CACHE:
-        work = tempfile.mkdtemp(prefix="sgp_bucketed_q_")
+        work = _scratch(prefix="sgp_bucketed_q_")
         tag = abs(hash(sf_dir)) % 10_000_000
         names = (f"bq_orders_{tag}", f"bq_lineitem_{tag}")
         catalog.write_bucketed(
@@ -1199,11 +1211,10 @@ def q_csv_roundtrip(spark, sf_dir):
     (header, sep='|', nullValue — csv-converter.scala:31-34 semantics).
     The oracle reads the original parquet: a hash match proves the CSV
     round-trip is lossless."""
-    import tempfile
 
     _views(spark, sf_dir)
     if sf_dir not in _CSV_STAGE:
-        out = tempfile.mkdtemp(prefix="sgp_csv_") + "/nation_csv"
+        out = _scratch(prefix="sgp_csv_") + "/nation_csv"
         (spark.table("nation").coalesce(1).write
          .options(header=True, sep="|", nullValue="\\N")
          .csv(out))
@@ -1242,7 +1253,6 @@ def q_checkpointed_hll(spark, sf_dir):
     parquet via `prepare=` (no staged input copy), checkpoints only the
     KB-sized blob rows, and memoizes the collected result per sf_dir."""
     import shutil
-    import tempfile
 
     from sgp_sketch import checkpoint
     from sgp_sketch import queries as Q
@@ -1253,7 +1263,7 @@ def q_checkpointed_hll(spark, sf_dir):
         from sgp_sketch.deploy import ensure_py_files
 
         ensure_py_files(spark)
-        work = tempfile.mkdtemp(prefix="sgp_ckpt_q_")
+        work = _scratch(prefix="sgp_ckpt_q_")
         try:
             checkpoint.build_checkpointed(
                 spark, f"{sf_dir}/documents.parquet", "hll", "tokens",
@@ -1277,7 +1287,6 @@ def q_streamed_hll(spark, sf_dir):
     Streams directly from the source documents parquet (tokenized per
     micro-batch via `prepare=`); only blob state hits the tempdir."""
     import shutil
-    import tempfile
 
     from sgp_sketch import queries as Q
     from sgp_sketch import streaming
@@ -1288,7 +1297,7 @@ def q_streamed_hll(spark, sf_dir):
         from sgp_sketch.deploy import ensure_py_files
 
         ensure_py_files(spark)
-        work = tempfile.mkdtemp(prefix="sgp_stream_q_")
+        work = _scratch(prefix="sgp_stream_q_")
         try:
             q = streaming.stream_sketch_build(
                 spark, sf_dir, f"{work}/state",
@@ -1654,12 +1663,11 @@ def q_json_roundtrip(spark, sf_dir):
     schema (no schema inference pass — the scale-correct form). The
     oracle reads the original parquet: a hash match proves the JSON
     round-trip is lossless, doubles included."""
-    import tempfile
 
     _views(spark, sf_dir)
     key = ("json_stage", sf_dir)
     if key not in _STATEFUL_Q_CACHE:
-        out = tempfile.mkdtemp(prefix="sgp_json_") + "/supplier_json"
+        out = _scratch(prefix="sgp_json_") + "/supplier_json"
         spark.table("supplier").coalesce(1).write.json(out)
         _STATEFUL_Q_CACHE[key] = out
     schema = ("s_suppkey bigint, s_name string, s_nationkey int, "
@@ -2075,18 +2083,20 @@ def q_edgelist_scan(spark, sf_dir):
     (sources.EdgeListDataSource): the supplier→part edge set is exported
     once per sf_dir as '#'-commented `src dst` text (the reference's
     SNAP-style layout), then read back with
-    `spark.read.format("edgelist")` over byte-range partitions (tiny
-    chunk_bytes here to force many boundary crossings) and aggregated to
+    `spark.read.format("edgelist")` over byte-range partitions at the
+    DEFAULT 32 MiB chunking (the production configuration — the 4 KB
+    boundary-crossing stress lives in tests/test_sources.py, where it
+    asserts exactly-once reads without inflating this query's latency
+    with thousands of tiny Python-DataSource tasks) and aggregated to
     out-degrees. The oracle derives the same degrees from lineitem
     directly: a hash match proves the parallel ranged text scan reads
     every line exactly once."""
-    import tempfile
 
     from sgp_sketch import sources
 
     _views(spark, sf_dir)
     if sf_dir not in _EDGELIST_STAGE:
-        out = tempfile.mkdtemp(prefix="sgp_edges_") + "/edges"
+        out = _scratch(prefix="sgp_edges_") + "/edges"
         (spark.table("lineitem")
          .select(F.col("l_suppkey").alias("src"),
                  F.col("l_partkey").alias("dst"))
@@ -2095,9 +2105,7 @@ def q_edgelist_scan(spark, sf_dir):
          .write.text(out))  # distributed text export, no driver loop
         _EDGELIST_STAGE[sf_dir] = out + "/part-*"
     sources.register(spark)
-    edges = (spark.read.format("edgelist")
-             .option("chunk_bytes", 4096)
-             .load(_EDGELIST_STAGE[sf_dir]))
+    edges = spark.read.format("edgelist").load(_EDGELIST_STAGE[sf_dir])
     return (edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("out_degree"),
                  F.min("dst").alias("min_dst"),
@@ -2165,7 +2173,6 @@ def q_incremental_hll(spark, sf_dir):
     tests/test_catalog.py::test_incremental_sketch_update_matches_full_rebuild).
     Memoized per sf_dir; estimates are the returned check."""
     import shutil
-    import tempfile
 
     from sgp_sketch import agg, catalog
     from sgp_sketch import queries as Q
@@ -2178,7 +2185,7 @@ def q_incremental_hll(spark, sf_dir):
         ensure_py_files(spark)
         specs = {"hll": {"kind": "hll", "value_col": "tokens",
                          "params": {"p": 14}}}
-        work = tempfile.mkdtemp(prefix="sgp_inc_q_") + "/t"
+        work = _scratch(prefix="sgp_inc_q_") + "/t"
         try:
             docs = spark.table("documents")
             catalog.write_layout(docs.filter(F.col("doc_id") % 2 == 0), work)
@@ -2207,14 +2214,13 @@ def q_snapshot_diff(spark, sf_dir):
     source cardinality — the audit pass that diffs what a writer
     appended. Setup is memoized per sf_dir; the oracle derives the same
     counts from the documents table directly."""
-    import tempfile
 
     from sgp_sketch import catalog
 
     _views(spark, sf_dir)
     key = ("snapshot_diff", sf_dir)
     if key not in _STATEFUL_Q_CACHE:
-        work = tempfile.mkdtemp(prefix="sgp_snapshot_q_") + "/t"
+        work = _scratch(prefix="sgp_snapshot_q_") + "/t"
         docs = spark.table("documents").select("doc_id", "source")
         catalog.write_layout(docs.filter(F.col("doc_id") % 2 == 0), work)
         catalog.write_layout(docs.filter(F.col("doc_id") % 2 == 1), work,

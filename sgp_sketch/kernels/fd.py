@@ -124,12 +124,19 @@ class FD:
         return self.shed
 
     def to_bytes(self) -> bytes:
-        # shrink before serializing so shuffled partials are <= ell rows
-        self._shrink()
+        """Serialize a SHRUNK SNAPSHOT (<= ell rows) so shuffled partials
+        stay small. Shrinking happens on a copy: to_bytes is read-only on
+        self, so spectrum()/gram() return identical values before and
+        after serialization (both within the tracked bound either way)."""
+        snap = self
+        if self.rows.shape[0] > self.ell:
+            snap = FD(self.ell, self.d, self.rows.copy(),
+                      self.shed, self.n_rows)
+            snap._shrink()
         head = struct.pack("<2sBBIIQdQ", MAGIC, VERSION, TYPE_FD,
-                           self.ell, self.d, self.n_rows, self.shed,
-                           self.rows.shape[0])
-        return head + np.ascontiguousarray(self.rows, dtype="<f8").tobytes()
+                           snap.ell, snap.d, snap.n_rows, snap.shed,
+                           snap.rows.shape[0])
+        return head + np.ascontiguousarray(snap.rows, dtype="<f8").tobytes()
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "FD":

@@ -74,15 +74,23 @@ class MG:
     def update(self, values: np.ndarray, counts: np.ndarray | None = None
                ) -> "MG":
         v = np.asarray(values)
+        if counts is not None:
+            counts = np.asarray(counts, dtype=np.int64)
         if v.dtype.kind == "f":
-            v = v[~np.isnan(v)]
+            # apply ONE mask to both arrays so they never misalign (a
+            # values-only filter would silently pair counts with the
+            # wrong keys, or blow up mid-update with state half-changed)
+            keep = ~np.isnan(v)
+            v = v[keep]
+            if counts is not None:
+                if counts.shape[0] != keep.shape[0]:
+                    raise ValueError("values/counts length mismatch")
+                counts = counts[keep]
         v = v.astype(np.int64, copy=False)
         if v.size == 0:
             return self
         if counts is None:
             v, counts = np.unique(v, return_counts=True)
-        else:
-            counts = np.asarray(counts, dtype=np.int64)
         self.n_items += int(counts.sum())
         return self._absorb(v, counts.astype(np.int64, copy=False))
 

@@ -26,6 +26,13 @@ Usage:
     edges = (spark.read.format("edgelist")
              .option("layout", "adj")        # or "edge" (default)
              .load("/data/twitter/*.txt"))   # → (src long, dst long)
+
+Filesystem contract: paths resolve with driver-side os.path/glob and
+executor-side open(), so the input must live on a POSIX filesystem
+visible at the SAME path from every node (local disk in local mode; NFS
+or a FUSE mount on a cluster). Object-store / HDFS URIs (`s3://`,
+`hdfs://`, ...) are rejected with a clear error in `partitions()` —
+route those through Spark's built-in text reader instead.
 """
 
 from __future__ import annotations
@@ -134,7 +141,18 @@ class EdgeListReader(DataSourceReader):
         self.chunk = int(options.get("chunk_bytes", 32 << 20))
 
     def partitions(self):
-        paths = sorted(_glob.glob(self.path)) or [self.path]
+        # fail loudly on URI schemes this reader cannot serve: resolution
+        # is local os.path/glob + open(), so an s3://... or hdfs://...
+        # path would otherwise glob-miss and silently yield zero
+        # partitions (empty DataFrame) instead of an error
+        scheme = self.path.split("://", 1)[0] if "://" in self.path else ""
+        if scheme and scheme != "file":
+            raise ValueError(
+                f"edgelist: unsupported URI scheme {scheme!r} — this "
+                "DataSource reads a shared POSIX filesystem only; use "
+                "spark.read.text for object-store/HDFS inputs")
+        path = self.path[len("file://"):] if scheme == "file" else self.path
+        paths = sorted(_glob.glob(path)) or [path]
         # the standard .load("/dir") idiom: expand directories to their
         # contained data files (skip dotfiles and _SUCCESS-style markers)
         expanded = []

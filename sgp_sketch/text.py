@@ -407,6 +407,20 @@ def redact_terms(df, terms, text_col: str = "text",
 
     from pyspark.sql import functions as F
 
+    terms = sorted(terms)
+    if not terms:
+        # an empty denylist must be a no-op: without this guard the
+        # alternation collapses to r"\b(?:)\b", which matches the empty
+        # string at every word boundary — n_redactions would count
+        # boundaries and regexp_replace would splice the token into
+        # every word seam instead of touching nothing
+        return (df.groupBy(F.col(group_col).alias("grp"))
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.lit(0).cast("long").alias("docs_hit"),
+                     F.lit(0).cast("long").alias("n_redactions"),
+                     F.lit(0).cast("long").alias("chars_removed"))
+                .orderBy("grp"))
+
     # escape every term: denylists carry literal strings ("c++", "a.b"),
     # not patterns — unescaped metacharacters would crash the executor
     # regex compile or silently over-match. NB: \b is the WORD-boundary
@@ -414,8 +428,7 @@ def redact_terms(df, terms, text_col: str = "text",
     # ("c++") only matches where that edge touches a word character —
     # the standard \b-denylist semantics (kept because the DuckDB
     # oracle's RE2 engine has no lookaround alternative)
-    pat = r"\b(?:" + "|".join(_re.escape(t) for t in sorted(terms)) \
-        + r")\b"
+    pat = r"\b(?:" + "|".join(_re.escape(t) for t in terms) + r")\b"
     hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
     red = F.regexp_replace(F.col(text_col), pat, token)
     per_doc = df.select(

@@ -529,3 +529,45 @@ def test_fd_serde_and_mismatch():
         s.update(np.ones((2, 5)))
     with pytest.raises(TypeError):
         s.merge(42)
+
+
+def test_mg_nan_values_with_explicit_counts_stay_aligned():
+    """Regression (ADVICE r03): a float values array containing NaN plus
+    an explicit counts array must drop the SAME rows from both — the old
+    values-only filter misaligned the arrays and left n_items already
+    incremented when numpy raised."""
+    import numpy as np
+
+    from sgp_sketch.kernels.mg import MG
+
+    s = MG(k=8)
+    s.update(np.array([1.0, np.nan, 2.0, np.nan, 3.0]),
+             np.array([5, 99, 7, 98, 9]))
+    assert s.n_items == 5 + 7 + 9
+    est = s.estimate(np.array([1, 2, 3]))
+    assert list(est) == [5, 7, 9]
+    # mismatched lengths are an explicit error, not a silent broadcast
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="length mismatch"):
+        MG(k=8).update(np.array([1.0, np.nan]), np.array([1, 2, 3]))
+
+
+def test_fd_to_bytes_is_read_only():
+    """Regression (ADVICE r03): serialization must not mutate the sketch —
+    spectrum()/gram() are identical before and after to_bytes()."""
+    import numpy as np
+
+    from sgp_sketch.kernels.fd import FD
+
+    rng = np.random.default_rng(7)
+    s = FD(ell=8, d=16)
+    s.update(rng.normal(size=(50, 16)))
+    # leave the working buffer over-full so to_bytes WOULD shrink
+    s.rows = np.concatenate([s.rows, rng.normal(size=(9, 16))])
+    before_rows = s.rows.copy()
+    before_spec = s.spectrum().copy()
+    blob = s.to_bytes()
+    assert np.array_equal(s.rows, before_rows)
+    assert np.array_equal(s.spectrum(), before_spec)
+    # and the serialized snapshot IS shrunk (<= ell rows)
+    assert FD.from_bytes(blob).rows.shape[0] <= s.ell

@@ -112,6 +112,27 @@ def test_gzip_files_read_whole(spark, edge_file, tmp_path):
     want = edges[np.lexsort((edges[:, 1], edges[:, 0]))]
     assert np.array_equal(got, want)
 
+def test_remote_uri_schemes_rejected(spark):
+    """s3://... / hdfs://... must fail LOUDLY in partitions() — local
+    os.path/glob resolution would otherwise glob-miss and silently
+    return an empty DataFrame."""
+    from sgp_sketch import sources
+
+    sources.register(spark)
+    for uri in ("s3://bucket/edges/*.txt", "hdfs://nn:8020/edges.txt"):
+        with pytest.raises(Exception, match="unsupported URI scheme"):
+            spark.read.format("edgelist").load(uri).collect()
+
+
+def test_file_uri_scheme_accepted(spark, edge_file):
+    from sgp_sketch import sources
+
+    path, edges = edge_file
+    sources.register(spark)
+    df = spark.read.format("edgelist").load("file://" + path)
+    assert df.count() == len(edges)
+
+
 def test_directory_path_expands_to_files(spark, edge_file, tmp_path):
     """Regression: .load('/dir') must read the contained data files and
     skip _SUCCESS-style markers and dotfiles."""

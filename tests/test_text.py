@@ -413,3 +413,18 @@ def test_redact_terms_escapes_metacharacters(spark):
            redact_terms(df, ("c++", "a.b")).collect()}
     assert out["s"].n_redactions == 1 and out["s"].docs_hit == 1
     assert out["s"].n_docs == 2
+
+
+def test_redact_terms_empty_denylist_is_noop(spark):
+    """Regression (ADVICE r03): an empty terms iterable must redact
+    nothing — the unguarded alternation r"\\b(?:)\\b" matched the empty
+    string at every word boundary."""
+    from sgp_sketch.text import redact_terms
+
+    df = spark.createDataFrame(
+        [("s1", "keep every word intact"), ("s2", "and here too")],
+        ["source", "text"])
+    out = {r.grp: r for r in redact_terms(df, ()).collect()}
+    assert out["s1"].n_redactions == 0 and out["s1"].docs_hit == 0
+    assert out["s1"].chars_removed == 0 and out["s1"].n_docs == 1
+    assert out["s2"].n_redactions == 0
