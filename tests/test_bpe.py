@@ -60,3 +60,59 @@ def test_encode_with_merges_roundtrip(spark):
         assert rebuilt == " ".join(w for w in row.text.split(" ") if w)
         n_chars = sum(len(w) + 1 for w in row.text.split(" ") if w)
         assert len(row.bpe_tokens) < n_chars  # merges compressed it
+
+
+def test_encode_null_and_empty_text(spark):
+    df = spark.createDataFrame([(None,), ("",), ("  ",), ("low low",)],
+                               "text string")
+    merges, vocab = train_bpe(
+        spark.createDataFrame([(t,) for t in CORPUS], "text string"),
+        n_merges=4)
+    vocab.unpersist()
+    rows = encode_with_merges(df, merges).collect()
+    got = [r.bpe_tokens for r in rows]
+    assert got[0] == [] and got[1] == [] and got[2] == []
+    assert len(got[3]) >= 2 and "".join(got[3]).count(END) == 2
+
+
+def test_encode_corpus_pass_is_python_free(spark):
+    """Round-3 verdict finding: the corpus encode pass must not run
+    per-row Python. The plan for encode_with_merges over a corpus must
+    contain no Python evaluation operator (the dictionary lookup is
+    transform/element_at/flatten over a broadcast map)."""
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges, vocab = train_bpe(df, n_merges=6)
+    vocab.unpersist()
+    plan = (encode_with_merges(df, merges)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan  # no BatchEvalPython/ArrowEvalPython
+
+
+def test_encode_words_matches_per_word_reference(spark):
+    """Dictionary encoding of distinct words equals the pure-Python
+    reference rewrite replayed per word."""
+    from sgp_sketch.bpe import encode_words
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges, vocab = train_bpe(df, n_merges=10)
+    vocab.unpersist()
+
+    def ref_encode(word):
+        syms = list(word) + [END]
+        for _, a, b, _c in sorted(merges):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = sorted({w for t in CORPUS for w in t.split(" ") if w})
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r.word: r.subwords for r in encode_words(wdf, merges).collect()}
+    for w in words:
+        assert got[w] == ref_encode(w), w
