@@ -2289,6 +2289,125 @@ def q_heavy_hitters_bracket(spark, sf_dir):
             .orderBy("source", "word"))
 
 
+def q_sketch_bounds_check(spark, sf_dir):
+    """The north-star clause 'estimates must land within each algorithm's
+    published bounds against exact baselines' as a HASH-CHECKABLE driver
+    row set (the heavy_hitters_bracket pattern generalized to all five
+    kernels): per source, one ok-flag per sketch —
+
+      hll:     |est − exact_distinct| ≤ 3·1.04/√m · exact  (p=14)
+      cms:     est ≥ exact AND est − exact ≤ (e/width)·N for the top-5
+               exact tokens (never undercounts; εN overestimate cap)
+      bloom:   every true top-5 token reports present (no false negatives
+               — the guaranteed side)
+      kll:     exact rank of the q∈{.25,.5,.75} estimates within 0.035
+      tdigest: same rank gate
+
+    — the same bounds tests/test_spark_agg.py and tools/error_report.py
+    gate, here adjudicated by the external oracle compare: the DuckDB
+    side emits the expected all-ok matrix (one row per source × sketch,
+    ok=1), so ANY bound violation at any scale breaks the value hash.
+    Exact baselines (distinct count, top-5 counts, ranks of the estimate
+    values) are computed in-Spark on the same token table; kernel
+    finalization touches |sources| KB-sized blobs (bounded collect).
+    Memoized per sf_dir."""
+    import math
+
+    import numpy as np
+
+    from sgp_sketch import agg
+    from sgp_sketch.kernels import registry
+
+    from pyspark.sql.window import Window
+
+    _views(spark, sf_dir)
+    key = ("sketch_bounds_check", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        specs = {
+            "hll": {"kind": "hll", "value_col": "tokens",
+                    "params": {"p": 14}},
+            "cms": {"kind": "cms", "value_col": "tokens",
+                    "params": {"depth": 4, "width": 1 << 14}},
+            "bloom": {"kind": "bloom", "value_col": "tokens",
+                      "params": {"n_blocks": 1 << 12}},
+            "kll": {"kind": "kll", "value_col": "n_tok", "params": {}},
+            "tdigest": {"kind": "tdigest", "value_col": "n_tok",
+                        "params": {}},
+        }
+        toks = _doc_tokens(spark, sf_dir).cache()
+        blobs = {(r["source"], r["sketch"]): bytes(r["state"])
+                 for r in agg.multi_sketch_agg(toks, specs,
+                                               ("source",)).collect()}
+        ex = toks.select("source", F.explode("tokens").alias("t"))
+        exact_distinct = {r["source"]: r["d"] for r in
+                          ex.groupBy("source")
+                          .agg(F.countDistinct("t").alias("d")).collect()}
+        n_total = {r["source"]: r["n"] for r in
+                   ex.groupBy("source")
+                   .agg(F.count(F.lit(1)).alias("n")).collect()}
+        w = Window.partitionBy("source").orderBy(F.desc("c"), "t")
+        top = (ex.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+               .withColumn("r", F.row_number().over(w))
+               .filter(F.col("r") <= 5).collect())
+        top_by_src: dict = {}
+        for r in top:
+            top_by_src.setdefault(r["source"], []).append((r["t"], r["c"]))
+
+        # exact ranks of the quantile estimates: one bounded literal-probe
+        # join (|sources| x 2 kinds x 3 qs rows) against the n_tok column
+        qs = (0.25, 0.5, 0.75)
+        probe_rows = []
+        for (src, kind), blob in blobs.items():
+            if kind in ("kll", "tdigest"):
+                for q, v in zip(qs, registry.from_bytes(blob)
+                                .quantiles(list(qs)).tolist()):
+                    probe_rows.append((src, kind, float(q), float(v)))
+        probes = spark.createDataFrame(
+            probe_rows, "source string, kind string, q double, v double")
+        # ties: n_tok is discrete, so a value v occupies the whole rank
+        # interval [P(X < v), P(X ≤ v)] — a perfect quantile answer can
+        # still have P(X ≤ v) far from q when 20% of rows share v. The
+        # published rank-error bound therefore gates the DISTANCE FROM q
+        # TO THAT INTERVAL (zero when q falls inside it).
+        ranks = (probes.join(toks.select("source", "n_tok"), "source")
+                 .groupBy("source", "kind", "q", "v")
+                 .agg((F.sum((F.col("n_tok") < F.col("v")).cast("long"))
+                       / F.count(F.lit(1))).alias("rank_lt"),
+                      (F.sum((F.col("n_tok") <= F.col("v")).cast("long"))
+                       / F.count(F.lit(1))).alias("rank_le")).collect())
+        rank_ok: dict = {}
+        for r in ranks:
+            k = (r["source"], r["kind"])
+            dist = max(r["rank_lt"] - r["q"], r["q"] - r["rank_le"], 0.0)
+            rank_ok[k] = rank_ok.get(k, True) and dist <= 0.035
+        toks.unpersist()
+
+        rows = []
+        for src in sorted(exact_distinct):
+            hll_est = registry.from_bytes(blobs[(src, "hll")]).estimate()
+            hll_ok = (abs(hll_est - exact_distinct[src])
+                      <= 3 * 1.04 / math.sqrt(1 << 14)
+                      * exact_distinct[src])
+            t5 = np.array([t for t, _ in top_by_src[src]], dtype=np.int64)
+            c5 = np.array([c for _, c in top_by_src[src]], dtype=np.int64)
+            est5 = registry.from_bytes(blobs[(src, "cms")]).estimate(t5)
+            eps_n = math.e / (1 << 14) * n_total[src]
+            cms_ok = bool(np.all(est5 >= c5)
+                          and np.all(est5 - c5 <= eps_n))
+            bloom_ok = bool(np.all(
+                registry.from_bytes(blobs[(src, "bloom")])
+                .contains(t5.view(np.uint64))))
+            rows += [(src, "bloom", int(bloom_ok)),
+                     (src, "cms", int(cms_ok)),
+                     (src, "hll", int(hll_ok)),
+                     (src, "kll", int(rank_ok[(src, "kll")])),
+                     (src, "tdigest", int(rank_ok[(src, "tdigest")]))]
+        _STATEFUL_Q_CACHE[key] = rows
+    return (spark.createDataFrame(_STATEFUL_Q_CACHE[key],
+                                  "source string, sketch string, ok int")
+            .orderBy("source", "sketch"))
+
+
 def _bpe_oracle_ctes(n_merges: int, table: str = "documents") -> str:
     """DuckDB replay of bpe.train_bpe: the same wrapped-string encoding
     (SEP = chr(31) wraps every symbol; adjacency is the 2-char seam), the
@@ -2561,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "edge_cases": q_edge_cases,
         "heavy_hitters_bracket": q_heavy_hitters_bracket,
+        "sketch_bounds_check": q_sketch_bounds_check,
         "bpe_merges": q_bpe_merges,
         # --- previously adjudicated (r03 first, then r02/r01) ---
         "zipf_slope": q_zipf_slope,
@@ -3892,6 +4012,13 @@ def oracle_sql() -> dict[str, str]:
                                                 '[^a-z0-9]+', ' ', 'g')),
                             '') AS norm
             FROM t ORDER BY doc_id
+        """,
+        "sketch_bounds_check": """
+            SELECT source, sketch, CAST(1 AS INT) AS ok
+            FROM (SELECT DISTINCT source FROM documents)
+            CROSS JOIN (VALUES ('bloom'), ('cms'), ('hll'), ('kll'),
+                               ('tdigest')) s(sketch)
+            ORDER BY source, sketch
         """,
         "heavy_hitters_bracket": """
             WITH c AS (

@@ -521,8 +521,17 @@ def test_fd_serde_and_mismatch():
 
     s = FD(4, 8).update(np.arange(80, dtype=np.float64).reshape(10, 8))
     r = registry.from_bytes(s.to_bytes())
-    assert np.allclose(r.rows, s.rows)
-    assert (r.ell, r.d, r.n_rows) == (4, 8, 10) and r.shed == s.shed
+    # to_bytes serializes a SHRUNK SNAPSHOT without mutating s: the
+    # round-tripped sketch is <= ell rows and its Gram underestimates
+    # s's by at most the (possibly larger) tracked shed
+    assert (r.ell, r.d, r.n_rows) == (4, 8, 10)
+    assert r.rows.shape[0] <= r.ell and r.shed >= s.shed
+    diff_eigs = np.linalg.eigvalsh(s.gram() - r.gram())
+    assert diff_eigs.min() >= -1e-6 and diff_eigs.max() <= r.shed + 1e-6
+    # if no shrink was needed, serialization is byte-faithful
+    small = FD(4, 8).update(np.ones((2, 8)))
+    r2 = registry.from_bytes(small.to_bytes())
+    assert np.array_equal(r2.rows, small.rows) and r2.shed == small.shed
     with pytest.raises(ValueError):
         s.merge(FD(4, 16))
     with pytest.raises(ValueError):

@@ -5,6 +5,14 @@
 # whichever subset the external driver snapshots.
 set -e
 cd "$(dirname "$0")/.."
+# Opportunistic compressed-codec deps: multimodal JPEG/PNG/FLAC tests are
+# lib-gated (pytest.importorskip) and the sandbox has no network — but on
+# a networked CI box this enables them. Short timeout, never fatal.
+if ! python -c "import PIL" 2>/dev/null; then
+    pip install --quiet --timeout 5 pillow soundfile 2>/dev/null \
+        && echo "ci: installed pillow/soundfile (codec tests enabled)" \
+        || echo "ci: no network / pip unavailable - codec tests stay skipped"
+fi
 python -m pytest tests/ -x -q
 python tools/check_contract.py --json CONTRACT_LOG_sf0.01.json /root/testdata/sf0.01
 python tools/check_contract.py --json CONTRACT_LOG_sf0.1.json /root/testdata/sf0.1
