@@ -96,3 +96,24 @@ def test_spectral_report_job(tmp_path):
     assert summary["top_sing_value"] > 0
     assert os.path.exists(tmp_path / "spec" / "blobs")
     assert os.path.exists(tmp_path / "spec" / "spectrum")
+
+
+def test_encode_corpus_job(tmp_path):
+    out = run_job(
+        "encode_corpus.py", "--input", SF, "--table", "documents",
+        "--output", str(tmp_path / "bpe"), "--n-merges", "8",
+        "--master", "local[4]")
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["n_docs"] > 0 and stats["n_bpe_tokens"] > 0
+    assert stats["n_merges"] == 8
+    assert os.path.isdir(tmp_path / "bpe" / "tokens")
+    merges = json.loads((tmp_path / "bpe" / "merges.json").read_text())
+    assert len(merges) == 8 and all(len(m) == 4 for m in merges)
+    # reuse mode: loading the merges file skips training, same output shape
+    out2 = run_job(
+        "encode_corpus.py", "--input", SF, "--table", "documents",
+        "--output", str(tmp_path / "bpe2"),
+        "--merges", str(tmp_path / "bpe" / "merges.json"),
+        "--master", "local[4]")
+    stats2 = json.loads(out2.strip().splitlines()[-1])
+    assert stats2["n_bpe_tokens"] == stats["n_bpe_tokens"]
