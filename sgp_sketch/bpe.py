@@ -144,34 +144,73 @@ def encode_words(words, merges, word_col: str = "word",
     return words.withColumn(out_col, _unwrap(col))
 
 
-def encode_with_merges(df, merges, text_col: str = "text",
-                       out_col: str = "bpe_tokens"):
-    """Apply a learned merge list to a corpus — the pass that actually
-    touches 100 TB, so it must not run Python per row (round-3 verdict
-    finding, fixed): encode each DISTINCT word once (encode_words, a
-    vocabulary-sized table), collapse the dictionary to a single-row
-    word→subwords map, broadcast it, and rewrite the corpus with
-    transform + element_at + flatten — JVM array ops, zero corpus
-    shuffle, document token order preserved.
+def _doc_words_expr(text_col: str):
+    """The shared word-array expression: split on single space, drop
+    empties and SEP-contaminated words (the same filter the dictionary
+    build and every oracle use)."""
+    return F.filter(F.split(F.col(text_col), " "),
+                    lambda w: (w != F.lit("")) & ~w.contains(SEP))
 
-    Scale note: the broadcast map holds the corpus vocabulary (~100M
-    entries ≈ a few GB at web scale). Beyond executor-memory vocabulary,
-    swap the broadcast for a posexplode → shuffle-equi-join on `word` →
-    re-sort by position; the encode itself is unchanged."""
+
+def _word_dictionary(df, merges, text_col: str):
+    """Distinct corpus words → (word, subwords): the vocabulary-sized
+    table where all O(n_merges × word_len) encode work happens."""
     words = (df.select(F.explode(F.split(F.col(text_col), " "))
                        .alias("word"))
              .filter((F.col("word") != "") & ~F.col("word").contains(SEP))
              .distinct())
-    vocab_map = (encode_words(words, merges)
-                 .agg(F.map_from_entries(
-                     F.collect_list(F.struct("word", "subwords")))
-                     .alias("_bpe_map")))
-    doc_words = F.filter(
-        F.split(F.col(text_col), " "),
-        lambda w: (w != F.lit("")) & ~w.contains(SEP))
-    encoded = F.flatten(F.transform(
-        doc_words, lambda w: F.element_at(F.col("_bpe_map"), w)))
-    return (df.crossJoin(F.broadcast(vocab_map))  # one-row broadcast dim
-            .withColumn(out_col,
-                        F.coalesce(encoded, F.array().cast("array<string>")))
-            .drop("_bpe_map"))
+    return encode_words(words, merges)
+
+
+def encode_with_merges(df, merges, text_col: str = "text",
+                       out_col: str = "bpe_tokens",
+                       strategy: str = "broadcast",
+                       id_cols=("doc_id",)):
+    """Apply a learned merge list to a corpus — the pass that actually
+    touches 100 TB, so it must not run Python per row (round-3 verdict
+    finding, fixed): encode each DISTINCT word once (encode_words, a
+    vocabulary-sized table), then rewrite the corpus with JVM array ops.
+    Document token order is preserved by both strategies.
+
+    strategy="broadcast" (default): collapse the dictionary to a
+    single-row word→subwords map, broadcast it, and rewrite with
+    transform + element_at + flatten — ZERO corpus shuffle. Right while
+    the vocabulary fits executor memory (up to tens of millions of
+    words).
+
+    strategy="join": the beyond-broadcast-vocabulary scale path —
+    posexplode the corpus words, shuffle-equi-join the dictionary on
+    `word`, reassemble per document by position (array_sort over
+    (pos, subwords) structs — no WindowExec), and join back on
+    `id_cols`. Three corpus shuffles, but no executor ever holds the
+    dictionary; byte-equivalent to the broadcast path (gated in
+    tests/test_bpe.py)."""
+    if strategy == "broadcast":
+        vocab_map = (_word_dictionary(df, merges, text_col)
+                     .agg(F.map_from_entries(
+                         F.collect_list(F.struct("word", "subwords")))
+                         .alias("_bpe_map")))
+        encoded = F.flatten(F.transform(
+            _doc_words_expr(text_col),
+            lambda w: F.element_at(F.col("_bpe_map"), w)))
+        return (df.crossJoin(F.broadcast(vocab_map))  # one-row broadcast dim
+                .withColumn(out_col,
+                            F.coalesce(encoded,
+                                       F.array().cast("array<string>")))
+                .drop("_bpe_map"))
+    if strategy != "join":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    id_cols = list(id_cols)
+    dictionary = _word_dictionary(df, merges, text_col)
+    exploded = df.select(
+        *id_cols, F.posexplode(_doc_words_expr(text_col))
+        .alias("_pos", "word"))
+    reassembled = (exploded.join(dictionary, "word")
+                   .groupBy(*id_cols)
+                   .agg(F.flatten(F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("_pos", "subwords"))),
+                       lambda s: s["subwords"])).alias(out_col)))
+    return (df.join(reassembled, id_cols, "left")
+            .withColumn(out_col, F.coalesce(
+                F.col(out_col), F.array().cast("array<string>"))))

@@ -116,3 +116,22 @@ def test_encode_words_matches_per_word_reference(spark):
     got = {r.word: r.subwords for r in encode_words(wdf, merges).collect()}
     for w in words:
         assert got[w] == ref_encode(w), w
+
+
+def test_join_strategy_equals_broadcast(spark):
+    """The beyond-broadcast-vocabulary scale path (posexplode →
+    shuffle-join on word → positional reassembly) must produce exactly
+    the broadcast path's per-document token arrays — including empty and
+    NULL documents, which have no exploded rows to reassemble."""
+    rows = [(i, t) for i, t in enumerate(
+        CORPUS + ["", None, "solo", "  gaps  between  "])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, vocab = train_bpe(df, n_merges=6)
+    vocab.unpersist()
+    bc = {r.doc_id: r.bpe_tokens
+          for r in encode_with_merges(df, merges).collect()}
+    jn = {r.doc_id: r.bpe_tokens
+          for r in encode_with_merges(df, merges,
+                                      strategy="join").collect()}
+    assert bc == jn
+    assert jn[2] == [] and jn[3] == []  # empty + NULL docs
