@@ -236,7 +236,7 @@ def scaling_probe(pairs=((2, 8), (8, 32))):
 
 
 def cluster_scaling_probe(workers_pair=(1, 4), cores_per_worker=2,
-                          timed_runs=2):
+                          timed_runs=3):
     """North-rule gate measured ACROSS PROCESS BOUNDARIES (round-3
     verdict #5): the same sketch-build job on the same input at N vs 4N
     separate executor JVMs (Spark local-cluster mode), so blob shuffles
