@@ -2408,6 +2408,43 @@ def q_sketch_bounds_check(spark, sf_dir):
             .orderBy("source", "sketch"))
 
 
+def q_token_passthrough(spark, sf_dir):
+    """The north rule's PER-ROW INVARIANT — 'preserving token-array
+    equality per row against the reference input' — as a hash-checked
+    driver query: the token table goes through the full routing pipeline
+    (greedy LDG shard assignment via the Arrow router → join back →
+    shard-partitioned parquet write → read back), and every row's token
+    array is compared ORDERED-EQUAL against the input. Per source:
+    (n_docs, n_routed, n_mismatch, ok); the oracle pins n_routed=n_docs,
+    n_mismatch=0, ok=1, so any row the pipeline drops, duplicates, or
+    mutates breaks the value hash. Staged layout memoized per sf_dir."""
+    from sgp_sketch.routing import assign_shards
+
+    _views(spark, sf_dir)
+    key = ("token_passthrough", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        toks = _doc_tokens(spark, sf_dir)
+        out = _scratch(prefix="sgp_passthrough_") + "/tokens"
+        (toks.join(assign_shards(toks, n_shards=16, algorithm="ldg"),
+                   "doc_id")
+         .write.partitionBy("shard").parquet(out))
+        _STATEFUL_Q_CACHE[key] = out
+    toks = _doc_tokens(spark, sf_dir)
+    back = (spark.read.parquet(_STATEFUL_Q_CACHE[key])
+            .select(F.col("doc_id").alias("_doc_id"),
+                    F.col("tokens").alias("_tokens_back")))
+    joined = toks.join(back, toks.doc_id == back._doc_id, "left")
+    return (joined.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("_doc_id").isNotNull().cast("long"))
+                 .alias("n_routed"),
+                 F.sum((~(F.col("tokens") == F.col("_tokens_back")))
+                       .cast("long")).alias("n_mismatch"))
+            .withColumn("ok", ((F.col("n_routed") == F.col("n_docs"))
+                               & (F.col("n_mismatch") == 0)).cast("int"))
+            .orderBy("source"))
+
+
 def _bpe_oracle_ctes(n_merges: int, table: str = "documents") -> str:
     """DuckDB replay of bpe.train_bpe: the same wrapped-string encoding
     (SEP = chr(31) wraps every symbol; adjacency is the 2-char seam), the
@@ -2681,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_cases": q_edge_cases,
         "heavy_hitters_bracket": q_heavy_hitters_bracket,
         "sketch_bounds_check": q_sketch_bounds_check,
+        "token_passthrough": q_token_passthrough,
         "bpe_merges": q_bpe_merges,
         # --- previously adjudicated (r03 first, then r02/r01) ---
         "zipf_slope": q_zipf_slope,
@@ -4012,6 +4050,11 @@ def oracle_sql() -> dict[str, str]:
                                                 '[^a-z0-9]+', ' ', 'g')),
                             '') AS norm
             FROM t ORDER BY doc_id
+        """,
+        "token_passthrough": """
+            SELECT source, COUNT(*) AS n_docs, COUNT(*) AS n_routed,
+                   CAST(0 AS BIGINT) AS n_mismatch, CAST(1 AS INT) AS ok
+            FROM documents GROUP BY source ORDER BY source
         """,
         "sketch_bounds_check": """
             SELECT source, sketch, CAST(1 AS INT) AS ok
