@@ -2445,6 +2445,37 @@ def q_token_passthrough(spark, sf_dir):
             .orderBy("source"))
 
 
+def q_theta_bounds_check(spark, sf_dir):
+    """Theta/KMV set-algebra bound gate — the 6th kernel family joins the
+    driver-adjudicated bound surface (sketch_bounds_check covers
+    hll/cms/bloom/kll/tdigest, heavy_hitters_bracket covers mg): per
+    source pair, the theta union AND intersection estimates
+    (queries.vocabulary_overlap_theta over xxhash64 token ids) must land
+    within 4/√k·|union|+1 of the EXACT pairwise vocabulary overlap
+    (text.source_jaccard — the exact twin, word-keyed, oracle-green on
+    its own). The oracle emits the exact pair matrix with ok=1; any
+    sampling-bound violation on any pair breaks the value hash. Below
+    k retained hashes the sketch is the exact set, so the gate is tight
+    at small scales and probabilistic-with-slack at large ones."""
+    import math
+
+    from sgp_sketch.queries import vocabulary_overlap_theta
+    from sgp_sketch.text import source_jaccard
+
+    _views(spark, sf_dir)
+    k = 4096
+    est = vocabulary_overlap_theta(_doc_tokens(spark, sf_dir), k=k)
+    exact = source_jaccard(spark.table("documents"))
+    tol = F.lit(4.0 / math.sqrt(k)) * F.col("n_union") + F.lit(1.0)
+    joined = exact.join(
+        est, (exact.src_a == est.group_a) & (exact.src_b == est.group_b))
+    ok = ((F.abs(F.col("est_union") - F.col("n_union")) <= tol)
+          & (F.abs(F.col("est_inter") - F.col("n_common")) <= tol))
+    return (joined.select("src_a", "src_b", "n_common", "n_union",
+                          ok.cast("int").alias("ok"))
+            .orderBy("src_a", "src_b"))
+
+
 def _bpe_oracle_ctes(n_merges: int, table: str = "documents") -> str:
     """DuckDB replay of bpe.train_bpe: the same wrapped-string encoding
     (SEP = chr(31) wraps every symbol; adjacency is the 2-char seam), the
@@ -2719,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_bracket": q_heavy_hitters_bracket,
         "sketch_bounds_check": q_sketch_bounds_check,
         "token_passthrough": q_token_passthrough,
+        "theta_bounds_check": q_theta_bounds_check,
         "bpe_merges": q_bpe_merges,
         # --- previously adjudicated (r03 first, then r02/r01) ---
         "zipf_slope": q_zipf_slope,
@@ -4050,6 +4082,26 @@ def oracle_sql() -> dict[str, str]:
                                                 '[^a-z0-9]+', ' ', 'g')),
                             '') AS norm
             FROM t ORDER BY doc_id
+        """,
+        "theta_bounds_check": """
+            WITH t AS (
+                SELECT DISTINCT source AS g, w
+                FROM (SELECT source,
+                             unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE w <> ''),
+            s AS (SELECT g, COUNT(*) AS n FROM t GROUP BY g),
+            i AS (SELECT a.g AS src_a, b.g AS src_b,
+                         COUNT(*) AS n_common
+                  FROM t a JOIN t b ON a.w = b.w AND a.g < b.g
+                  GROUP BY 1, 2)
+            SELECT i.src_a, i.src_b, i.n_common,
+                   sa.n + sb.n - i.n_common AS n_union,
+                   CAST(1 AS INT) AS ok
+            FROM i
+            JOIN s sa ON sa.g = i.src_a
+            JOIN s sb ON sb.g = i.src_b
+            ORDER BY src_a, src_b
         """,
         "token_passthrough": """
             SELECT source, COUNT(*) AS n_docs, COUNT(*) AS n_routed,

@@ -37,6 +37,9 @@ EXEMPT = {
     "heavy_hitters_bracket",  # bracket UDF over <=5 rows/source by design:
                               # the query's POINT is evaluating MG/CMS
                               # kernel estimates against the exact top-k
+    "theta_bounds_check",     # theta pair-algebra UDF over |pairs| KB blob
+                              # rows — the query's POINT is evaluating the
+                              # kernel estimates against the exact overlap
 }
 
 
