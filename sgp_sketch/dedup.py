@@ -320,9 +320,12 @@ def ngram_jaccard_pairs(df, id_col: str = "doc_id", text_col: str = "text",
 
     from .session import fan_out
 
-    grams = (word_shingles(fan_out(df.select(id_col, text_col)), text_col, n)
-             .select(id_col, F.explode("shingles").alias("g")))
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    shingled = word_shingles(fan_out(df.select(id_col, text_col)),
+                             text_col, n)
+    # set size = array length (shingles are array_distinct per doc):
+    # a free projection, NOT a second corpus explode + groupBy shuffle
+    sizes = shingled.select(id_col, F.size("shingles").alias("sz"))
+    grams = shingled.select(id_col, F.explode("shingles").alias("g"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (a.join(b, "g")
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
