@@ -2191,15 +2191,14 @@ def q_bpe_encode(spark, sf_dir):
     verdict finding #1, fixed). Returns per-source totals; the DuckDB
     oracle replays training AND encoding exactly, so the hash match
     proves the whole train→encode pipeline end to end."""
-    from sgp_sketch.bpe import SEP, encode_with_merges
+    from sgp_sketch.bpe import _doc_words_expr, encode_with_merges
 
     _views(spark, sf_dir)
     merges = _bpe_merges_cached(spark, sf_dir)
     docs = spark.table("documents")
-    doc_words = F.filter(F.split(F.col("text"), " "),
-                         lambda w: (w != F.lit("")) & ~w.contains(SEP))
     enc = (encode_with_merges(docs, merges)
-           .withColumn("_nw", F.coalesce(F.size(doc_words), F.lit(0))))
+           .withColumn("_nw", F.coalesce(F.size(_doc_words_expr("text")),
+                                         F.lit(0))))
     return (enc.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("_nw").alias("n_words"),

@@ -332,7 +332,15 @@ def streaming_probe(levels=(8, 32)) -> dict:
                 spark, path, f"{work}/state", spec,
                 checkpoint_dir=f"{work}/ckpt", available_now=True,
                 reader_options={"maxFilesPerTrigger": "64"})
-            q.awaitTermination(600)
+            finished = q.awaitTermination(600)
+            if not finished:
+                # distinguish a TIMEOUT from an associativity failure:
+                # reading half-written state would report a bogus
+                # byte-inequality; stop the query and say what happened
+                q.stop()
+                raise TimeoutError(
+                    f"streaming probe at local[{cores}] did not finish "
+                    "within 600s — timeout, NOT a state mismatch")
             dt = time.perf_counter() - t0
             streamed = {r["source"]: bytes(r["state"])
                         for r in streaming.streamed_estimates(
@@ -576,11 +584,25 @@ def main() -> None:
             for k, v in sp["levels"].items()}
         compact["streaming"]["byte_equal"] = all(
             v["byte_equal_to_batch"] for v in sp["levels"].values())
+    # hard stdout budget: shed optional detail progressively, NEVER crash
+    # (an assert here would throw away the whole run's minutes and print
+    # no summary at all — the exact failure the compact line exists to fix)
+    shed_order = ("queries", "streaming", "dedup_probe",
+                  "cluster_scaling", "scaling")
     line = json.dumps(compact)
-    if len(line) > 1500:  # hard stdout budget: shed optional detail first
-        compact.pop("queries", None)
+    for key in shed_order:
+        if len(line) <= 1500:
+            break
+        if compact.pop(key, None) is not None:
+            compact["shed"] = compact.get("shed", []) + [key]
+            line = json.dumps(compact)
+    if len(line) > 1500:  # pathological sf/metric strings: keep the core
+        compact = {"metric": full["metric"], "value": full["value"],
+                   "unit": "sec",
+                   "throughput_tokens_per_sec":
+                       full["throughput_tokens_per_sec"],
+                   "detail": "BENCH_LOCAL.json"}
         line = json.dumps(compact)
-    assert len(line) <= 1500, f"compact bench line {len(line)} chars"
     print(line, flush=True)
 
 

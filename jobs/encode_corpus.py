@@ -64,8 +64,13 @@ def main(argv=None) -> int:
     docs = spark.read.parquet(input_path)
 
     if args.merges:
-        with open(args.merges) as f:
-            merges = [tuple(m) for m in json.load(f)]
+        # Hadoop FS reader, not builtin open(): --merges may be an
+        # object-store URI (the job writes merges.json with the same
+        # URI-capable writer, so reuse mode must read it back anywhere)
+        from sgp_sketch.checkpoint import _fs_read_text
+
+        merges = [tuple(m)
+                  for m in json.loads(_fs_read_text(spark, args.merges))]
     else:
         merges, vocab = train_bpe(docs, n_merges=args.n_merges,
                                   text_col=args.text_col)

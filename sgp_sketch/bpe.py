@@ -132,16 +132,34 @@ def train_bpe(df, n_merges: int = 20, text_col: str = "text",
 
 
 def encode_words(words, merges, word_col: str = "word",
-                 out_col: str = "subwords"):
+                 out_col: str = "subwords", batch: int = 128):
     """Encode each DISTINCT word with a learned merge list: characters +
     END, then the ranked merges replayed as chained JVM wrapped-string
     replaces. Vocabulary-sized input — this is where the O(n_merges ×
-    word_len) work lives, NOT on the corpus."""
+    word_len) work lives, NOT on the corpus.
+
+    Production merge lists run to thousands of entries, and a single
+    projection with thousands of NESTED replace() calls risks Catalyst
+    stack overflow and blows the JVM codegen method limit. So replaces
+    apply in `batch`-sized segments with a localCheckpoint between
+    segments — each segment is a shallow expression tree over the
+    (small, vocabulary-sized) intermediate table, and total work is
+    unchanged. Merge lists ≤ `batch` stay a single lazy projection."""
+    ranked = sorted(merges)
     chars = F.split(F.col(word_col), "")
     col = _wrap(F.concat(chars, F.array(F.lit(END))))
-    for _, a, b, *_ in sorted(merges):
-        col = _apply_merge(col, a, b)
-    return words.withColumn(out_col, _unwrap(col))
+    cur = words
+    for i in range(0, max(len(ranked), 1), batch):
+        for _, a, b, *_ in ranked[i:i + batch]:
+            col = _apply_merge(col, a, b)
+        if i + batch < len(ranked):
+            # truncate the expression/plan between segments (vocab-sized
+            # materialization, same discipline as train_bpe's rounds)
+            cur = (cur.withColumn("_w", col)
+                   .localCheckpoint(eager=True))
+            col = F.col("_w")
+    out = cur.withColumn(out_col, _unwrap(col))
+    return out.drop("_w") if "_w" in cur.columns else out
 
 
 def _doc_words_expr(text_col: str):
@@ -165,7 +183,7 @@ def _word_dictionary(df, merges, text_col: str):
 def encode_with_merges(df, merges, text_col: str = "text",
                        out_col: str = "bpe_tokens",
                        strategy: str = "broadcast",
-                       id_cols=("doc_id",)):
+                       id_cols=("doc_id",), validate: bool = False):
     """Apply a learned merge list to a corpus — the pass that actually
     touches 100 TB, so it must not run Python per row (round-3 verdict
     finding, fixed): encode each DISTINCT word once (encode_words, a
@@ -184,7 +202,11 @@ def encode_with_merges(df, merges, text_col: str = "text",
     (pos, subwords) structs — no WindowExec), and join back on
     `id_cols`. Three corpus shuffles, but no executor ever holds the
     dictionary; byte-equivalent to the broadcast path (gated in
-    tests/test_bpe.py)."""
+    tests/test_bpe.py). REQUIRES `id_cols` to uniquely identify rows:
+    positional reassembly groups by them, so rows sharing an id would
+    silently receive the concatenation of both rows' encodings — pass
+    validate=True to pay one aggregate job that raises on duplicates
+    instead."""
     if strategy == "broadcast":
         vocab_map = (_word_dictionary(df, merges, text_col)
                      .agg(F.map_from_entries(
@@ -201,6 +223,15 @@ def encode_with_merges(df, merges, text_col: str = "text",
     if strategy != "join":
         raise ValueError(f"unknown strategy {strategy!r}")
     id_cols = list(id_cols)
+    if validate:
+        dup = (df.groupBy(*id_cols).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"encode_with_merges(strategy='join'): id_cols {id_cols} "
+                f"do not uniquely identify rows (e.g. {dup[0]}) — "
+                "positional reassembly would concatenate rows sharing "
+                "an id")
     dictionary = _word_dictionary(df, merges, text_col)
     exploded = df.select(
         *id_cols, F.posexplode(_doc_words_expr(text_col))

@@ -75,7 +75,12 @@ class MG:
                ) -> "MG":
         v = np.asarray(values)
         if counts is not None:
+            # validate BEFORE any state mutation (n_items) — a mismatch
+            # must be a clean error on an unchanged sketch, for integer
+            # inputs just as for the float/NaN path below
             counts = np.asarray(counts, dtype=np.int64)
+            if counts.shape[0] != v.shape[0]:
+                raise ValueError("values/counts length mismatch")
         if v.dtype.kind == "f":
             # apply ONE mask to both arrays so they never misalign (a
             # values-only filter would silently pair counts with the
@@ -83,8 +88,6 @@ class MG:
             keep = ~np.isnan(v)
             v = v[keep]
             if counts is not None:
-                if counts.shape[0] != keep.shape[0]:
-                    raise ValueError("values/counts length mismatch")
                 counts = counts[keep]
         v = v.astype(np.int64, copy=False)
         if v.size == 0:

@@ -135,3 +135,55 @@ def test_join_strategy_equals_broadcast(spark):
                                       strategy="join").collect()}
     assert bc == jn
     assert jn[2] == [] and jn[3] == []  # empty + NULL docs
+
+
+def test_encode_words_deep_merge_list(spark):
+    """Production merge lists run to thousands of entries: encode_words
+    must not build one unbounded nested-replace expression (Catalyst
+    stack / codegen limits). 200 merges with batch=64 crosses three
+    materialization segments and must still match the pure-Python
+    reference replay exactly."""
+    from sgp_sketch.bpe import encode_words
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges, vocab = train_bpe(df, n_merges=10)
+    vocab.unpersist()
+    # pad with no-op merges (symbols absent from the corpus) to depth 200
+    merges = list(merges) + [(10 + i, f"§{i}", f"¶{i}", 1)
+                             for i in range(190)]
+
+    def ref_encode(word):
+        syms = list(word) + [END]
+        for _, a, b, _c in sorted(merges):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = sorted({w for t in CORPUS for w in t.split(" ") if w})
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r.word: r.subwords
+           for r in encode_words(wdf, merges, batch=64).collect()}
+    for w in words:
+        assert got[w] == ref_encode(w), w
+
+
+def test_join_strategy_validate_rejects_duplicate_ids(spark):
+    """strategy='join' reassembles by id — duplicate ids silently
+    concatenate rows, so validate=True must refuse them loudly."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "low low"), (1, "lower"), (2, "newest")],
+        "doc_id long, text string")
+    merges, vocab = train_bpe(df, n_merges=3)
+    vocab.unpersist()
+    with pytest.raises(ValueError, match="uniquely identify"):
+        encode_with_merges(df, merges, strategy="join",
+                           validate=True).collect()

@@ -580,3 +580,17 @@ def test_fd_to_bytes_is_read_only():
     assert np.array_equal(s.spectrum(), before_spec)
     # and the serialized snapshot IS shrunk (<= ell rows)
     assert FD.from_bytes(blob).rows.shape[0] <= s.ell
+
+
+def test_mg_integer_length_mismatch_rejected_before_mutation():
+    """Review follow-up: the length guard must run on the INTEGER path
+    too, before n_items is touched."""
+    import numpy as np
+    import pytest
+
+    from sgp_sketch.kernels.mg import MG
+
+    s = MG(k=8)
+    with pytest.raises(ValueError, match="length mismatch"):
+        s.update(np.array([1, 2, 3]), np.array([5, 6]))
+    assert s.n_items == 0 and s.keys.size == 0  # state untouched

@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 # Opportunistic compressed-codec deps: multimodal JPEG/PNG/FLAC tests are
 # lib-gated (pytest.importorskip) and the sandbox has no network — but on
 # a networked CI box this enables them. Short timeout, never fatal.
-if ! python -c "import PIL" 2>/dev/null; then
+if ! python -c "import PIL, soundfile" 2>/dev/null; then
     pip install --quiet --timeout 5 pillow soundfile 2>/dev/null \
         && echo "ci: installed pillow/soundfile (codec tests enabled)" \
         || echo "ci: no network / pip unavailable - codec tests stay skipped"
