@@ -22,6 +22,7 @@ import struct
 
 import numpy as np
 
+from . import serde
 from .hashing import hash64
 
 MAGIC = b"SK"
@@ -110,24 +111,32 @@ class Bloom:
                      words=self.words | other.words,
                      n_items=self.n_items + other.n_items)
 
+    def fill_fraction(self) -> float:
+        """Exact fraction of set bits (popcount over the words array)."""
+        if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+            bits = int(np.bitwise_count(self.words).sum())
+        else:
+            bits = int(np.unpackbits(self.words.view(np.uint8)).sum())
+        return bits / (self.n_blocks * BLOCK_BITS)
+
     def fpr_configured(self) -> float:
-        """Classic (unblocked) FPR estimate for current fill — lower bound."""
-        m = self.n_blocks * BLOCK_BITS
-        return float((1.0 - np.exp(-self.k * max(self.n_items, 1) / m)) ** self.k)
+        """FPR estimate from the MEASURED fill fraction: fill**k.
+
+        Derived from the filter's actual state, not from n_items — n_items
+        counts raw occurrences (update_hashes' n_raw contract), which
+        over-states fill on duplicate-heavy streams and would make any
+        'measured <= c * configured' gate vacuously loose. Slight lower
+        bound for the blocked layout (per-block fill variance raises the
+        true FPR a touch above the global fill**k)."""
+        return float(self.fill_fraction() ** self.k)
 
     def to_bytes(self) -> bytes:
         """Dense (version 1) or sparse nonzero-word COO (version 2) —
-        whichever is smaller; see cms.py for rationale."""
-        nz = np.flatnonzero(self.words)
-        if self.words.size < (1 << 32) and nz.size * 12 < self.words.size * 8:
-            head = struct.pack("<2sBBBIQQ", MAGIC, 2, TYPE_BLOOM,
-                               self.k, self.n_blocks, self.seed, self.n_items)
-            return (head + struct.pack("<q", nz.size)
-                    + nz.astype("<u4").tobytes()
-                    + self.words[nz].astype("<u8").tobytes())
-        head = struct.pack("<2sBBBIQQ", MAGIC, VERSION, TYPE_BLOOM,
+        whichever is smaller; shared codec in serde.py."""
+        ver, payload = serde.pack_flat(self.words, "<u8")
+        head = struct.pack("<2sBBBIQQ", MAGIC, ver, TYPE_BLOOM,
                            self.k, self.n_blocks, self.seed, self.n_items)
-        return head + self.words.astype("<u8").tobytes()
+        return head + payload
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "Bloom":
@@ -135,17 +144,8 @@ class Bloom:
         if magic != MAGIC or typ != TYPE_BLOOM:
             raise ValueError("not a Bloom blob")
         off = struct.calcsize("<2sBBBIQQ")
-        if ver == 2:
-            (nnz,) = struct.unpack_from("<q", buf, off)
-            off += 8
-            idx = np.frombuffer(buf, dtype="<u4", count=nnz, offset=off)
-            off += 4 * nnz
-            vals = np.frombuffer(buf, dtype="<u8", count=nnz, offset=off)
-            words = np.zeros(n_blocks * BLOCK_WORDS, dtype=np.uint64)
-            words[idx.astype(np.int64)] = vals
-            return cls(n_blocks, k, seed, words=words, n_items=n_items)
-        words = np.frombuffer(buf, dtype="<u8", count=n_blocks * BLOCK_WORDS,
-                              offset=off).astype(np.uint64)
+        words = serde.unpack_flat(buf, off, ver, n_blocks * BLOCK_WORDS,
+                                  "<u8", np.uint64)
         return cls(n_blocks, k, seed, words=words, n_items=n_items)
 
 

@@ -28,6 +28,7 @@ import struct
 
 import numpy as np
 
+from . import serde
 from .hashing import hash64
 
 MAGIC = b"SK"
@@ -40,8 +41,10 @@ class CMS:
 
     def __init__(self, depth: int = 4, width: int = 1 << 14, seed: int = 7,
                  table: np.ndarray | None = None, n_items: int = 0):
-        if width & (width - 1):
-            raise ValueError("width must be a power of two")
+        if width <= 0 or width & (width - 1):
+            raise ValueError("width must be a positive power of two")
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
         self.depth = depth
         self.width = width
         self.seed = seed
@@ -130,17 +133,10 @@ class CMS:
         magnitude at bench scale while the merged/dense case stays compact.
         The choice is a pure function of the state, so byte-equality
         properties across build orders are preserved."""
-        flat = self.table.ravel()
-        nz = np.flatnonzero(flat)
-        if flat.size < (1 << 32) and nz.size * 12 < flat.size * 8:
-            head = struct.pack("<2sBBBIQQ", MAGIC, 2, TYPE_CMS,
-                               self.depth, self.width, self.seed, self.n_items)
-            return (head + struct.pack("<q", nz.size)
-                    + nz.astype("<u4").tobytes()
-                    + flat[nz].astype("<i8").tobytes())
-        head = struct.pack("<2sBBBIQQ", MAGIC, VERSION, TYPE_CMS,
+        ver, payload = serde.pack_flat(self.table.ravel(), "<i8")
+        head = struct.pack("<2sBBBIQQ", MAGIC, ver, TYPE_CMS,
                            self.depth, self.width, self.seed, self.n_items)
-        return head + self.table.astype("<i8").tobytes()
+        return head + payload
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "CMS":
@@ -148,18 +144,8 @@ class CMS:
         if magic != MAGIC or typ != TYPE_CMS:
             raise ValueError("not a CMS blob")
         off = struct.calcsize("<2sBBBIQQ")
-        if ver == 2:
-            (nnz,) = struct.unpack_from("<q", buf, off)
-            off += 8
-            idx = np.frombuffer(buf, dtype="<u4", count=nnz, offset=off)
-            off += 4 * nnz
-            vals = np.frombuffer(buf, dtype="<i8", count=nnz, offset=off)
-            table = np.zeros(depth * width, dtype=np.int64)
-            table[idx.astype(np.int64)] = vals
-            return cls(depth, width, seed, table=table.reshape(depth, width),
-                       n_items=n_items)
-        table = np.frombuffer(buf, dtype="<i8", count=depth * width, offset=off)
-        return cls(depth, width, seed, table=table.reshape(depth, width).copy(),
+        flat = serde.unpack_flat(buf, off, ver, depth * width, "<i8", np.int64)
+        return cls(depth, width, seed, table=flat.reshape(depth, width),
                    n_items=n_items)
 
 

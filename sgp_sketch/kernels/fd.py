@@ -79,6 +79,12 @@ class FD:
             x = x[None, :]
         if x.shape[1] != self.d:
             raise ValueError(f"dim mismatch: got {x.shape[1]}, want {self.d}")
+        # Non-finite rows (element-level nulls decode to NaN through Arrow)
+        # would make the SVD raise or poison every later gram()/spectrum();
+        # drop them like the scalar kernels (KLL/TDigest/MG) drop NaN.
+        finite = np.isfinite(x).all(axis=1)
+        if not finite.all():
+            x = x[finite]
         if x.shape[0] == 0:
             return self
         self.n_rows += x.shape[0]
@@ -115,7 +121,7 @@ class FD:
         """Top-k singular values of the SKETCH (lower bounds on the data's:
         sigma_i(A)^2 - shed <= sigma_i(B)^2 <= sigma_i(A)^2)."""
         s = np.linalg.svd(self.rows, compute_uv=False)
-        return s[:k] if k else s
+        return s[:k] if k is not None else s
 
     @property
     def error_bound(self) -> float:

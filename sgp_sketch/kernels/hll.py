@@ -210,7 +210,10 @@ class HLL:
 
     def to_bytes(self) -> bytes:
         mode = 1 if self.dense is not None else 0
-        payload = (self.dense if mode else self.sparse).tobytes()
+        # explicit little-endian so blobs are byte-identical across hosts
+        # (dense is uint8 — endianness-free; sparse codes must be <u4)
+        payload = (self.dense.tobytes() if mode
+                   else self.sparse.astype("<u4").tobytes())
         n = self.m if mode else self.sparse.size
         head = struct.pack("<2sBBBBI", MAGIC, VERSION, TYPE_HLL, self.p, mode, n)
         return head + payload

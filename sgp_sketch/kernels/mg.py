@@ -109,7 +109,18 @@ class MG:
     def estimate(self, values: np.ndarray) -> np.ndarray:
         """Lower-bound counts (0 for untracked items). True count lies in
         [est, est + dec]."""
-        v = np.asarray(values).astype(np.int64, copy=False)
+        v = np.asarray(values)
+        if v.dtype.kind == "f":
+            # NaN -> int64 is platform-defined (INT64_MIN on x86), which
+            # could silently alias a tracked key; NaN queries return 0
+            # like update() drops NaN inputs.
+            nan = ~np.isfinite(v)
+            if nan.any():
+                v = np.where(nan, 0.0, v)
+                out = self.estimate(v.astype(np.int64))
+                out[nan] = 0
+                return out
+        v = v.astype(np.int64, copy=False)
         idx = np.searchsorted(self.keys, v)
         idx = np.clip(idx, 0, max(self.keys.size - 1, 0))
         out = np.zeros(v.size, dtype=np.int64)

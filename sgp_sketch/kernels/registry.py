@@ -35,10 +35,12 @@ def from_bytes(buf: bytes):
     magic, _ver, typ = struct.unpack_from("<2sBB", buf, 0)
     if magic != b"SK":
         raise ValueError("bad sketch magic")
-    try:
-        return _TYPES[typ].from_bytes(buf)
-    except KeyError:
-        raise ValueError(f"unknown sketch type {typ}") from None
+    # look up BEFORE calling so a KeyError raised inside a kernel's
+    # from_bytes is never misreported as "unknown sketch type"
+    cls = _TYPES.get(typ)
+    if cls is None:
+        raise ValueError(f"unknown sketch type {typ}")
+    return cls.from_bytes(buf)
 
 
 def make(kind: str, **params):
@@ -48,7 +50,12 @@ def make(kind: str, **params):
 def merge_blobs(blobs) -> bytes:
     """Merge an iterable of serialized sketch states of one kind."""
     it = iter(blobs)
-    acc = from_bytes(next(it))
+    try:
+        acc = from_bytes(next(it))
+    except StopIteration:
+        # bare StopIteration inside a generator becomes an opaque
+        # PEP-479 RuntimeError at the mapInPandas/mapInArrow call site
+        raise ValueError("merge_blobs: empty blob iterable") from None
     for b in it:
         acc = acc.merge(from_bytes(b))
     return acc.to_bytes()

@@ -143,7 +143,8 @@ class Theta:
     def to_bytes(self) -> bytes:
         head = struct.pack("<2sBBIQI", MAGIC, VERSION, TYPE_THETA, self.k,
                            int(self.theta), self.retained.size)
-        return head + self.retained.tobytes()
+        # explicit little-endian to match from_bytes' "<u8" on any host
+        return head + self.retained.astype("<u8").tobytes()
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "Theta":

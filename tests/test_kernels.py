@@ -1,9 +1,11 @@
 """Kernel unit tests (pure numpy, no Spark) — SURVEY.md §5.2.1."""
 
+import warnings
+
 import numpy as np
 import pytest
 
-from sgp_sketch.kernels import bloom, cms, hll, kll, tdigest, registry
+from sgp_sketch.kernels import bloom, cms, fd, hll, kll, mg, registry, tdigest, theta
 from sgp_sketch.kernels.hashing import hash64, hash_str_array, pmod, splitmix64
 
 RNG = np.random.default_rng(42)
@@ -594,3 +596,86 @@ def test_mg_integer_length_mismatch_rejected_before_mutation():
     with pytest.raises(ValueError, match="length mismatch"):
         s.update(np.array([1, 2, 3]), np.array([5, 6]))
     assert s.n_items == 0 and s.keys.size == 0  # state untouched
+
+
+def test_fd_drops_nonfinite_rows():
+    """Element-level nulls arrive as NaN through Arrow; one such row must
+    not poison the sketch (SVD would raise or propagate NaN everywhere)."""
+    f = fd.FD(ell=4, d=8)
+    x = np.random.default_rng(0).normal(size=(50, 8))
+    x[3, 2] = np.nan
+    x[10, 5] = np.inf
+    f.update(x)
+    assert f.n_rows == 48
+    assert np.isfinite(f.gram()).all()
+    assert np.isfinite(f.spectrum()).all()
+
+
+def test_fd_spectrum_k_zero_and_none():
+    f = fd.FD(ell=4, d=8)
+    f.update(np.random.default_rng(1).normal(size=(20, 8)))
+    assert f.spectrum(0).size == 0
+    assert f.spectrum(None).size > 0
+    assert f.spectrum(2).size == 2
+
+
+def test_hll_theta_serialization_explicit_little_endian():
+    """Payloads must be byte-identical regardless of host byte order:
+    the arrays passed to tobytes() must already be little-endian."""
+    h = hll.HLL(p=14)
+    h.update(np.arange(100))  # stays sparse
+    assert h.dense is None
+    blob = h.to_bytes()
+    rt = hll.HLL.from_bytes(blob)
+    assert rt.to_bytes() == blob
+    assert abs(rt.estimate() - h.estimate()) < 1e-12
+
+    t = theta.Theta(k=64)
+    t.update(np.arange(1000))
+    bt = t.to_bytes()
+    rt2 = theta.Theta.from_bytes(bt)
+    assert rt2.to_bytes() == bt
+    assert abs(rt2.estimate() - t.estimate()) < 1e-9
+
+
+def test_bloom_fpr_configured_duplicate_insensitive():
+    """fpr_configured derives from the measured fill, so re-inserting the
+    same keys 50x must not inflate it (n_items counts raw occurrences)."""
+    keys = np.arange(100)
+    once = bloom.Bloom(n_blocks=1 << 8)
+    once.update(keys)
+    many = bloom.Bloom(n_blocks=1 << 8)
+    for _ in range(50):
+        many.update(keys)
+    assert many.n_items == 50 * once.n_items
+    assert abs(once.fpr_configured() - many.fpr_configured()) < 1e-15
+    assert 0.0 < once.fill_fraction() < 1.0
+
+
+def test_cms_rejects_nonpositive_shape():
+    with pytest.raises(ValueError):
+        cms.CMS(depth=0)
+    with pytest.raises(ValueError):
+        cms.CMS(width=0)
+
+
+def test_mg_estimate_nan_returns_zero():
+    m = mg.MG(k=8)
+    m.update(np.array([1, 1, 1, 2, 2, 3]))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the raw NaN->int cast would warn
+        est = m.estimate(np.array([1.0, np.nan, 3.0]))
+    assert list(est) == [3, 0, 1]
+
+
+def test_merge_blobs_empty_iterable_raises_valueerror():
+    """Bare StopIteration inside a generator would become an opaque
+    PEP-479 RuntimeError at the mapInPandas call site."""
+    with pytest.raises(ValueError, match="empty"):
+        registry.merge_blobs([])
+
+    def gen():
+        yield registry.merge_blobs(iter(()))
+
+    with pytest.raises(ValueError, match="empty"):
+        list(gen())
