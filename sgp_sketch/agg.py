@@ -131,12 +131,16 @@ def build_partials(df, kind: str, value_col: str, group_cols=("source",),
         counts: dict[tuple, int] = {}
         for pdf in iterator:
             if group_cols:
-                grouped = pdf.groupby(group_cols, sort=False)
+                # dropna=False: null group keys get their own sketch slot
+                # (matching the Arrow path) instead of silently dropping
+                # every row whose key is null
+                grouped = pdf.groupby(group_cols, sort=False, dropna=False)
             else:
                 grouped = [((), pdf)]
             for gkey, sub in grouped:
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
+                gkey = tuple(None if pd.isna(k) else k for k in gkey)
                 flat = _extract_values(sub[value_col], numeric)
                 if flat.size == 0:
                     continue

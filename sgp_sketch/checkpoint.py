@@ -87,10 +87,19 @@ def _append_jsonl(spark, path: str, record: dict) -> None:
     count of one build; per-slice files would shard it if that ever
     mattered."""
     tmp = path + ".tmp"
-    if _fs_exists(spark, path):
-        prev = _fs_read_text(spark, path)
-    elif _fs_exists(spark, tmp):
-        prev = _fs_read_text(spark, tmp)  # crashed mid-commit: recover
+    main = _fs_read_text(spark, path) if _fs_exists(spark, path) else None
+    stale = _fs_read_text(spark, tmp) if _fs_exists(spark, tmp) else None
+    if main is not None and stale is not None:
+        # crash in the delete->rename window leaves BOTH: the .tmp holds
+        # the full history plus the record that was being committed, so
+        # prefer it — but only when it verifiably extends the main log
+        # (a crash mid-.tmp-write could have left it truncated instead)
+        prev = stale if (len(stale) > len(main)
+                         and stale.startswith(main)) else main
+    elif main is not None:
+        prev = main
+    elif stale is not None:
+        prev = stale  # crashed mid-commit: recover
     else:
         prev = ""
     _fs_write_text(spark, tmp, prev + json.dumps(record) + "\n")
@@ -149,7 +158,12 @@ def _lineage_path(ckpt_dir: str, sid: str) -> str:
     return _join(ckpt_dir, "slices", f"{sid}.lineage.json")
 
 
-def slice_complete(spark, ckpt_dir: str, sl: dict) -> bool:
+def slice_complete(spark, ckpt_dir: str, sl: dict,
+                   expect: dict | None = None) -> bool:
+    """True iff the slice's checkpoint exists AND was built under the same
+    configuration. `expect` maps lineage keys (sketch_type, params,
+    group_cols) to required values — without it a resumed build with a
+    changed sketch kind/params would silently reuse stale blobs."""
     lp = _lineage_path(ckpt_dir, sl["slice_id"])
     if not _fs_exists(spark, lp):
         return False
@@ -159,6 +173,8 @@ def slice_complete(spark, ckpt_dir: str, sl: dict) -> bool:
         # FS-gateway reads surface JVM IOExceptions as Py4JJavaError, not
         # OSError; ANY unreadable/corrupt lineage means "rebuild this
         # slice", never "abort the resumable build"
+        return False
+    if any(lin.get(k) != v for k, v in (expect or {}).items()):
         return False
     return (lin.get("version") == _LINEAGE_VERSION
             and lin.get("files") == sl["files"]
@@ -235,9 +251,11 @@ def build_checkpointed(spark, input_path: str, kind: str, value_col: str,
     fs, p = _fs_path(spark, input_path)
     base = input_path if not fs.isFile(p) else None
     slices = plan_slices(files, files_per_slice)
+    expect = {"sketch_type": kind, "params": params or {},
+              "group_cols": list(group_cols)}
     skipped, built = [], []
     for sl in slices:
-        if slice_complete(spark, ckpt_dir, sl):
+        if slice_complete(spark, ckpt_dir, sl, expect=expect):
             skipped.append(sl["slice_id"])
             continue
         build_slice(spark, sl, kind, value_col, group_cols, params,
@@ -288,6 +306,8 @@ def build_slice_multi(spark, sl: dict, specs: dict, group_cols,
         "files": sl["files"],
         "sketch_type": "multi",
         "params": {n: s.get("params") or {} for n, s in specs.items()},
+        "specs": {n: {"kind": s["kind"], "value_col": s["value_col"]}
+                  for n, s in specs.items()},
         "group_cols": list(group_cols),
         "groups": sorted(groups, key=lambda g: (
             g["sketch"], json.dumps(g["group"], sort_keys=True))),
@@ -315,9 +335,14 @@ def build_checkpointed_multi(spark, input_path: str, specs: dict,
     fs, p = _fs_path(spark, input_path)
     base = input_path if not fs.isFile(p) else None
     slices = plan_slices(files, files_per_slice)
+    expect = {"sketch_type": "multi",
+              "params": {n: s.get("params") or {} for n, s in specs.items()},
+              "specs": {n: {"kind": s["kind"], "value_col": s["value_col"]}
+                        for n, s in specs.items()},
+              "group_cols": list(group_cols)}
     skipped, built = [], []
     for sl in slices:
-        if slice_complete(spark, ckpt_dir, sl):
+        if slice_complete(spark, ckpt_dir, sl, expect=expect):
             skipped.append(sl["slice_id"])
             continue
         build_slice_multi(spark, sl, specs, group_cols, ckpt_dir,

@@ -295,7 +295,8 @@ def route_tokens_salted(df, n_shards: int = 16, replication: int = 4,
 
 def assign_shards(df, n_shards: int = 16, algorithm: str = "ldg",
                   slack: float = 0.05, gamma: float = 1.5,
-                  total_docs: int | None = None, chunk: int = 256):
+                  total_docs: int | None = None, chunk: int = 256,
+                  avg_tokens_per_doc: float = 32.0):
     """Greedy balanced doc→shard assignment via mapInPandas (R2/R3 analog,
     the batch-streaming variant of EdgeCutSGP.streamingPartition).
 
@@ -316,11 +317,18 @@ def assign_shards(df, n_shards: int = 16, algorithm: str = "ldg",
     (EdgeCutSGP.java:266-285). Fennel's α uses caller-supplied
     `total_docs` when given, else the partition's own statistics (α is a
     score-scale constant; balance is capacity-enforced either way).
+    `avg_tokens_per_doc` estimates the global occurrence count m ≈
+    total_docs·avg for the fennel_alpha(k, m, n) formula — pass the
+    corpus's real average (e.g. from a prior profile) when it strays far
+    from the default; the local-statistics branch always uses the
+    partition's actual occurrence counts.
     """
     from pyspark.sql import functions as F
 
     src = df.select(F.col("doc_id").cast("string").alias("doc_id"), "tokens")
-    global_alpha = (fennel_alpha(n_shards, total_docs * 32, total_docs)
+    global_alpha = (fennel_alpha(n_shards,
+                                 int(total_docs * avg_tokens_per_doc),
+                                 total_docs)
                     if total_docs is not None else None)
 
     def route(batches):
@@ -422,15 +430,30 @@ def salted_join(big, small, key, n_salts: int = 8, scatter_cols=None,
     from pyspark.sql import functions as F
 
     keys = [key] if isinstance(key, str) else list(key)
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        # right/full outer would emit each unmatched small-side row once
+        # PER SALT (it was exploded n_salts times), breaking the
+        # row-identical contract; cross has no key to salt on
+        raise ValueError(f"salted_join does not support how={how!r}: "
+                         "unmatched small-side rows would be duplicated "
+                         "n_salts times (supported: inner/left/semi/anti)")
     if scatter_cols is None:
         scatter_cols = [c for c in big.columns if c not in keys]
+    if not scatter_cols:
+        # key-only big side: hashing zero columns is an AnalysisException,
+        # and hashing the key alone would pin each hot key to ONE salt —
+        # spread by a per-row id instead (salt choice never affects the
+        # join result for the supported modes, only the reducer spread)
+        scatter = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                         F.lit(int(n_salts))).cast("int")
+    else:
+        scatter = F.pmod(F.xxhash64(*[F.col(c) for c in scatter_cols]),
+                         F.lit(int(n_salts))).cast("int")
     salts = F.array(*[F.lit(i) for i in range(int(n_salts))])
     small_s = small.withColumn("_salt", F.explode(salts))
     small_s = small_s.withColumn("_salt", F.col("_salt").cast("int"))
-    big_s = big.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in scatter_cols]),
-               F.lit(int(n_salts))).cast("int"))
+    big_s = big.withColumn("_salt", scatter)
     out = big_s.join(small_s.hint("shuffle_hash"),
                      keys + ["_salt"], how)
     return out.drop("_salt")

@@ -86,10 +86,13 @@ def _parse_edges(buf: bytes, layout: str, comment: bytes = b"#"):
         if f.size < 2:
             raise ValueError(f"adj layout: short line {ln[:60]!r}")
         deg = int(f[1])
-        nbrs = f[2:2 + deg]
-        if nbrs.size != deg:
+        if f.size != 2 + deg:
+            # strict both ways: a long line (extra trailing neighbors)
+            # means the declared degree is wrong — dropping the tail
+            # would silently lose edges
             raise ValueError(f"adj layout: degree {deg} but "
-                             f"{nbrs.size} neighbors")
+                             f"{f.size - 2} neighbors")
+        nbrs = f[2:]
         srcs.append(np.full(nbrs.size, f[0], dtype=np.int64))
         dsts.append(nbrs)
     if not srcs:
@@ -158,9 +161,13 @@ class EdgeListReader(DataSourceReader):
         expanded = []
         for p in paths:
             if os.path.isdir(p):
+                # plain files only: a nested subdirectory would pass
+                # getsize() on Linux and then crash the executor's
+                # open(dir, 'rb') mid-job
                 expanded.extend(
-                    os.path.join(p, f) for f in sorted(os.listdir(p))
-                    if not f.startswith((".", "_")))
+                    fp for f in sorted(os.listdir(p))
+                    if not f.startswith((".", "_"))
+                    and os.path.isfile(fp := os.path.join(p, f)))
             else:
                 expanded.append(p)
         parts = []

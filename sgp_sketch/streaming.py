@@ -182,6 +182,14 @@ def compact_state(spark, state_dir: str, group_cols=("source",)) -> dict:
         live = sorted(i for i in ids
                       if i == int(marker["snapshot"])
                       or i > int(marker["upto"]))
+    # GC orphan negative dirs up front: a crash between step 1 and step 2
+    # leaves an uncommitted snapshot dir; once new batches advance the
+    # fold set, later compactions pick a different snap_id and the orphan
+    # would otherwise leak forever (rescanned by every state read)
+    for i in ids:
+        if i < 0 and i not in live:
+            p_fs, p = _fs_path(spark, f"{state_dir}/batch_id={i}")
+            p_fs.delete(p, True)
     nonneg = [i for i in live if i >= 0]
     if not nonneg or len(live) <= 2:
         return {"folded": 0, "kept": len(live)}
@@ -448,9 +456,12 @@ def windowed_heavy_hitters_stream(spark, input_path: str,
     each micro-batch. State per group is ≤ k (value, count) pairs — the
     bounded-memory form of streaming GROUP BY value COUNT(*) ORDER BY
     count DESC LIMIT k, which an exact implementation cannot bound when
-    the value domain is unbounded. A ProcessingTime timeout (2× the
-    window) retires groups whose window can no longer receive rows, so
-    total state is O(active windows × k), not O(stream lifetime).
+    the value domain is unbounded. An EVENT-time timeout (window end +
+    watermark, watermark-driven) retires a group only once the watermark
+    proves its window can no longer receive rows — a wall-clock timeout
+    would silently reset live state on a paused/backlogged stream and
+    break the est_max bracket. Total state is O(active windows × k),
+    not O(stream lifetime).
 
     Returns the streaming DataFrame; the caller attaches a sink.
     """
@@ -461,7 +472,7 @@ def windowed_heavy_hitters_stream(spark, input_path: str,
     from .kernels import registry
     from .kernels.mg import MG
 
-    timeout_ms = 2 * (_interval_ms(window) + _interval_ms(watermark))
+    wm_ms = _interval_ms(watermark)
 
     if schema is None:
         schema = spark.read.parquet(input_path).schema
@@ -472,7 +483,14 @@ def windowed_heavy_hitters_stream(spark, input_path: str,
              .select(F.col(key_col).alias("k"),
                      F.window(F.col(ts_col), window).start
                      .cast("string").alias("w"),
-                     F.col(val_col).cast("long").alias("v")))
+                     # window end as epoch ms, computed JVM-side so the
+                     # event-time timeout is session-timezone-safe
+                     (F.window(F.col(ts_col), window).end
+                      .cast("long") * 1000).alias("wend_ms"),
+                     F.col(val_col).cast("long").alias("v"),
+                     # the watermarked column itself must survive the
+                     # projection or event-time timeout is rejected
+                     F.col(ts_col)))
     out_schema = ("k string, w string, rank int, value long, "
                   "est_min long, est_max long")
     state_schema = "state binary"
@@ -488,12 +506,20 @@ def windowed_heavy_hitters_stream(spark, input_path: str,
             st = registry.from_bytes(bytes(state.get[0]))
         else:
             st = MG(k=k)
+        wend_ms = None
         for pdf in pdfs:
+            if wend_ms is None and len(pdf):
+                wend_ms = int(pdf["wend_ms"].iloc[0])
             vals = pdf["v"].to_numpy()
             vals = vals[~pd.isna(vals)].astype(np.int64)
             st.update(vals)
         state.update((st.to_bytes(),))
-        state.setTimeoutDuration(timeout_ms)
+        if wend_ms is not None:
+            # retire once the WATERMARK passes window end + lateness —
+            # never earlier than the current watermark (Spark rejects
+            # timeout timestamps at/behind it)
+            state.setTimeoutTimestamp(
+                max(wend_ms + wm_ms, state.getCurrentWatermarkMs() + 1))
         keys, cnts = st.heavy_hitters()
         n = min(topk, keys.size)
         yield pd.DataFrame({
@@ -506,4 +532,4 @@ def windowed_heavy_hitters_stream(spark, input_path: str,
     return (keyed.groupBy("k", "w")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update",
-                                    GroupStateTimeout.ProcessingTimeTimeout))
+                                    GroupStateTimeout.EventTimeTimeout))

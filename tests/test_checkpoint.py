@@ -138,3 +138,47 @@ def test_multi_checkpoint_equals_direct(spark, multi_file_input, tmp_path):
         spark, multi_file_input, specs, ("source",), ckpt_dir=ckpt,
         files_per_slice=2)
     assert not m2["built"]
+
+
+def test_changed_params_invalidate_checkpoint(spark, multi_file_input,
+                                              tmp_path):
+    """A resumed build under a CHANGED configuration must rebuild every
+    slice — reusing p=12 blobs for a p=16 build would silently merge
+    incompatible states."""
+    ckpt = str(tmp_path / "ckpt_cfg")
+    m1 = checkpoint.build_checkpointed(
+        spark, multi_file_input, "hll", "tokens", ("source",), {"p": 12},
+        ckpt_dir=ckpt, files_per_slice=2)
+    assert not m1["skipped"]
+    m2 = checkpoint.build_checkpointed(
+        spark, multi_file_input, "hll", "tokens", ("source",), {"p": 16},
+        ckpt_dir=ckpt, files_per_slice=2)
+    assert not m2["skipped"] and len(m2["built"]) == m1["n_slices"]
+    # unchanged config still resumes
+    m3 = checkpoint.build_checkpointed(
+        spark, multi_file_input, "hll", "tokens", ("source",), {"p": 16},
+        ckpt_dir=ckpt, files_per_slice=2)
+    assert not m3["built"] and len(m3["skipped"]) == m2["n_slices"]
+
+
+def test_append_jsonl_recovers_inflight_record(spark, tmp_path):
+    """Crash in the delete->rename window leaves BOTH the stale main log
+    and a .tmp holding main + the in-flight record: the next append must
+    keep the longer, verifiably-extending .tmp, not drop the record."""
+    log = str(tmp_path / "m.jsonl")
+    checkpoint._append_jsonl(spark, log, {"a": 1})
+    main = checkpoint._fs_read_text(spark, log)
+    # simulate the crash window: .tmp = main + one committed-but-unrenamed
+    # record, main still stale
+    checkpoint._fs_write_text(spark, log + ".tmp",
+                              main + json.dumps({"a": 2}) + "\n")
+    checkpoint._append_jsonl(spark, log, {"a": 3})
+    lines = [json.loads(l) for l in
+             checkpoint._fs_read_text(spark, log).splitlines()]
+    assert lines == [{"a": 1}, {"a": 2}, {"a": 3}]
+    # truncated .tmp (crash mid-.tmp-write) must NOT replace the main log
+    checkpoint._fs_write_text(spark, log + ".tmp", main[: len(main) // 2])
+    checkpoint._append_jsonl(spark, log, {"a": 4})
+    lines = [json.loads(l) for l in
+             checkpoint._fs_read_text(spark, log).splitlines()]
+    assert lines == [{"a": 1}, {"a": 2}, {"a": 3}, {"a": 4}]

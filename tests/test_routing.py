@@ -322,6 +322,32 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     assert got.count() == 100
     assert got.where(F.col("m").isNull()).count() == 50
 
+def test_salted_join_rejects_row_duplicating_modes(spark):
+    from sgp_sketch.routing import salted_join
+
+    big = spark.createDataFrame([("0", 1)], "k string, v int")
+    small = spark.createDataFrame([("1", 2)], "k string, m int")
+    for how in ("right", "full", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", how=how)
+
+
+def test_salted_join_key_only_big_side(spark):
+    """Existence-style join: the big side has ONLY the key column, so the
+    default scatter set is empty — must still salt (per-row spread), not
+    raise from a zero-argument xxhash64."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch.routing import salted_join
+
+    big = spark.range(500).select((F.col("id") % 3).cast("string").alias("k"))
+    small = spark.createDataFrame([("0", 10), ("1", 20)], "k string, m int")
+    got = salted_join(big, small, "k", n_salts=4)
+    want = big.join(small, "k")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
 def test_key_skew_profile_known_values(spark):
     from sgp_sketch.routing import key_skew_profile
 

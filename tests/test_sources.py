@@ -91,6 +91,11 @@ def test_malformed_inputs_raise(spark, tmp_path):
     with pytest.raises(Exception, match="degree"):
         (spark.read.format("edgelist").option("layout", "adj")
          .load(str(bad_adj)).collect())
+    long_adj = tmp_path / "long_adj.txt"
+    long_adj.write_text("5 2 7 8 9\n")  # degree 2, THREE neighbors:
+    with pytest.raises(Exception, match="degree"):  # silent tail drop
+        (spark.read.format("edgelist").option("layout", "adj")  # loses edges
+         .load(str(long_adj)).collect())
     with pytest.raises(Exception):
         spark.read.format("edgelist").option("layout", "zzz") \
             .load(str(bad_edge)).collect()
@@ -146,6 +151,8 @@ def test_directory_path_expands_to_files(spark, edge_file, tmp_path):
     shutil.copy(path, d / "part-00000.txt")
     (d / "_SUCCESS").write_text("")
     (d / ".hidden").write_text("junk not numbers")
+    (d / "nested_dir").mkdir()  # subdirectory: must be skipped, not
+    (d / "nested_dir" / "x.txt").write_text("1 2\n")  # opened as a file
     sources.register(spark)
     df = spark.read.format("edgelist").load(str(d))
     assert df.count() == len(edges)

@@ -258,3 +258,23 @@ def test_mg_eviction_regime_bounds(spark, tokens_sdf, tokens_pdf):
             width = r.est_max - r.est_min
             assert width <= n // 17 + 1
             assert r.est_min <= truth.get(r.token, 0)
+
+
+def test_null_group_keys_get_their_own_sketch(spark):
+    """Rows whose group key is NULL must contribute a sketch slot (pandas
+    groupby default dropna=True silently dropped them; the Arrow path
+    always kept them — the two build paths must agree)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", list(range(0, 50))), (None, list(range(25, 100))),
+         ("a", list(range(10, 60))), (None, list(range(50, 150)))],
+        "source string, tokens array<long>")
+    blobs = agg.sketch_agg(df, "hll", "tokens", ("source",), {"p": 14})
+    got = {r["source"]: r["n_items"] for r in blobs.collect()}
+    assert set(got) == {"a", None}
+    assert got[None] == 75 + 100
+    from sgp_sketch.kernels import registry
+    by_key = {r["source"]: registry.from_bytes(bytes(r["state"])).estimate()
+              for r in blobs.collect()}
+    assert abs(by_key[None] - 125) / 125 < 0.05

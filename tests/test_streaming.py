@@ -369,3 +369,32 @@ def test_interval_ms_parses_spark_interval_subset():
     assert _interval_ms("2 days") == 2 * 86400000
     assert _interval_ms("30 minutes") == 30 * 60000
     assert _interval_ms("1 week") == 7 * 86400000
+
+
+def test_compact_state_gc_orphan_snapshot_dirs(spark, stream_input, tmp_path):
+    """A crash between snapshot write and marker commit leaves an orphan
+    negative dir; once later batches change the fold set, no future
+    compaction would ever fold OR delete it — it must be GC'd up front."""
+    import os
+    import shutil
+
+    state_dir = str(tmp_path / "gcstate")
+    q = streaming.stream_sketch_build(
+        spark, stream_input, state_dir, SPECS,
+        checkpoint_dir=str(tmp_path / "gcckpt"), available_now=True,
+        reader_options={"maxFilesPerTrigger": 1})
+    q.awaitTermination(120)
+    baseline = {(r["source"], r["sketch"]): bytes(r["state"])
+                for r in streaming.streamed_estimates(spark,
+                                                      state_dir).collect()}
+    src_dir = next(os.path.join(state_dir, d) for d in os.listdir(state_dir)
+                   if d.startswith("batch_id=") and "=-" not in d)
+    orphan = os.path.join(state_dir, "batch_id=-99")
+    shutil.copytree(src_dir, orphan)
+    out = streaming.compact_state(spark, state_dir)
+    assert out["folded"] >= 2
+    assert not os.path.exists(orphan), "orphan snapshot dir leaked"
+    got = {(r["source"], r["sketch"]): bytes(r["state"])
+           for r in streaming.streamed_estimates(spark,
+                                                 state_dir).collect()}
+    assert got == baseline
