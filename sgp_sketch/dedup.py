@@ -190,6 +190,13 @@ def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", sig_col: str = "sig",
     """
     from pyspark.sql import functions as F
 
+    if bands < 1 or k % bands:
+        # r = k//bands = 0 would hash the EMPTY slice identically for
+        # every doc (one universal bucket per band); a non-divisible k
+        # silently ignores the last k - bands*(k//bands) signature
+        # entries and changes the documented recall curve
+        raise ValueError(f"k must be a positive multiple of bands "
+                         f"(got k={k}, bands={bands})")
     r = k // bands
     band_hash = F.array(*[
         F.xxhash64(F.lit(b), F.concat_ws(",", F.transform(
@@ -238,6 +245,11 @@ def minhash_near_duplicates(df, id_col: str = "doc_id",
 
     shingled = word_shingles(fan_out(df.select(id_col, text_col)),
                              text_col, n)
+    # docs with NO shingles (NULL/short text) all share the all-sentinel
+    # signature: every band would match, reporting unrelated short docs
+    # as perfect duplicates (est_jaccard 1.0) and forming one mega-bucket
+    # per band — they carry no n-gram evidence either way, so drop them
+    shingled = shingled.filter(F.size("shingles") > 0)
     sigs = minhash_signatures(shingled, k=k).select(id_col, "shingles",
                                                     "sig").cache()
     if caches is not None:
@@ -385,7 +397,11 @@ def simhash_near_duplicates(df, id_col: str = "doc_id",
 
     n_chunks = max_hamming + 1
     width = 64 // n_chunks  # top chunk absorbs the 64 % n_chunks remainder
-    fps = simhash_fingerprints(fan_out(df.select(id_col, tokens_col)),
+    # empty/NULL token arrays all fingerprint to 0 and would pairwise
+    # match at hamming 0 — no content, no evidence; drop them
+    src = df.select(id_col, tokens_col).filter(
+        F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
+    fps = simhash_fingerprints(fan_out(src),
                                id_col, tokens_col).select(id_col, "simhash")
     def chunk_expr(c):
         bits = 64 - c * width if c == n_chunks - 1 else width
@@ -430,7 +446,7 @@ def embedding_lsh_buckets(df, vec_col: str = "embedding",
 
         if not len(col):
             return pd.Series([], dtype=object)
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        mat = _stack_vectors(col)  # NULL embeddings get the clear error
         sigs = np.stack([hyperplane_signature(mat, n_planes, seed + t)
                          for t in range(n_tables)], axis=1)
         return pd.Series(list(sigs))

@@ -156,7 +156,9 @@ def equi_width_histogram(df, value_col: str = "value",
     b = F.least(F.greatest(F.floor((v - F.lit(float(lo))) / F.lit(w)),
                            F.lit(0)),
                 F.lit(int(nbins) - 1)).cast("bigint")
-    return (df.filter(v.isNotNull())
+    # NaN passes isNotNull and floor(NaN) casts to bucket 0, poisoning
+    # that bucket's avg — exclude non-finite values like the kernels do
+    return (df.filter(v.isNotNull() & ~F.isnan(v.cast("double")))
             .groupBy(b.alias("bucket"))
             .agg(F.round(F.lit(float(lo)) + F.col("bucket") * F.lit(w), 6)
                  .alias("lo_edge"),
@@ -189,8 +191,13 @@ def zscore_day_anomalies(df, ts_col: str = "ts", thresh: float = 1.5):
             .agg(F.count(F.lit(1)).alias("n_events")))
     tot = Window.rowsBetween(Window.unboundedPreceding,
                              Window.unboundedFollowing)
-    z = F.round((F.col("n_events") - F.avg("n_events").over(tot))
-                / F.stddev_samp("n_events").over(tot), 6)
+    sd = F.stddev_samp("n_events").over(tot)
+    # constant series (stddev 0) or a single day (stddev NULL) must read
+    # as "no anomaly": 0/0 = NaN and Spark orders NaN above every number,
+    # so an unguarded z would flag EVERY day of a perfectly steady ingest
+    z = F.when(sd > 0,
+               F.round((F.col("n_events") - F.avg("n_events").over(tot))
+                       / sd, 6)).otherwise(F.lit(0.0))
     return (days.select(F.col("day"), F.col("n_events"), z.alias("z"))
             .select("day", "n_events", "z",
                     (F.abs(F.col("z")) > F.lit(float(thresh)))
@@ -229,9 +236,15 @@ def psi_drift(df, value_col: str, group_col: str, group_a, group_b,
            .agg(F.sum(is_a).alias("_ca"), F.sum(1 - is_a).alias("_cb")))
     tot = Window.rowsBetween(Window.unboundedPreceding,
                              Window.unboundedFollowing)
-    p = F.greatest(F.col("_ca") / F.sum("_ca").over(tot),
+    # an EMPTY group would make the ratio 0/0 — a DIVIDE_BY_ZERO error
+    # under ANSI mode, NaN otherwise (and greatest(NaN, eps) is NaN, so a
+    # `psi > 0.25` gate would fire spuriously). try_divide yields NULL in
+    # both modes; greatest skips NULLs, so the eps floor applies and PSI
+    # vs a missing group comes back finite and loud (every bin
+    # contributes the eps-vs-p term).
+    p = F.greatest(F.try_divide(F.col("_ca"), F.sum("_ca").over(tot)),
                    F.lit(float(eps)))
-    q = F.greatest(F.col("_cb") / F.sum("_cb").over(tot),
+    q = F.greatest(F.try_divide(F.col("_cb"), F.sum("_cb").over(tot)),
                    F.lit(float(eps)))
     term = (p - q) * F.log(p / q)
     return (cnt.select(term.alias("_t"),

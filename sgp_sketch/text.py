@@ -317,11 +317,17 @@ def hash_split(df, weights=None, id_col: str = "doc_id", salt: str = "",
     from pyspark.sql import functions as F
 
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {weights}")
     names = list(weights)
     cuts, cum = [], 0.0
     for name in names[:-1]:
         cum += weights[name]
-        cuts.append((name, format(int(cum * 16 ** 6), "06x")))
+        # clamp: a cumulative weight reaching 1.0 would format to the
+        # 7-char "1000000", corrupting the 6-char lexicographic compare
+        # (possible with a zero-weight tail split, e.g. test: 0.0)
+        cuts.append((name, format(min(int(cum * 16 ** 6), 16 ** 6 - 1),
+                                  "06x")))
     prefix = F.substring(
         F.md5(F.concat_ws("", F.col(id_col).cast("string"), F.lit(salt))),
         1, 6)
@@ -429,7 +435,11 @@ def redact_terms(df, terms, text_col: str = "text",
     # the standard \b-denylist semantics (kept because the DuckDB
     # oracle's RE2 engine has no lookaround alternative)
     pat = r"\b(?:" + "|".join(_re.escape(t) for t in terms) + r")\b"
-    hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+    # size(NULL array) is -1 under non-ANSI Spark: a NULL text row would
+    # SUBTRACT one redaction from the group total — count it as 0 hits
+    hits = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        F.lit(0))
     red = F.regexp_replace(F.col(text_col), pat, token)
     per_doc = df.select(
         F.col(group_col).alias("grp"),

@@ -468,3 +468,41 @@ def test_ann_lsh_multiprobe_recall_dominates_single(spark, planted_vectors):
         multi_hits += len(m & truth)
     assert multi_hits >= single_hits        # probe superset ⇒ recall ≥
     assert multi_hits > 0
+
+
+def test_minhash_short_docs_are_not_universal_duplicates(spark):
+    """Docs with zero shingles (short/NULL text) share the all-sentinel
+    signature; they must not be reported as perfect duplicate pairs."""
+    from sgp_sketch.dedup import minhash_near_duplicates
+
+    df = spark.createDataFrame(
+        [("a", "the"), ("b", "ok bye"), ("c", None),
+         ("d", "one two three four five six seven eight nine ten"),
+         ("e", "one two three four five six seven eight nine ten")],
+        "doc_id string, text string")
+    pairs = minhash_near_duplicates(df, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert got == {("d", "e")}
+
+
+def test_simhash_empty_docs_are_not_duplicates(spark):
+    from sgp_sketch.dedup import simhash_near_duplicates
+
+    df = spark.createDataFrame(
+        [("a", []), ("b", []), ("c", None),
+         ("d", list(range(100))), ("e", list(range(100)))],
+        "doc_id string, tokens array<long>")
+    pairs = simhash_near_duplicates(df, max_hamming=3).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert got == {("d", "e")}
+
+
+def test_lsh_rejects_indivisible_bands(spark):
+    from sgp_sketch.dedup import lsh_candidate_pairs
+
+    sig_df = spark.createDataFrame([("a", [1, 2, 3, 4])],
+                                   "doc_id string, sig array<long>")
+    with pytest.raises(ValueError, match="multiple of bands"):
+        lsh_candidate_pairs(sig_df, bands=3, k=4).collect()
+    with pytest.raises(ValueError, match="multiple of bands"):
+        lsh_candidate_pairs(sig_df, bands=100, k=64).collect()

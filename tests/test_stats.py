@@ -160,3 +160,47 @@ def test_psi_empty_bin_smoothing_finite(spark):
                   nbins=2).collect()[0]
     import math
     assert math.isfinite(r.psi) and r.psi > 0
+
+
+def test_zscore_constant_series_flags_nothing(spark):
+    """A perfectly steady ingest (stddev 0) must read 'no anomaly' — the
+    unguarded 0/0 z is NaN, which Spark orders above every threshold."""
+    from sgp_sketch.stats import zscore_day_anomalies
+
+    df = spark.createDataFrame(
+        [(f"2024-01-0{d} 00:00:0{i}",) for d in range(1, 6)
+         for i in range(3)],
+        "ts string").selectExpr("cast(ts as timestamp) ts")
+    out = zscore_day_anomalies(df).collect()
+    assert len(out) == 5
+    assert all(r["z"] == 0.0 and r["is_anomaly"] == 0 for r in out)
+    # single-day input: stddev_samp is NULL — same contract
+    one = zscore_day_anomalies(
+        df.limit(3)).collect()
+    assert len(one) == 1 and one[0]["is_anomaly"] == 0
+
+
+def test_psi_empty_group_is_finite_and_loud(spark):
+    """PSI vs a missing/misspelled group must come back finite (the eps
+    floor), never NaN (NaN > any_gate is TRUE in Spark)."""
+    import math
+
+    from sgp_sketch.stats import psi_drift
+
+    df = spark.createDataFrame(
+        [(float(i % 10), "a") for i in range(100)],
+        "v double, g string")
+    row = psi_drift(df, "v", "g", "a", "NOPE", lo=0.0, hi=10.0).first()
+    assert row["n_b"] == 0
+    assert row["psi"] is not None and math.isfinite(row["psi"])
+    assert row["psi"] > 0.25  # loud: reads as maximal drift
+
+
+def test_histogram_excludes_nan(spark):
+    from sgp_sketch.stats import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (float("nan"),), (None,)], "v double")
+    out = equi_width_histogram(df, "v", lo=0.0, hi=4.0, nbins=4).collect()
+    assert sum(r["n"] for r in out) == 2
+    assert all(r["avg_value"] == r["avg_value"] for r in out)  # no NaN

@@ -428,3 +428,35 @@ def test_redact_terms_empty_denylist_is_noop(spark):
     assert out["s1"].n_redactions == 0 and out["s1"].docs_hit == 0
     assert out["s1"].chars_removed == 0 and out["s1"].n_docs == 1
     assert out["s2"].n_redactions == 0
+
+
+def test_redact_terms_null_text_counts_zero(spark):
+    """size(regexp_extract_all(NULL)) is -1 in non-ANSI Spark: a NULL text
+    row must contribute 0 redactions, not subtract one."""
+    from sgp_sketch.text import redact_terms
+
+    df = spark.createDataFrame(
+        [("s", "the password is secret and secret"), ("s", None)],
+        "source string, text string")
+    row = redact_terms(df, ["secret"]).first()
+    assert row["n_redactions"] == 2
+    assert row["docs_hit"] == 1
+    assert row["n_docs"] == 2
+
+
+def test_hash_split_zero_weight_tail(spark):
+    """A zero-weight tail split (cum weight reaches 1.0) must not corrupt
+    the 6-char hex compare — 'val' keeps its mass, 'test' gets ~none."""
+    from sgp_sketch.text import hash_split
+
+    df = spark.range(2000).selectExpr("cast(id as string) doc_id")
+    got = {r["split"]: r["n"] for r in
+           hash_split(df, {"train": 0.9, "val": 0.1, "test": 0.0})
+           .groupBy("split").count().withColumnRenamed("count", "n")
+           .collect()}
+    assert got.get("test", 0) <= 1
+    assert abs(got["train"] - 1800) < 120
+    assert abs(got.get("val", 0) - 200) < 80
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, {"a": 0.5, "b": 0.2})
