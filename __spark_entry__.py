@@ -3143,15 +3143,21 @@ def oracle_sql() -> dict[str, str]:
         "degree_profile": """
             WITH e AS (SELECT DISTINCT l_suppkey AS src,
                                        l_partkey AS dst FROM lineitem),
+            nv AS (SELECT COUNT(DISTINCT v) AS n_vertices FROM (
+                       SELECT src AS v FROM e
+                       UNION ALL SELECT dst FROM e)),
             deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
-            hist AS (SELECT d, COUNT(*) AS n FROM deg GROUP BY d)
-            SELECT CAST(SUM(n) AS BIGINT) AS n_vertices,
-                   CAST(SUM(d * n) AS BIGINT) AS n_edges,
-                   MAX(d) AS max_degree,
-                   ROUND(CAST(SUM(d * n) AS DOUBLE) / SUM(n), 6)
+            hist AS (SELECT d, COUNT(*) AS n FROM deg GROUP BY d),
+            agg AS (SELECT CAST(SUM(d * n) AS BIGINT) AS n_edges,
+                           MAX(d) AS max_degree,
+                           ROUND(regr_slope(ln(n), ln(d)), 6)
+                               AS loglog_slope
+                    FROM hist)
+            SELECT nv.n_vertices, agg.n_edges, agg.max_degree,
+                   ROUND(CAST(agg.n_edges AS DOUBLE) / nv.n_vertices, 6)
                        AS avg_degree,
-                   ROUND(regr_slope(ln(n), ln(d)), 6) AS loglog_slope
-            FROM hist WHERE d > 0
+                   agg.loglog_slope
+            FROM agg, nv
         """,
         "dup_windows": """
             WITH t AS (SELECT doc_id, source,

@@ -92,35 +92,44 @@ def pagerank(edges, iters: int = 20, damping: float = 0.85,
     verts = (edges.select(F.col(src).alias("id"))
              .unionByName(edges.select(F.col(dst).alias("id")))
              .distinct().cache())
-    n = verts.count()
     deg = edges.groupBy(src).agg(F.count("*").alias("deg")).cache()
-    has_dangling = verts.join(deg.withColumnRenamed(src, "id"), "id",
-                              "left_anti").limit(1).count() > 0
-    ranks = verts.withColumn("rank", F.lit(1.0 / n))
-    for i in range(iters):
-        contribs = (edges.join(deg, src)
-                    .join(ranks.withColumnRenamed("id", src), src)
-                    .select(F.col(dst).alias("id"),
-                            (F.col("rank") / F.col("deg")).alias("c")))
-        summed = contribs.groupBy("id").agg(F.sum("c").alias("s"))
-        if has_dangling:
-            # dangling vertices leak mass; redistribute uniformly (one
-            # driver-side scalar per iteration — skipped entirely for
-            # graphs with full out-degree, e.g. any undirected graph)
-            linked_mass = (ranks.join(deg.withColumnRenamed(src, "id"),
-                                      "id", "left_semi")
-                           .agg(F.sum("rank")).collect()[0][0] or 0.0)
-            dangling = 1.0 - linked_mass
-        else:
-            dangling = 0.0
-        base = (1.0 - damping) / n + damping * dangling / n
-        ranks = (verts.join(summed, "id", "left")
-                 .select("id", (F.lit(base) + F.lit(damping)
-                                * F.coalesce(F.col("s"), F.lit(0.0)))
-                         .alias("rank")))
-        if (i + 1) % 5 == 0:
-            ranks = ranks.localCheckpoint(eager=True)  # cut lineage
-    return ranks
+    try:
+        n = verts.count()
+        has_dangling = verts.join(deg.withColumnRenamed(src, "id"), "id",
+                                  "left_anti").limit(1).count() > 0
+        ranks = verts.withColumn("rank", F.lit(1.0 / n))
+        for i in range(iters):
+            contribs = (edges.join(deg, src)
+                        .join(ranks.withColumnRenamed("id", src), src)
+                        .select(F.col(dst).alias("id"),
+                                (F.col("rank") / F.col("deg")).alias("c")))
+            summed = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+            if has_dangling:
+                # dangling vertices leak mass; redistribute uniformly (one
+                # driver-side scalar per iteration — skipped entirely for
+                # graphs with full out-degree, e.g. any undirected graph)
+                linked_mass = (ranks.join(deg.withColumnRenamed(src, "id"),
+                                          "id", "left_semi")
+                               .agg(F.sum("rank")).collect()[0][0] or 0.0)
+                dangling = 1.0 - linked_mass
+            else:
+                dangling = 0.0
+            base = (1.0 - damping) / n + damping * dangling / n
+            ranks = (verts.join(summed, "id", "left")
+                     .select("id", (F.lit(base) + F.lit(damping)
+                                    * F.coalesce(F.col("s"), F.lit(0.0)))
+                             .alias("rank")))
+            if (i + 1) % 5 == 0:
+                ranks = ranks.localCheckpoint(eager=True)  # cut lineage
+        # the final ranks are localCheckpoint/lineage-backed, so the
+        # cached inputs can be released (every sibling iterative function
+        # here unpersists in try/finally)
+        if (iters % 5) != 0 or iters == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+        return ranks
+    finally:
+        verts.unpersist()
+        deg.unpersist()
 
 
 def connected_components(edges, max_iters: int = 50,
@@ -394,13 +403,18 @@ def partition_quality(edges, assign, src: str = "src", dst: str = "dst",
     tot = per_c.agg((F.sum("d_c") / 2).alias("m"))
     q = F.sum(F.col("e_c") / F.col("m")
               - (F.col("d_c") / (2 * F.col("m"))) ** 2)
+    # global agg (no groupBy) so the contract one-row shape survives an
+    # EMPTY per_c (no edge with both endpoints assigned): metrics come
+    # back NULL but n_unassigned still reports — a groupBy("m") over
+    # zero rows would silently return a zero-row frame instead
     return (per_c.crossJoin(F.broadcast(tot))
-            .groupBy("m")
-            .agg(F.sum("e_c").alias("_intra"), q.alias("modularity"))
+            .agg(F.max("m").alias("m"),
+                 F.sum("e_c").alias("_intra"), q.alias("modularity"))
             .crossJoin(F.broadcast(miss))
-            .select(F.col("m").cast("long").alias("n_edges"),
-                    (F.col("m") - F.col("_intra")).cast("long")
-                    .alias("n_cut"),
+            .select(F.coalesce(F.col("m").cast("long"), F.lit(0))
+                    .alias("n_edges"),
+                    F.coalesce((F.col("m") - F.col("_intra")).cast("long"),
+                               F.lit(0)).alias("n_cut"),
                     ((F.col("m") - F.col("_intra")) / F.col("m"))
                     .alias("cut_ratio"),
                     "modularity", "n_unassigned"))
@@ -417,23 +431,33 @@ def degree_profile(edges, src: str = "src", dst: str = "dst"):
 
     Shape: one degree aggregation keyed by vertex, one histogram
     aggregation keyed by degree (output ≤ max_degree rows), then a
-    single-row fold with `regr_slope` over the log-log histogram.
+    single-row fold with `regr_slope` over the log-log histogram; the
+    TRUE vertex count (sources ∪ sinks — a directed graph's sink
+    vertices have out-degree 0 and never appear in the out-degree
+    histogram) rides in as a broadcast one-row crossJoin.
     Nothing bigger than the degree histogram ever sits in one task.
 
     → one row: (n_vertices, n_edges, max_degree, avg_degree,
-    loglog_slope) — doubles rounded to 6 decimals.
+    loglog_slope) — avg_degree = m / n over the true n; the log-log
+    slope is over the out-degree ≥ 1 histogram (log 0 is undefined);
+    doubles rounded to 6 decimals.
     """
     from pyspark.sql import functions as F
 
+    nv = (edges.select(F.col(src).alias("_v"))
+          .unionByName(edges.select(F.col(dst).alias("_v")))
+          .agg(F.count_distinct("_v").alias("n_vertices")))
     deg = (edges.groupBy(F.col(src).alias("_v"))
            .agg(F.count(F.lit(1)).alias("_d")))
     hist = deg.groupBy("_d").agg(F.count(F.lit(1)).alias("_n"))
-    return (hist.filter(F.col("_d") > 0)
-            .agg(F.sum("_n").alias("n_vertices"),
-                 F.sum(F.col("_d") * F.col("_n")).alias("n_edges"),
+    return (hist
+            .agg(F.sum(F.col("_d") * F.col("_n")).alias("n_edges"),
                  F.max("_d").alias("max_degree"),
-                 F.round(F.sum(F.col("_d") * F.col("_n"))
-                         / F.sum("_n").cast("double"), 6)
-                  .alias("avg_degree"),
                  F.round(F.regr_slope(F.log("_n"), F.log("_d")), 6)
-                  .alias("loglog_slope")))
+                  .alias("loglog_slope"))
+            .crossJoin(F.broadcast(nv))
+            .select("n_vertices", "n_edges", "max_degree",
+                    F.round(F.col("n_edges")
+                            / F.col("n_vertices").cast("double"), 6)
+                    .alias("avg_degree"),
+                    "loglog_slope"))

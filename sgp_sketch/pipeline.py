@@ -72,9 +72,17 @@ def curate_corpus(docs, jaccard_threshold: float = 0.8,
     def _persist(df):
         return df.persist() if persist else df  # default MEMORY_AND_DISK
 
+    # NULL-text docs pass exact dedup unconditionally: md5(NULL) is NULL,
+    # so they would all collapse into ONE window partition and be deleted
+    # as "duplicates" of each other — same principle as
+    # dedup.dedup_exact_normalized's empty-key rule (the key says "the
+    # hash can't see this document", not "these are identical"); the
+    # quality gate downstream is what legitimately drops them
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    exact = _persist(docs.withColumn("_r", F.row_number().over(w))
-                     .filter(F.col("_r") == 1).drop("_r"))
+    exact = _persist(docs.withColumn(
+        "_r", F.when(F.col("text").isNull(), F.lit(1))
+               .otherwise(F.row_number().over(w)))
+        .filter(F.col("_r") == 1).drop("_r"))
 
     aux_caches: list = []
     pairs = dedup.minhash_near_duplicates(

@@ -60,6 +60,17 @@ def distinct_tokens(df, group_cols=("source",), value_col="tokens",
     est = _estimate_udf()
     out = blobs.select(*group_cols, est("state").alias("est_distinct"))
     if include_global:
+        from pyspark.sql.types import StringType
+
+        for c in group_cols:
+            if not isinstance(df.schema[c].dataType, StringType):
+                # the global row injects the string '__all__' into each
+                # group column; a non-string column would fail the union
+                # (or silently coerce the whole column to string)
+                raise TypeError(
+                    f"include_global needs string group columns; {c!r} is "
+                    f"{df.schema[c].dataType.simpleString()} — cast it or "
+                    "call with include_global=False and merge separately")
         gblob = agg.merge_across(blobs, group_cols=())
         gout = gblob.select(est("state").alias("est_distinct"))
         for c in group_cols:
@@ -141,13 +152,21 @@ def heavy_hitters(df, k: int = 20, value_col="tokens", group_cols=("source",),
             codes, mapping = agg._batch_columns(batch, group_cols)
             col = batch.column(value_col)
             flat, lens = agg._flatten_list_column(col)
+            tg = np.repeat(codes, lens) if len(mapping) > 1 else None
+            if flat.dtype.kind == "f":
+                # element-level nulls arrive as float64+NaN from Arrow:
+                # drop them (an astype would turn NaN into a garbage
+                # int64 token), same guard as agg.build_partials_multi
+                mask = ~np.isnan(flat)
+                flat = flat[mask].astype(np.int64)
+                if tg is not None:
+                    tg = tg[mask]
             if flat.size == 0:
                 continue
             if len(mapping) == 1:
                 uniq, counts = agg._unique_counts(flat)
                 ingest(mapping[min(mapping)], uniq, counts)
             else:
-                tg = np.repeat(codes, lens)
                 for g in sorted(mapping):
                     sel = flat[tg == g]
                     if sel.size == 0:
@@ -210,6 +229,12 @@ def heavy_hitters(df, k: int = 20, value_col="tokens", group_cols=("source",),
         merged = merged.withColumn(
             "part_id", (F.col("part_id") / F.lit(fanin)).cast("long"))
         merged = merged.groupBy(*group_cols, "part_id").applyInPandas(merge, schema)
+    # unconditional final collapse to part_id=0 (same invariant as
+    # agg.tree_merge): finalize reads ONE row per group — if the rounds
+    # estimate ever under-counted, a silent >1-row group would drop
+    # candidate data
+    merged = (merged.withColumn("part_id", F.lit(0).cast("long"))
+              .groupBy(*group_cols, "part_id").applyInPandas(merge, schema))
 
     # final: explode candidates, estimate with the merged CMS, rank, top-k
     def finalize(key, pdf):
@@ -411,9 +436,14 @@ def probe_membership(spark, blobs_df, probes, group_cols=("source",)):
         probes = spark.createDataFrame(
             [tuple(p) for p in probes], group_cols + ["token"])
 
+    cache: dict = {}  # per-task: deserialize blobs once, not per batch
+
     @pandas_udf("boolean")
     def probe(token: pd.Series, *gcols: pd.Series) -> pd.Series:
-        filters = {g: registry.from_bytes(b) for g, b in bc.value.items()}
+        filters = cache.get("f")
+        if filters is None:
+            filters = cache["f"] = {g: registry.from_bytes(b)
+                                    for g, b in bc.value.items()}
         keys = pd.MultiIndex.from_arrays(list(gcols)) if gcols else None
         out = np.zeros(len(token), dtype=bool)
         toks = token.to_numpy().astype(np.int64)

@@ -96,29 +96,36 @@ def asof_join(left, right, key_col: str = "user_id", ts_col: str = "ts",
                else F.lit(None))
         return [col.alias("_ord")]
 
+    # the right values ride in ONE struct, non-null exactly for right
+    # rows: last(ignorenulls) then skips left rows but never a right row
+    # whose individual value is legitimately NULL — per-column last()
+    # would mix fields from different right rows (row tearing) and
+    # resurrect stale values over a newer NULL
+    struct_t = ("struct<" + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}"
+        for c in value_cols) + ">")
     l = (left.withColumn("_side", F.lit(1))
          .withColumn("_ts", ts)
          .select(*lcols, "_side", "_ts",
-                 *[F.lit(None).cast(right.schema[c].dataType)
-                   .alias(f"_r_{c}") for c in value_cols],
+                 F.lit(None).cast(struct_t).alias("_r"),
                  *ord_from(left)))
     r = (right.withColumn("_side", F.lit(0))
          .withColumn("_ts", ts)
          .select(*[F.lit(None).cast(left.schema[c].dataType).alias(c)
                    if c != key_col else F.col(key_col) for c in lcols],
                  "_side", "_ts",
-                 *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+                 F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
                  *ord_from(right)))
     order = [F.col("_ts"), F.col("_side")]
     if order_col:
         order.append(F.col("_ord"))
     w = (Window.partitionBy(key_col).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    u = l.unionByName(r)
+    u = (l.unionByName(r)
+         .withColumn("_last", F.last("_r", ignorenulls=True).over(w)))
     for c in value_cols:
-        u = u.withColumn(f"{c}{suffix}",
-                         F.last(f"_r_{c}", ignorenulls=True).over(w))
-    drop = ["_side", "_ts", *[f"_r_{c}" for c in value_cols]]
+        u = u.withColumn(f"{c}{suffix}", F.col("_last")[c])
+    drop = ["_side", "_ts", "_r", "_last"]
     if order_col:
         drop.append("_ord")
     return u.filter(F.col("_side") == 1).drop(*drop)
@@ -140,12 +147,18 @@ def windowed_range_join(left, right, window_seconds: int,
     BroadcastNestedLoopJoin is |A|x|B|."""
     from pyspark.sql import functions as F
 
+    if int(window_seconds) < 0:
+        raise ValueError(f"window_seconds must be >= 0, got {window_seconds}")
+    # w = 0 legitimately means "simultaneous events", but the bin width
+    # w_us would be 0 (DIVIDE_BY_ZERO under ANSI): bin at 1 µs instead —
+    # the |Δt| ≤ 0 refinement below is unchanged and exact
     w_us = int(window_seconds) * 1_000_000
+    bin_us = max(w_us, 1)
     lus = F.unix_micros(F.col(ts_col).cast("timestamp"))
     l = left.withColumn("_us", lus).withColumn(
-        "_bin", F.floor(F.col("_us") / w_us))
+        "_bin", F.floor(F.col("_us") / bin_us))
     r = (right.withColumn("_rus", lus)
-         .withColumn("_rbin", F.floor(F.col("_rus") / w_us))
+         .withColumn("_rbin", F.floor(F.col("_rus") / bin_us))
          .select(F.col(key_col), "_rus",
                  F.explode(F.array(F.col("_rbin") - 1, F.col("_rbin"),
                                    F.col("_rbin") + 1)).alias("_bin"),

@@ -209,13 +209,42 @@ def test_degree_profile_known_graph(spark):
 
     from sgp_sketch.graph import degree_profile
 
-    # degrees: v1->3 edges, v2->3, v3->1 : hist {3: 2, 1: 1}
+    # out-degrees: v1->3 edges, v2->3, v3->1 : hist {3: 2, 1: 1};
+    # true vertex set = {1,2,3} ∪ {10,11,12,13} = 7 (sinks count)
     edges = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 13),
              (3, 10)]
     df = spark.createDataFrame(edges, "src long, dst long")
     r = degree_profile(df).collect()[0]
-    assert r.n_vertices == 3 and r.n_edges == 7 and r.max_degree == 3
-    assert abs(r.avg_degree - round(7 / 3, 6)) <= 1e-6
+    assert r.n_vertices == 7 and r.n_edges == 7 and r.max_degree == 3
+    assert abs(r.avg_degree - 1.0) <= 1e-6
     # slope of {(ln1, ln1), (ln3, ln2)} = (ln2-ln1)/(ln3-ln1)... exact:
     want = (math.log(2) - math.log(1)) / (math.log(3) - math.log(1))
     assert abs(r.loglog_slope - round(want, 6)) <= 1e-6
+
+
+def test_partition_quality_all_unassigned_keeps_one_row(spark):
+    """No edge with both endpoints assigned must still produce the
+    documented one-row shape with n_unassigned visible."""
+    from sgp_sketch.graph import partition_quality
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assign = spark.createDataFrame([(99, 0)], "id long, part int")
+    rows = partition_quality(edges, assign).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_unassigned"] == 1
+    assert r["n_edges"] == 0 and r["n_cut"] == 0
+
+
+def test_degree_profile_counts_sink_vertices(spark):
+    """n_vertices is the TRUE vertex count (sources ∪ sinks), not just
+    vertices with out-degree >= 1."""
+    from sgp_sketch.graph import degree_profile
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long")
+    r = degree_profile(edges).first()
+    assert r["n_vertices"] == 3
+    assert r["n_edges"] == 3
+    assert r["max_degree"] == 2
+    assert abs(r["avg_degree"] - 1.0) < 1e-9

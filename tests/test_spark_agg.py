@@ -278,3 +278,28 @@ def test_null_group_keys_get_their_own_sketch(spark):
     by_key = {r["source"]: registry.from_bytes(bytes(r["state"])).estimate()
               for r in blobs.collect()}
     assert abs(by_key[None] - 125) / 125 < 0.05
+
+
+def test_heavy_hitters_ignores_null_token_elements(spark):
+    """A NULL element inside a token array arrives as NaN through Arrow;
+    it must be dropped, not cast to a garbage int64 candidate."""
+    from sgp_sketch import queries
+
+    df = spark.createDataFrame(
+        [("s", [1, 1, 1, None, 2]), ("s", [1, None, None, 3])],
+        "source string, tokens array<long>")
+    out = queries.heavy_hitters(df, k=5).toPandas()
+    assert set(out["token"]) == {1, 2, 3}
+    top = out[out["rank"] == 1].iloc[0]
+    assert top["token"] == 1 and top["est_count"] == 4
+
+
+def test_distinct_tokens_global_rejects_nonstring_groups(spark):
+    from sgp_sketch import queries
+
+    df = spark.createDataFrame([(1, [1, 2])], "day int, tokens array<long>")
+    with pytest.raises(TypeError, match="string group columns"):
+        queries.distinct_tokens(df, group_cols=("day",), include_global=True)
+    # non-global path works fine with int group cols
+    assert queries.distinct_tokens(
+        df, group_cols=("day",), include_global=False).count() == 1

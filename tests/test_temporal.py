@@ -108,3 +108,36 @@ def test_asof_join_duplicate_right_ts_deterministic(spark):
         out = asof_join(left, r, value_cols=("value",),
                         order_col="event_id").collect()
         assert out[0].value_asof == 100.0  # event_id 7 > 3 → its value
+
+
+def test_asof_join_no_row_tearing_on_null_values(spark):
+    """The as-of values must come from ONE right row: a newer right row
+    with a NULL field must not resurrect the older row's value for that
+    field while taking the newer row's other fields."""
+    from sgp_sketch.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:10", 5.0, 2.0),
+         ("u", "2024-01-01 00:00:20", None, 3.0)],
+        "user_id string, ts string, a double, b double")
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:30")], "user_id string, ts string")
+    row = asof_join(left, right, value_cols=("a", "b")).first()
+    assert row["a_asof"] is None  # the LATEST right row's a, which is NULL
+    assert row["b_asof"] == 3.0
+
+
+def test_windowed_range_join_zero_window_is_equality(spark):
+    from sgp_sketch.temporal import windowed_range_join
+
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:10"), ("u", "2024-01-01 00:00:20")],
+        "user_id string, ts string")
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:10", 1), ("u", "2024-01-01 00:00:11", 2)],
+        "user_id string, ts string, v int")
+    got = windowed_range_join(left, right, 0, right_cols=("v",)).collect()
+    assert len(got) == 1 and got[0]["r_v"] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=">= 0"):
+        windowed_range_join(left, right, -1)

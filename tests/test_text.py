@@ -460,3 +460,21 @@ def test_hash_split_zero_weight_tail(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, {"a": 0.5, "b": 0.2})
+
+
+def test_curate_corpus_null_text_not_mass_deduped(spark):
+    """NULL-text docs must pass exact dedup unconditionally (md5(NULL)
+    would collapse them into one 'duplicate' group) and die at the
+    quality gate instead, so the funnel attributes the drop honestly."""
+    from sgp_sketch.pipeline import curate_corpus
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [("a", "s", long_text, len(long_text)),
+         ("b", "s", None, 0), ("c", "s", None, 0), ("d", "s", None, 0)],
+        "doc_id string, source string, text string, n_chars long")
+    out = curate_corpus(docs, min_words=5, max_words=100,
+                        sample_per_source=10, persist=False)
+    funnel = out["funnel"].collect()[0]
+    assert funnel["n_exact"] == 4   # nothing removed as an exact dup
+    assert funnel["n_quality"] == 1  # NULLs die at the quality gate
