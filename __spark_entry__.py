@@ -447,7 +447,10 @@ def q_langid_heuristic(spark, sf_dir):
 def q_langid_ngram(spark, sf_dir):
     """Character-n-gram language-ID (Cavnar-Trenkle-style profiles trained
     and applied declaratively — no UDF): confusion matrix vs the labeled
-    lang column."""
+    lang column. ORACLE-CHECKED: the whole train+classify pipeline is
+    deterministic (document-frequency-ranked top-100 trigrams, (count
+    DESC, gram) tie-break; overlap/|profile| argmax with lowest-label
+    tie-break), so DuckDB replays it end to end."""
     from sgp_sketch import text as T
 
     _views(spark, sf_dir)
@@ -616,24 +619,28 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
 
 def q_cosine_pairs(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (brute force, the ground truth
-    the LSH path approximates) — JVM zip_with/aggregate, no Python."""
+    the LSH path approximates) — vectorized block matmul (one BLAS call
+    per partition against the broadcast normalized matrix,
+    dedup.exact_cosine_pairs). Replaced the interpreted zip_with/
+    aggregate fold that made this the slowest contract query at sf0.1
+    (~n²·d per-element lambda steps on the JVM)."""
+    from sgp_sketch import dedup
+
     _views(spark, sf_dir)
-    return spark.sql("""
-        WITH n AS (
-            SELECT vec_id, embedding,
-                   sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
-                                  (a, x) -> a + x * x)) AS nrm
-            FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(aggregate(zip_with(a.embedding, b.embedding,
-                                        (x, y) -> x * y),
-                               CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-                     / (a.nrm * b.nrm), 3) AS cosine
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
-        WHERE aggregate(zip_with(a.embedding, b.embedding, (x, y) -> x * y),
-                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-              / (a.nrm * b.nrm) >= 0.35
-    """)
+    return dedup.exact_cosine_pairs(spark.table("embeddings"))
+
+
+def q_cosine_pairs_blocked(spark, sf_dir):
+    """The beyond-one-node all-pairs path: O(√R)-replication block-pair
+    GEMM (dedup.exact_cosine_pairs_blocked) — no driver collect, no
+    full-matrix broadcast; rows replicate n_blocks ways and every
+    (bi ≤ bj) block pair is one applyInPandas BLAS call. Same oracle as
+    cosine_pairs: the driver hash-checks that the distributed scheme is
+    value-identical to the exact answer."""
+    from sgp_sketch import dedup
+
+    _views(spark, sf_dir)
+    return dedup.exact_cosine_pairs_blocked(spark.table("embeddings"))
 
 
 def _ivf_centroids_cached(emb, sf_dir):
@@ -2757,6 +2764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_passthrough": q_token_passthrough,
         "theta_bounds_check": q_theta_bounds_check,
         "bpe_merges": q_bpe_merges,
+        # --- changed/added late in round 4 (keep inside the window) ---
+        "cosine_pairs_blocked": q_cosine_pairs_blocked,
+        "cosine_pairs": q_cosine_pairs,
+        "langid_ngram": q_langid_ngram,
         # --- previously adjudicated (r03 first, then r02/r01) ---
         "zipf_slope": q_zipf_slope,
         "mad_outliers": q_mad_outliers,
@@ -2830,7 +2841,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_distinct_users": q_daily_distinct_users,
         "hll_daily_users": q_hll_daily_users,
         "langid_heuristic": q_langid_heuristic,
-        "langid_ngram": q_langid_ngram,
         "stratified_sample": q_stratified_sample,
         "quality_score": q_quality_score,
         "dedup_exact": q_dedup_exact,
@@ -2843,7 +2853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_dupes": q_minhash_verified_dupes,
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_bucket_pairs": q_embedding_bucket_pairs,
-        "cosine_pairs": q_cosine_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3693,6 +3702,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents) t
             GROUP BY source, pred_lang
         """,
+        # Exact replay of train_language_profiles + classify_language
+        # (sgp_sketch/text.py): trigram extraction, document-frequency
+        # ranking with (count DESC, gram) tie-break, overlap/|profile|
+        # scoring, lowest-label argmax.  Scores are int/int doubles, so
+        # both engines agree bitwise.  MATERIALIZED keeps DuckDB from
+        # inlining the trigram CTEs (see bpe oracle note).
+        "langid_ngram": """
+            WITH grams AS MATERIALIZED (
+              SELECT lang AS label, unnest(
+                CASE WHEN text IS NULL OR length(lower(text)) < 3
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE list_distinct(list_transform(
+                            range(1, length(lower(text)) - 1),
+                            i -> substr(lower(text), CAST(i AS INT), 3)))
+                END) AS g
+              FROM documents WHERE lang IS NOT NULL),
+            counts AS (SELECT label, g, count(*) AS c FROM grams
+                       GROUP BY 1, 2),
+            ranked AS (SELECT label, g,
+                              row_number() OVER (PARTITION BY label
+                                  ORDER BY c DESC, g) AS r
+                       FROM counts),
+            profiles AS MATERIALIZED (
+              SELECT label, list(g) AS pg, count(*) AS plen
+              FROM ranked WHERE r <= 100 GROUP BY label),
+            docs AS MATERIALIZED (
+              SELECT lang,
+                CASE WHEN text IS NULL OR length(lower(text)) < 3
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE list_distinct(list_transform(
+                            range(1, length(lower(text)) - 1),
+                            i -> substr(lower(text), CAST(i AS INT), 3)))
+                END AS dg,
+                row_number() OVER () AS rid
+              FROM documents WHERE lang IS NOT NULL),
+            scored AS (
+              SELECT d.rid, d.lang, p.label,
+                     CAST(len(list_intersect(d.dg, p.pg)) AS DOUBLE)
+                         / p.plen AS score
+              FROM docs d CROSS JOIN profiles p),
+            pred AS (
+              SELECT rid, lang, label AS pred_lang,
+                     row_number() OVER (PARTITION BY rid
+                         ORDER BY score DESC, label) AS rn
+              FROM scored)
+            SELECT lang, pred_lang, count(*) AS n
+            FROM pred WHERE rn = 1 GROUP BY 1, 2
+        """,
         "stratified_sample": """
             SELECT source, LEAST(10, COUNT(*)) AS n_sampled
             FROM documents GROUP BY source
@@ -3771,6 +3828,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.8
         """,
         "cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 3)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        # same exact answer: the blocked distributed scheme must be
+        # value-identical to the broadcast one
+        "cosine_pairs_blocked": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(a.embedding, b.embedding), 3)
                        AS cosine

@@ -949,3 +949,141 @@ def ann_topk_lsh_multiprobe(df, query_vec, id_col: str = "vec_id",
             .groupBy(id_col).agg(F.max("cosine").alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))
+
+
+def exact_cosine_pairs(df, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       threshold: float = 0.35, round_to: int = 3):
+    """All-pairs exact cosine pairs above `threshold` — the brute-force
+    ground truth that the LSH / IVF / PQ approximate paths are validated
+    against (reference analog: the exact baselines its experiment grids
+    compare engines on, run_experiments.py).
+
+    Block-matmul shape: the full L2-normalized matrix is broadcast once
+    (n × d float64 — all-pairs output is O(n²), so this operator is only
+    meaningful when one node can hold the matrix; at corpus scale use
+    embedding_near_duplicates / the ANN indexes, whose recall THIS
+    operator's output gates), and each input partition computes
+    `block @ full.T` as one BLAS call inside mapInPandas, emitting the
+    (id_a < id_b, cosine ≥ threshold) upper triangle. Replaces an
+    interpreted per-element zip_with/aggregate fold that evaluated
+    ~n²·d lambda steps on the JVM — the full pair loop now runs in
+    vectorized native code.
+
+    Rows with NULL embeddings are filtered (they carry no geometry);
+    zero-norm vectors produce NaN cosines, which fail the ≥ threshold
+    test and drop out — the same outcome as the SQL fold. Thresholding
+    happens on the UNROUNDED value; rounding is output-only (same
+    edge-of-threshold discipline as the Jaccard paths).
+
+    → DataFrame(id_a, id_b, cosine double), id_a < id_b.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = df.select(id_col, vec_col).filter(
+        F.col(vec_col).isNotNull())
+    pdf = rows.toPandas()
+    ids_all = pdf[id_col].to_numpy()
+    X_all = _stack_vectors(pdf[vec_col])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Xn_all = X_all / np.linalg.norm(X_all, axis=1, keepdims=True)
+    bc = rows.sparkSession.sparkContext.broadcast((ids_all, Xn_all))
+    id_sql_type = dict(df.dtypes)[id_col]
+
+    def blocks(it):
+        ids_r, Xn_r = bc.value
+        for block in it:
+            if not len(block):
+                continue
+            bids = block[id_col].to_numpy()
+            Xb = _stack_vectors(block[vec_col])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Xb = Xb / np.linalg.norm(Xb, axis=1, keepdims=True)
+                S = Xb @ Xn_r.T
+                mask = (S >= threshold) & (bids[:, None] < ids_r[None, :])
+            r, c = np.nonzero(mask)
+            yield pd.DataFrame({"id_a": bids[r], "id_b": ids_r[c],
+                                "cosine": np.round(S[r, c], round_to)})
+
+    return rows.mapInPandas(
+        blocks,
+        schema=f"id_a {id_sql_type}, id_b {id_sql_type}, cosine double")
+
+
+def exact_cosine_pairs_blocked(df, id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               threshold: float = 0.35, round_to: int = 3,
+                               n_blocks: int = 8):
+    """All-pairs exact cosine above `threshold` WITHOUT any driver
+    collect or full-matrix broadcast — the genuinely distributed brute
+    force for matrices beyond one node's memory.
+
+    Classic O(√R)-replication all-pairs scheme: rows hash into
+    `n_blocks` blocks; every row is shipped to the n_blocks block-PAIRS
+    that contain its block (an exploded (lo, hi) struct key, so the
+    replication is a column op, not a join); each (bi, bj) group gathers
+    exactly two blocks and runs ONE BLAS matmul between them inside
+    applyInPandas. Replication factor = n_blocks, tasks = C(B, 2) + B, so
+    with B ≈ √(2 · parallelism) the shuffle volume is √-replicated rather
+    than the n² a naive self-join would carry — the standard tradeoff
+    for distributed all-pairs similarity.
+
+    Same output contract and numerics as exact_cosine_pairs (row-wise
+    f64 normalize, float64 GEMM, unrounded threshold, round-for-output):
+    tests gate value equality between the two strategies.
+
+    → DataFrame(id_a, id_b, cosine double), id_a < id_b.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    id_sql_type = dict(df.dtypes)[id_col]
+    b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    pair = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda x: F.struct(F.least(b, x).alias("lo"),
+                           F.greatest(b, x).alias("hi"))))
+    tagged = rows.withColumn("_b", b).withColumn("_p", pair)
+
+    def gemm(key, block):
+        lo, hi = key
+        left = block[block["_b"] == lo]
+        right = block[block["_b"] == hi] if hi != lo else left
+        if not len(left) or not len(right):
+            return pd.DataFrame({"id_a": [], "id_b": [],
+                                 "cosine": []})
+        ids_l = left[id_col].to_numpy()
+        ids_r = right[id_col].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            Xl = _stack_vectors(left[vec_col])
+            Xl = Xl / np.linalg.norm(Xl, axis=1, keepdims=True)
+            if hi != lo:
+                Xr = _stack_vectors(right[vec_col])
+                Xr = Xr / np.linalg.norm(Xr, axis=1, keepdims=True)
+            else:
+                Xr = Xl
+            S = Xl @ Xr.T
+            if hi == lo:
+                # same block on both sides: S holds each unordered pair
+                # twice — keep the upper triangle
+                mask = (S >= threshold) & (ids_l[:, None] < ids_r[None, :])
+            else:
+                # cross-block: each unordered pair appears exactly once
+                # (ids never collide across hash blocks) — canonicalize
+                # the orientation instead of filtering, or pairs whose
+                # lo-block member has the LARGER id would be lost
+                mask = (S >= threshold) & (ids_l[:, None] != ids_r[None, :])
+        r, c = np.nonzero(mask)
+        a, bb = ids_l[r], ids_r[c]
+        a, bb = np.minimum(a, bb), np.maximum(a, bb)
+        return pd.DataFrame({"id_a": a, "id_b": bb,
+                             "cosine": np.round(S[r, c], round_to)})
+
+    return (tagged
+            .groupBy(F.col("_p.lo"), F.col("_p.hi"))
+            .applyInPandas(
+                gemm,
+                schema=f"id_a {id_sql_type}, id_b {id_sql_type}, "
+                       "cosine double"))

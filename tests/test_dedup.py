@@ -506,3 +506,48 @@ def test_lsh_rejects_indivisible_bands(spark):
         lsh_candidate_pairs(sig_df, bands=3, k=4).collect()
     with pytest.raises(ValueError, match="multiple of bands"):
         lsh_candidate_pairs(sig_df, bands=100, k=64).collect()
+
+
+def test_exact_cosine_pairs_matches_naive_numpy(spark, planted_vectors):
+    """Block matmul over partitions ≡ the naive full-matrix computation:
+    same pair set, same rounded values, id_a < id_b upper triangle only."""
+    got = (dedup.exact_cosine_pairs(planted_vectors, threshold=0.5)
+           .toPandas().sort_values(["id_a", "id_b"]))
+    pdf = planted_vectors.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    want = sorted((int(ids[i]), int(ids[j]), round(float(np.round(S[i, j], 3)), 6))
+                  for i in range(len(ids)) for j in range(len(ids))
+                  if ids[i] < ids[j] and S[i, j] >= 0.5)
+    have = [(int(a), int(b), round(float(c), 6))
+            for a, b, c in got.itertuples(index=False)]
+    assert have == want
+    assert (0, 500) in {(a, b) for a, b, _ in have}  # the planted near-dup
+    assert all(a < b for a, b, _ in have)
+
+
+def test_exact_cosine_pairs_null_and_zero_vectors(spark):
+    """NULL embeddings are filtered, zero-norm vectors drop out as NaN —
+    never a crash, never a spurious pair."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0]), (4, None)],
+        "vec_id long, embedding array<double>")
+    got = dedup.exact_cosine_pairs(df, threshold=0.9).toPandas()
+    assert sorted(map(tuple, got[["id_a", "id_b"]].values.tolist())) == [(1, 2)]
+
+
+def test_exact_cosine_pairs_blocked_equals_broadcast(spark, planted_vectors):
+    """The O(√R)-replication block-pair scheme must be value-identical to
+    the broadcast strategy — including pairs whose lo-block member has
+    the larger id (the orientation a naive triangle mask would drop)."""
+    a = (dedup.exact_cosine_pairs(planted_vectors, threshold=0.4)
+         .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    for nb in (1, 3, 8):
+        b = (dedup.exact_cosine_pairs_blocked(planted_vectors, threshold=0.4,
+                                              n_blocks=nb)
+             .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        assert len(a) == len(b), nb
+        assert (a["id_a"] == b["id_a"]).all() and (a["id_b"] == b["id_b"]).all()
+        assert (a["cosine"].round(6) == b["cosine"].round(6)).all()
