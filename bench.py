@@ -57,6 +57,9 @@ HEADLINE = [
     "mg_heavy_hitters", "principal_spectrum", "pmi_bigrams",
     # round-4: vectorized BPE corpus encode + bracket surface
     "bpe_encode", "heavy_hitters_bracket",
+    # round-4 session 2: exact all-pairs cosine, vectorized (was the
+    # slowest contract query as an interpreted zip_with/aggregate fold)
+    "cosine_pairs",
 ]
 
 

@@ -1052,8 +1052,9 @@ def exact_cosine_pairs_blocked(df, id_col: str = "vec_id",
         left = block[block["_b"] == lo]
         right = block[block["_b"] == hi] if hi != lo else left
         if not len(left) or not len(right):
-            return pd.DataFrame({"id_a": [], "id_b": [],
-                                 "cosine": []})
+            empty_ids = block[id_col].iloc[:0]
+            return pd.DataFrame({"id_a": empty_ids, "id_b": empty_ids,
+                                 "cosine": np.array([], dtype=np.float64)})
         ids_l = left[id_col].to_numpy()
         ids_r = right[id_col].to_numpy()
         with np.errstate(invalid="ignore", divide="ignore"):

@@ -551,3 +551,17 @@ def test_exact_cosine_pairs_blocked_equals_broadcast(spark, planted_vectors):
         assert len(a) == len(b), nb
         assert (a["id_a"] == b["id_a"]).all() and (a["id_b"] == b["id_b"]).all()
         assert (a["cosine"].round(6) == b["cosine"].round(6)).all()
+
+
+def test_exact_cosine_pairs_blocked_mostly_empty_blocks(spark):
+    """3 rows scattered over 8 blocks: most (lo, hi) groups have an empty
+    side — the typed empty-frame early return must not break Arrow
+    conversion, and no pair may be lost or duplicated."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (9, [0.6, 0.8])],
+        "vec_id long, embedding array<double>")
+    got = dedup.exact_cosine_pairs_blocked(df, threshold=0.3,
+                                           n_blocks=8).toPandas()
+    have = sorted((int(a), int(b), float(c))
+                  for a, b, c in got.itertuples(index=False))
+    assert have == [(1, 2, 1.0), (1, 9, 0.6), (2, 9, 0.6)]

@@ -40,6 +40,9 @@ EXEMPT = {
     "theta_bounds_check",     # theta pair-algebra UDF over |pairs| KB blob
                               # rows — the query's POINT is evaluating the
                               # kernel estimates against the exact overlap
+    "cosine_pairs",           # the exact all-pairs GEMM IS the vectorized
+    "cosine_pairs_blocked",   # Python path (one BLAS call per partition /
+                              # block pair) — see dedup.exact_cosine_pairs
 }
 
 
