@@ -90,11 +90,11 @@ def _update(state, kind: str, flat: np.ndarray, prep=None):
     if kind in _NUMERIC_KINDS:
         state.update(flat)
         return state
-    if kind in ("hll", "cms", "bloom", "theta", "mg"):
+    if kind in ("hll", "cms", "bloom", "theta", "mg", "cs"):
         uniq, counts, h = prep if prep is not None else _prep_tokens(flat)
         if kind == "mg":
             state.update(uniq, counts)
-        elif kind == "cms":
+        elif kind in ("cms", "cs"):
             state.update_hashes(h, counts=counts)
         elif kind == "bloom":
             state.update_hashes(h, assume_unique=True, n_raw=flat.size)
@@ -324,7 +324,7 @@ def build_partials_multi(df, specs: dict, group_cols=("source",)):
         "sketch string, " + PARTIAL_SCHEMA_TAIL
     value_cols = sorted({s["value_col"] for s in specs.values()})
     needed = group_cols + value_cols
-    hash_kinds = ("hll", "cms", "bloom", "theta", "mg")
+    hash_kinds = ("hll", "cms", "bloom", "theta", "mg", "cs")
 
     def acc(batches):
         import pyarrow as pa
@@ -386,7 +386,7 @@ def build_partials_multi(df, specs: dict, group_cols=("source",)):
                             in stats_cache[vc].items():
                         gkey = mapping[g]
                         st = state_for(gkey, name)
-                        if kind == "cms":
+                        if kind in ("cms", "cs"):
                             st.update_hashes(h, counts=gcounts)
                         elif kind == "mg":
                             st.update(toks, gcounts)

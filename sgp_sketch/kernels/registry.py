@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import struct
 
-from . import bloom, cms, fd, hll, kll, mg, tdigest, theta
+from . import bloom, cms, cs, fd, hll, kll, mg, tdigest, theta
 
 _TYPES = {
     hll.TYPE_HLL: hll.HLL,
@@ -17,6 +17,7 @@ _TYPES = {
     theta.TYPE_THETA: theta.Theta,
     mg.TYPE_MG: mg.MG,
     fd.TYPE_FD: fd.FD,
+    cs.TYPE_CS: cs.CS,
 }
 
 _FACTORIES = {
@@ -28,6 +29,7 @@ _FACTORIES = {
     "theta": theta.empty,
     "mg": mg.empty,
     "fd": fd.empty,
+    "cs": cs.empty,
 }
 
 

@@ -679,3 +679,109 @@ def test_merge_blobs_empty_iterable_raises_valueerror():
 
     with pytest.raises(ValueError, match="empty"):
         list(gen())
+
+
+# ----------------------------------------------------------- Count-Sketch
+
+def _cs_zipf_stream(seed=42, n=200_000):
+    rng = np.random.default_rng(seed)
+    toks = rng.zipf(1.5, n).astype(np.int64)
+    return toks[toks < 100_000]
+
+
+def test_cs_f2_within_ams_bound():
+    from sgp_sketch.kernels import cs
+
+    toks = _cs_zipf_stream()
+    _, counts = np.unique(toks, return_counts=True)
+    f2 = float((counts.astype(np.float64) ** 2).sum())
+    s = cs.empty().update(toks)
+    assert abs(s.f2_estimate() - f2) <= f2 * np.sqrt(6 / s.width)
+
+
+def test_cs_point_estimates_two_sided_within_bound():
+    from sgp_sketch.kernels import cs
+
+    toks = _cs_zipf_stream()
+    vals, counts = np.unique(toks, return_counts=True)
+    f2 = float((counts.astype(np.float64) ** 2).sum())
+    s = cs.empty().update(toks)
+    order = np.argsort(-counts)
+    top, true = vals[order][:20], counts[order][:20].astype(np.float64)
+    bound = np.sqrt(3 * f2 / s.width)
+    assert np.all(np.abs(s.estimate(top) - true) <= bound)
+    # absent keys estimate near zero — the two-sided (unbiased) property
+    # CMS structurally cannot have
+    absent = np.arange(10**9, 10**9 + 50, dtype=np.int64)
+    assert np.all(np.abs(s.estimate(absent)) <= bound)
+
+
+def test_cs_merge_byte_equal_any_split_order():
+    """Cell-wise signed addition is exact: unlike MG/FD, the merged state
+    must be BYTE-identical for any partition split and any merge order
+    (the same strength HLL/theta guarantee)."""
+    import functools
+
+    from sgp_sketch.kernels import cs
+
+    toks = _cs_zipf_stream(seed=7)
+    whole = cs.empty().update(toks)
+    for n_chunks in (2, 5, 13):
+        parts = [cs.empty().update(c) for c in np.array_split(toks, n_chunks)]
+        fwd = functools.reduce(lambda a, b: a.merge(b), parts)
+        rev = functools.reduce(lambda a, b: a.merge(b), parts[::-1])
+        assert fwd.to_bytes() == rev.to_bytes() == whole.to_bytes()
+
+
+def test_cs_serde_roundtrip_and_mismatch():
+    from sgp_sketch.kernels import cs, mg, registry
+
+    s = cs.empty().update(np.arange(5000, dtype=np.int64))
+    r = registry.from_bytes(s.to_bytes())
+    assert isinstance(r, cs.CS)
+    assert np.array_equal(r.table, s.table)
+    assert (r.depth, r.width, r.seed, r.n_items) == (
+        s.depth, s.width, s.seed, s.n_items)
+    with pytest.raises(ValueError, match="shape/seed"):
+        s.merge(cs.CS(depth=s.depth, width=s.width, seed=s.seed + 1))
+    with pytest.raises(TypeError):
+        s.merge(mg.empty())
+    with pytest.raises(ValueError, match="not a CS blob"):
+        cs.CS.from_bytes(mg.empty().to_bytes())
+
+
+def test_cs_nan_values_with_explicit_counts_stay_aligned():
+    from sgp_sketch.kernels import cs
+
+    vals = np.array([1.0, np.nan, 2.0, np.nan, 3.0])
+    counts = np.array([10, 99, 20, 77, 30])
+    a = cs.empty().update(vals, counts=counts)
+    b = cs.empty().update(np.array([1, 2, 3], dtype=np.int64),
+                          counts=np.array([10, 20, 30]))
+    assert a.to_bytes() == b.to_bytes()
+    # NaN queries answer 0.0, mirroring the update-side drop
+    est = a.estimate(np.array([1.0, np.nan]))
+    assert est[1] == 0.0
+
+
+def test_cs_validation_and_empty():
+    from sgp_sketch.kernels import cs
+
+    with pytest.raises(ValueError, match="power of two"):
+        cs.CS(width=1000)
+    with pytest.raises(ValueError, match="depth"):
+        cs.CS(depth=0)
+    with pytest.raises(ValueError, match="length mismatch"):
+        cs.empty().update_hashes(np.arange(3, dtype=np.uint64),
+                                 counts=np.array([1, 2]))
+    s = cs.empty()
+    s.update(np.empty(0, dtype=np.int64))
+    assert s.n_items == 0 and s.f2_estimate() == 0.0
+    assert s.estimate(np.empty(0, dtype=np.int64)).size == 0
+
+
+def test_cs_table_shape_validated_on_load():
+    from sgp_sketch.kernels import cs
+
+    with pytest.raises(ValueError, match="shape"):
+        cs.CS(depth=2, width=8, table=np.zeros((3, 8), dtype=np.int64))

@@ -303,3 +303,35 @@ def test_distinct_tokens_global_rejects_nonstring_groups(spark):
     # non-global path works fine with int group cols
     assert queries.distinct_tokens(
         df, group_cols=("day",), include_global=False).count() == 1
+
+
+def test_cs_distributed_build_byte_equal_and_f2(spark, tokens_sdf,
+                                                tokens_pdf):
+    """Distributed Count-Sketch build: (a) partition-count invariance must
+    be BYTE-exact (cell-wise signed addition, unlike MG/FD), and (b) the
+    merged per-source sketch's F2 / point estimates must satisfy the AMS
+    and CCF bounds against the exact per-source stream."""
+    from sgp_sketch.kernels.hashing import hash64
+
+    specs = {"cs": {"kind": "cs", "value_col": "tokens",
+                    "params": {"depth": 5, "width": 1 << 13}}}
+    a = agg.multi_sketch_agg(tokens_sdf.repartition(3), specs,
+                             ("source",)).toPandas()
+    b = agg.multi_sketch_agg(tokens_sdf.repartition(13), specs,
+                             ("source",)).toPandas()
+    per_source = exact_stats(tokens_pdf)
+    for src, flat in per_source.items():
+        sa = bytes(a.loc[a.source == src, "state"].iloc[0])
+        sb = bytes(b.loc[b.source == src, "state"].iloc[0])
+        assert sa == sb, src
+        sk = registry.from_bytes(sa)
+        uniq, counts = np.unique(flat, return_counts=True)
+        f2 = float((counts.astype(np.float64) ** 2).sum())
+        assert abs(sk.f2_estimate() - f2) <= f2 * np.sqrt(6 / sk.width), src
+        order = np.argsort(-counts)
+        top = uniq[order][:5]
+        true = counts[order][:5].astype(np.float64)
+        # the Spark path pre-hashes tokens (hash64) before the kernel;
+        # query through the same stream
+        est = sk.estimate_hashes(hash64(top.astype(np.uint64)))
+        assert np.all(np.abs(est - true) <= np.sqrt(3 * f2 / sk.width)), src

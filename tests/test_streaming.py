@@ -398,3 +398,39 @@ def test_compact_state_gc_orphan_snapshot_dirs(spark, stream_input, tmp_path):
            for r in streaming.streamed_estimates(spark,
                                                  state_dir).collect()}
     assert got == baseline
+
+def test_streamed_cs_byte_equal_to_batch(spark, stream_input, tokens_pdf,
+                                         tmp_path):
+    """Count-Sketch through the generic streaming build: cell-wise signed
+    addition is exact, so the streamed state must be BYTE-IDENTICAL to a
+    batch multi_sketch_agg build on the same input (the strong HLL/theta
+    equivalence, which MG cannot offer), and the F2 estimate must satisfy
+    the AMS bound vs the exact per-source stream."""
+    import numpy as np
+
+    from sgp_sketch import agg, streaming
+    from sgp_sketch.kernels import registry
+
+    specs = {"cs": {"kind": "cs", "value_col": "tokens",
+                    "params": {"depth": 5, "width": 1 << 12}}}
+    state_dir = str(tmp_path / "state_cs")
+    q = streaming.stream_sketch_build(
+        spark, stream_input, state_dir, specs,
+        checkpoint_dir=str(tmp_path / "ckpt_cs"), available_now=True)
+    q.awaitTermination(120)
+    streamed = {r["source"]: bytes(r["state"])
+                for r in streaming.streamed_estimates(spark, state_dir)
+                .collect()}
+    batch_df = spark.read.parquet(stream_input)
+    batch = {r["source"]: bytes(r["state"])
+             for r in agg.multi_sketch_agg(batch_df, specs,
+                                           ("source",)).collect()}
+    assert set(streamed) == set(batch)
+    for src in batch:
+        assert streamed[src] == batch[src], src
+        sk = registry.from_bytes(streamed[src])
+        flat = np.concatenate(
+            tokens_pdf[tokens_pdf.source == src]["tokens"].to_numpy())
+        _, counts = np.unique(flat, return_counts=True)
+        f2 = float((counts.astype(np.float64) ** 2).sum())
+        assert abs(sk.f2_estimate() - f2) <= f2 * np.sqrt(6 / sk.width)
