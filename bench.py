@@ -475,6 +475,68 @@ def dedup_probe(spark) -> dict:
     return out
 
 
+def cosine_probe(spark) -> dict:
+    """All-pairs exact-cosine scale probe (round-4): the √R-replication
+    blocked GEMM (dedup.exact_cosine_pairs_blocked — no driver collect,
+    no full-matrix broadcast) over a 50k-vector synthetic table =
+    1.25·10⁹ candidate pairs, cross-checked against the broadcast-GEMM
+    strategy: identical pair SETS required (exact algorithm, not an
+    approximation), max |Δcosine| reported (last-ulp GEMM-shape noise,
+    bounded by the 1e-3 rounding step). Reports pairs/s for both."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch import dedup as dd
+    from sgp_sketch.datagen import vectors_df
+
+    n = int(os.environ.get("SPARK_GRAFT_COSINE_VECS", "50000"))
+    dim, seed, threshold = 64, 42, 0.5
+    path = f"/tmp/sgp_bench_vectors_{n}_{dim}_{seed}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        log(f"generating embedding table: {n} x {dim} → {path}")
+        (vectors_df(spark, n, dim, seed)
+         .write.mode("overwrite").parquet(path))
+    vecs = spark.read.parquet(path)
+    pairs_total = n * (n - 1) // 2
+
+    t0 = time.perf_counter()
+    blocked = dd.exact_cosine_pairs_blocked(
+        vecs, threshold=threshold, n_blocks=16).cache()
+    n_blocked = blocked.count()
+    dt_blocked = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    bcast = dd.exact_cosine_pairs(vecs, threshold=threshold).cache()
+    n_bcast = bcast.count()
+    dt_bcast = time.perf_counter() - t1
+
+    joined = (blocked.withColumnRenamed("cosine", "c_a")
+              .join(bcast.withColumnRenamed("cosine", "c_b"),
+                    ["id_a", "id_b"], "full")
+              .agg(F.count(F.lit(1)).alias("n_union"),
+                   F.sum((F.col("c_a").isNull()
+                          | F.col("c_b").isNull()).cast("long"))
+                   .alias("n_only_one"),
+                   F.max(F.abs(F.col("c_a") - F.col("c_b")))
+                   .alias("max_delta")).collect()[0])
+    blocked.unpersist()
+    bcast.unpersist()
+    out = {
+        "n_vecs": n, "dim": dim, "threshold": threshold,
+        "pairs_checked": pairs_total,
+        "found_blocked": n_blocked, "found_broadcast": n_bcast,
+        "pair_sets_equal": bool(joined["n_only_one"] == 0
+                                and n_blocked == n_bcast),
+        "max_cosine_delta": (float(joined["max_delta"])
+                             if joined["max_delta"] is not None else 0.0),
+        "seconds_blocked": round(dt_blocked, 2),
+        "seconds_broadcast": round(dt_bcast, 2),
+        "pairs_per_sec_blocked": round(pairs_total / dt_blocked, 1),
+        "pairs_per_sec_broadcast": round(pairs_total / dt_bcast, 1),
+    }
+    log(f"cosine probe: {json.dumps(out)}")
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from sgp_sketch.session import get_spark
@@ -492,6 +554,10 @@ def main() -> None:
         bpe_stats = (bpe_probe(spark, SF_DIR)
                      if os.environ.get("SPARK_GRAFT_BENCH_BPE", "1") != "0"
                      else None)
+        cosine_stats = (cosine_probe(spark)
+                        if os.environ.get("SPARK_GRAFT_BENCH_COSINE",
+                                          "1") != "0"
+                        else None)
         n_tok, build_dt = sketch_build_job(spark, SF_DIR)
         tput = n_tok / build_dt
         log(f"sketch build: {n_tok} tokens in {build_dt:.2f}s = {tput:,.0f} tok/s")
@@ -530,6 +596,8 @@ def main() -> None:
         full["dedup_probe"] = dedup_stats
     if bpe_stats:
         full["bpe_encode"] = bpe_stats
+    if cosine_stats:
+        full["cosine_probe"] = cosine_stats
     if SCALING:
         full["scaling"] = scaling_probe(((2, 8), (8, CPUS)))
         if os.environ.get("SPARK_GRAFT_BENCH_CLUSTER", "1") != "0":
@@ -564,6 +632,12 @@ def main() -> None:
             "n_docs": dedup_stats["n_docs"],
             "recall": dedup_stats["recall"],
             "seconds": dedup_stats["seconds"],
+        }
+    if cosine_stats:
+        compact["cosine_probe"] = {
+            "pairs": cosine_stats["pairs_checked"],
+            "equal": cosine_stats["pair_sets_equal"],
+            "pps_blocked": cosine_stats["pairs_per_sec_blocked"],
         }
     if "scaling" in full:
         s = full["scaling"]

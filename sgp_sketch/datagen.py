@@ -189,3 +189,29 @@ def neardup_docs_df(spark, n_docs: int, dup_frac: float = 0.3,
         T.StructField("n_chars", T.IntegerType(), False)])
     n_part = partitions or min(len(tasks), 64)
     return tasks_sdf.repartition(n_part).mapInPandas(gen, schema)
+
+
+# ------------------------------------------------- synthetic embeddings
+
+def vectors_df(spark, n_vecs: int, dim: int = 64, seed: int = SEED,
+               partitions: int | None = None):
+    """Deterministic synthetic embedding table (vec_id long, embedding
+    array<double>): each CHUNK-row slice draws from its own PCG64 stream
+    seeded with (seed, chunk_start), so any partitioning produces the
+    identical table — same chunked-determinism contract as tokens_df."""
+    def gen(iterator):
+        import pandas as pd
+        for pdf in iterator:
+            for start, count in pdf.itertuples(index=False):
+                rng = np.random.default_rng((seed, int(start)))
+                x = rng.standard_normal((int(count), dim))
+                yield pd.DataFrame({
+                    "vec_id": np.arange(start, start + count,
+                                        dtype=np.int64),
+                    "embedding": list(x)})
+
+    tasks = [(s, min(CHUNK, n_vecs - s)) for s in range(0, n_vecs, CHUNK)]
+    tasks_sdf = spark.createDataFrame(tasks, "start int, count int")
+    n_part = partitions or min(len(tasks), 64)
+    return (tasks_sdf.repartition(n_part)
+            .mapInPandas(gen, "vec_id long, embedding array<double>"))

@@ -983,6 +983,11 @@ def exact_cosine_pairs(df, id_col: str = "vec_id",
 
     rows = df.select(id_col, vec_col).filter(
         F.col(vec_col).isNotNull())
+    # the GEMM work is O(rows_in_partition × n): spread the left side
+    # over the cluster when the source arrives in few/coarse partitions
+    par = rows.sparkSession.sparkContext.defaultParallelism
+    if rows.rdd.getNumPartitions() < par:
+        rows = rows.repartition(par)
     pdf = rows.toPandas()
     ids_all = pdf[id_col].to_numpy()
     X_all = _stack_vectors(pdf[vec_col])
@@ -993,6 +998,10 @@ def exact_cosine_pairs(df, id_col: str = "vec_id",
 
     def blocks(it):
         ids_r, Xn_r = bc.value
+        # bound the similarity-matrix intermediate to ~64 MB: an Arrow
+        # batch can be 10k rows, and 10k × n doubles (4 GB at n=50k)
+        # thrashes memory long before the FLOPs matter
+        step = max(1, (8 << 20) // max(len(ids_r), 1))
         for block in it:
             if not len(block):
                 continue
@@ -1000,11 +1009,15 @@ def exact_cosine_pairs(df, id_col: str = "vec_id",
             Xb = _stack_vectors(block[vec_col])
             with np.errstate(invalid="ignore", divide="ignore"):
                 Xb = Xb / np.linalg.norm(Xb, axis=1, keepdims=True)
-                S = Xb @ Xn_r.T
-                mask = (S >= threshold) & (bids[:, None] < ids_r[None, :])
-            r, c = np.nonzero(mask)
-            yield pd.DataFrame({"id_a": bids[r], "id_b": ids_r[c],
-                                "cosine": np.round(S[r, c], round_to)})
+            for lo in range(0, len(bids), step):
+                sl = slice(lo, lo + step)
+                with np.errstate(invalid="ignore"):
+                    S = Xb[sl] @ Xn_r.T
+                    mask = S >= threshold
+                mask &= bids[sl, None] < ids_r[None, :]
+                r, c = np.nonzero(mask)
+                yield pd.DataFrame({"id_a": bids[sl][r], "id_b": ids_r[c],
+                                    "cosine": np.round(S[r, c], round_to)})
 
     return rows.mapInPandas(
         blocks,

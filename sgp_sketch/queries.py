@@ -508,3 +508,40 @@ def mg_heavy_hitters(df, k: int = 10, counters: int = 1024,
                                             "est_max", "rank"])
 
     return blobs.mapInPandas(explode, out_schema)
+
+
+def f2_moment(df, value_col="tokens", group_cols=("source",),
+              depth: int = 5, width: int = 1 << 13,
+              include_global: bool = False):
+    """Approximate second frequency moment F₂ = Σ f(token)² per group via
+    Count-Sketch/AMS (kernels/cs.py) — self-join size / token-skew mass,
+    the moment none of the other kernels answers. Relative error
+    ≤ √(6/width) w.h.p. (tests + tools/error_report.py gate it).
+
+    Same shape as distinct_tokens: one Arrow scan → per-partition CS
+    states → tree merge of KB blobs → one pandas finalize over |groups|
+    rows. Because CS merge is exact cell-wise addition, the global row
+    (include_global) is derived by merging the per-group blobs — no
+    second scan.
+
+    → DataFrame(group_cols..., est_f2 double).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def f2(state: pd.Series) -> pd.Series:
+        return state.map(
+            lambda b: float(registry.from_bytes(b).f2_estimate()))
+
+    blobs = agg.sketch_agg(df, "cs", value_col, group_cols,
+                           {"depth": depth, "width": width})
+    out = blobs.select(*group_cols, f2("state").alias("est_f2"))
+    if include_global:
+        gblob = agg.merge_across(blobs, group_cols=())
+        gout = gblob.select(f2("state").alias("est_f2"))
+        for c in group_cols:
+            gout = gout.withColumn(c, F.lit("__all__"))
+        out = out.unionByName(gout.select(*group_cols, "est_f2"))
+    return out

@@ -335,3 +335,22 @@ def test_cs_distributed_build_byte_equal_and_f2(spark, tokens_sdf,
         # query through the same stream
         est = sk.estimate_hashes(hash64(top.astype(np.uint64)))
         assert np.all(np.abs(est - true) <= np.sqrt(3 * f2 / sk.width)), src
+
+
+def test_f2_moment_api_with_global(spark, tokens_sdf, tokens_pdf):
+    """Public F2 API: per-source + __all__ rows, each within the AMS
+    bound vs the exact second moment; the global row comes from merging
+    the per-group blobs (no second scan)."""
+    out = queries.f2_moment(tokens_sdf, include_global=True).toPandas()
+    per_source = exact_stats(tokens_pdf)
+    bound = np.sqrt(6 / (1 << 13))
+    for src, flat in per_source.items():
+        _, c = np.unique(flat, return_counts=True)
+        f2 = float((c.astype(np.float64) ** 2).sum())
+        est = float(out.loc[out.source == src, "est_f2"].iloc[0])
+        assert abs(est - f2) <= f2 * bound, src
+    flat = np.concatenate(list(per_source.values()))
+    _, c = np.unique(flat, return_counts=True)
+    f2g = float((c.astype(np.float64) ** 2).sum())
+    estg = float(out.loc[out.source == "__all__", "est_f2"].iloc[0])
+    assert abs(estg - f2g) <= f2g * bound
