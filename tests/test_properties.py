@@ -269,3 +269,31 @@ def test_fd_merge_bound_invariants(a, b, ell):
     frob = float((A ** 2).sum())
     assert m.shed <= frob / ell + tol
     assert np.linalg.eigvalsh(D).min() >= -tol
+
+
+@given(a=u64_arrays, b=u64_arrays, c=u64_arrays)
+@settings(**SETTINGS)
+def test_cs_merge_associative_commutative_bytes(a, b, c):
+    from sgp_sketch.kernels import cs
+
+    mk = lambda v: cs.CS(depth=3, width=256).update(v)
+    sa, sb, sc = mk(a), mk(b), mk(c)
+    assert (sa.merge(sb).merge(sc).to_bytes()
+            == sa.merge(sb.merge(sc)).to_bytes())
+    assert sa.merge(sb).to_bytes() == sb.merge(sa).to_bytes()
+    assert sa.merge(cs.CS(depth=3, width=256)).to_bytes() == sa.to_bytes()
+
+
+@given(v=u64_arrays, cut=st.integers(0, 500))
+@settings(**SETTINGS)
+def test_cs_chunking_invariance_bytes(v, cut):
+    """Signed cell addition is exact: any chunk split must rebuild the
+    byte-identical state AND the same unbiased estimates."""
+    from sgp_sketch.kernels import cs
+
+    cut = min(cut, v.size)
+    whole = cs.CS(depth=3, width=256).update(v)
+    split = (cs.CS(depth=3, width=256).update(v[:cut])
+             .merge(cs.CS(depth=3, width=256).update(v[cut:])))
+    assert whole.to_bytes() == split.to_bytes()
+    assert whole.n_items == v.size
