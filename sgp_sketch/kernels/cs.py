@@ -105,6 +105,9 @@ class CS:
             v = v[keep]
             if counts is not None:
                 counts = np.asarray(counts, dtype=np.int64)[keep]
+            # negative float → uint64 directly is platform-defined; the
+            # int64 hop wraps deterministically (same route as MG)
+            v = v.astype(np.int64)
         return self.update_hashes(hash64(v, seed=seed), counts=counts)
 
     def merge(self, other: "CS") -> "CS":
