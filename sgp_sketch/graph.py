@@ -42,11 +42,14 @@ def k_hop(edges, seeds, k: int = 2, src: str = "src", dst: str = "dst",
 
     frontier = seeds.select(F.col("id")).distinct()
     reached = frontier.withColumn("hops", F.lit(0))
-    cached = []
+    # edges are consumed once per hop: persist the projection so an
+    # expensive input lineage never re-executes per expansion
+    ed = edges.select(src, dst).persist()
+    cached = [ed]
     try:
         for depth in range(1, k + 1):
             t0 = time.monotonic()
-            nxt = (edges.join(frontier.withColumnRenamed("id", src), src)
+            nxt = (ed.join(frontier.withColumnRenamed("id", src), src)
                    .select(F.col(dst).alias("id")).distinct()
                    .join(reached.select("id"), "id", "left_anti"))
             if step_metrics is not None:
@@ -89,17 +92,20 @@ def pagerank(edges, iters: int = 20, damping: float = 0.85,
     """
     from pyspark.sql import functions as F
 
-    verts = (edges.select(F.col(src).alias("id"))
-             .unionByName(edges.select(F.col(dst).alias("id")))
+    # edges feed every iteration's contribution join: pin the projection
+    # so an expensive input lineage executes once, not `iters` times
+    ed = edges.select(src, dst).persist()
+    verts = (ed.select(F.col(src).alias("id"))
+             .unionByName(ed.select(F.col(dst).alias("id")))
              .distinct().cache())
-    deg = edges.groupBy(src).agg(F.count("*").alias("deg")).cache()
+    deg = ed.groupBy(src).agg(F.count("*").alias("deg")).cache()
     try:
         n = verts.count()
         has_dangling = verts.join(deg.withColumnRenamed(src, "id"), "id",
                                   "left_anti").limit(1).count() > 0
         ranks = verts.withColumn("rank", F.lit(1.0 / n))
         for i in range(iters):
-            contribs = (edges.join(deg, src)
+            contribs = (ed.join(deg, src)
                         .join(ranks.withColumnRenamed("id", src), src)
                         .select(F.col(dst).alias("id"),
                                 (F.col("rank") / F.col("deg")).alias("c")))
@@ -130,6 +136,7 @@ def pagerank(edges, iters: int = 20, damping: float = 0.85,
     finally:
         verts.unpersist()
         deg.unpersist()
+        ed.unpersist()
 
 
 def connected_components(edges, max_iters: int = 50,
@@ -146,26 +153,34 @@ def connected_components(edges, max_iters: int = 50,
     und = (edges.select(src, dst)
            .unionByName(edges.select(F.col(dst).alias(src),
                                      F.col(src).alias(dst)))).distinct()
-    labels = (und.select(F.col(src).alias("id")).distinct()
-              .withColumn("component", F.col("id")))
-    for i in range(max_iters):
-        nbr_min = (und.join(labels.withColumnRenamed("id", src), src)
-                   .groupBy(F.col(dst).alias("id"))
-                   .agg(F.min("component").alias("nbr_c")))
-        new_labels = (labels.join(nbr_min, "id", "left")
-                      .select("id", F.least(
-                          "component",
-                          F.coalesce("nbr_c", F.col("component")))
-                          .alias("component"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    # the edge set is consumed EVERY iteration: persist it once, or an
+    # expensive input lineage (e.g. the minhash+verify pipeline feeding
+    # near_dup_clusters) re-executes O(diameter) times — measured 1.8-4×
+    # on dup_clusters at sf0.1 before this pin
+    und = und.persist()
+    try:
+        labels = (und.select(F.col(src).alias("id")).distinct()
+                  .withColumn("component", F.col("id")))
+        for i in range(max_iters):
+            nbr_min = (und.join(labels.withColumnRenamed("id", src), src)
+                       .groupBy(F.col(dst).alias("id"))
+                       .agg(F.min("component").alias("nbr_c")))
+            new_labels = (labels.join(nbr_min, "id", "left")
+                          .select("id", F.least(
+                              "component",
+                              F.coalesce("nbr_c", F.col("component")))
+                              .alias("component"))
+                          .localCheckpoint(eager=True))
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "id")
+                       .filter(F.col("n.component") != F.col("o.component"))
+                       .limit(1).count())
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        und.unpersist()
 
 
 def sssp(edges, source, max_iters: int = 20, weight: str | None = None,
@@ -180,24 +195,29 @@ def sssp(edges, source, max_iters: int = 20, weight: str | None = None,
     from pyspark.sql import functions as F
 
     w = F.col(weight) if weight else F.lit(1.0)
+    # relaxation touches the edge set every round: pin the projection
+    ed = edges.select(src, dst, *([weight] if weight else [])).persist()
     dist = edges.sparkSession.createDataFrame(
         [(source, 0.0)], ["id", "dist"])
-    for _ in range(max_iters):
-        cand = (edges.join(dist.withColumnRenamed("id", src), src)
-                .select(F.col(dst).alias("id"),
-                        (F.col("dist") + w).alias("d")))
-        new_dist = (dist.unionByName(cand.withColumnRenamed("d", "dist"))
-                    .groupBy("id").agg(F.min("dist").alias("dist"))
-                    .localCheckpoint(eager=True))
-        improved = (new_dist.alias("n")
-                    .join(dist.alias("o"), "id", "left")
-                    .filter(F.col("o.dist").isNull()
-                            | (F.col("n.dist") < F.col("o.dist")))
-                    .limit(1).count())
-        dist = new_dist
-        if improved == 0:
-            break
-    return dist
+    try:
+        for _ in range(max_iters):
+            cand = (ed.join(dist.withColumnRenamed("id", src), src)
+                    .select(F.col(dst).alias("id"),
+                            (F.col("dist") + w).alias("d")))
+            new_dist = (dist.unionByName(cand.withColumnRenamed("d", "dist"))
+                        .groupBy("id").agg(F.min("dist").alias("dist"))
+                        .localCheckpoint(eager=True))
+            improved = (new_dist.alias("n")
+                        .join(dist.alias("o"), "id", "left")
+                        .filter(F.col("o.dist").isNull()
+                                | (F.col("n.dist") < F.col("o.dist")))
+                        .limit(1).count())
+            dist = new_dist
+            if improved == 0:
+                break
+        return dist
+    finally:
+        ed.unpersist()
 
 
 def bidirectional_bfs(edges, source, target, max_depth: int = 6,
@@ -231,15 +251,18 @@ def bidirectional_bfs(edges, source, target, max_depth: int = 6,
     fwd = spark.createDataFrame([(source,)], ["id"])
     bwd = spark.createDataFrame([(target,)], ["id"])
     fwd_seen, bwd_seen = fwd, bwd
+    # both directions re-read the edge set per expansion: pin it once
+    edges = edges.select(src, dst).persist()
     rev = edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
     depth, expansions, truncated = 0, 0, False
     sizes: list[int] = []
     steps: list[dict] = []
     if source == target:
+        edges.unpersist()
         return {"found": True, "depth": 0, "expansions": 0,
                 "truncated": False, "frontier_sizes": sizes,
                 "step_metrics": steps}
-    cached = []
+    cached = [edges]
 
     def result(found, d):
         return {"found": found, "depth": d, "expansions": expansions,
