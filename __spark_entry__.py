@@ -2486,6 +2486,117 @@ def q_cs_moment_check(spark, sf_dir):
             .orderBy("source", "check"))
 
 
+def q_dd_ntok_quantiles(spark, sf_dir):
+    """DDSketch n_tok quantiles — round-4 kernel #10 (kernels/dd.py), the
+    third member of the quantile family with the third published
+    guarantee: KLL and t-digest bound the RANK error, DDSketch (Masson,
+    Rim & Lee, PVLDB'19) bounds the relative VALUE error (|x̃ − x_q| ≤
+    α·x_q). Unlike those two, DDSketch is fully DETERMINISTIC — bucket
+    i = ⌈ln(x)/ln(γ)⌉, estimate 2·exp(i·ln γ)/(γ+1) — so this is the one
+    quantile sketch whose estimates an external engine can replay
+    EXACTLY: the DuckDB oracle recomputes bucket assignment, the
+    cumulative-rank walk, and the midpoint arithmetic bit-for-bit (scalar
+    libm on both sides; numpy's SIMD exp/log drift by ulps and are kept
+    out of the finalization path — kernels/dd.py:_mid).
+
+    Built distributed (multi_sketch_agg: one Arrow scan → per-partition
+    DD states → tree merge; cell-wise counter addition makes the merged
+    state byte-identical to a sequential build). Per (source, q) plus a
+    '__all__' row per q from merging the per-source blobs — the merge
+    path is thereby oracle-adjudicated too, not just pytest-gated.
+    Finalization touches |sources| KB-sized blobs (bounded collect).
+    Memoized per sf_dir."""
+    from functools import reduce
+
+    from sgp_sketch import agg
+    from sgp_sketch.kernels import registry
+
+    _views(spark, sf_dir)
+    key = ("dd_ntok_quantiles", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        specs = {"dd": {"kind": "dd", "value_col": "n_tok",
+                        "params": {"alpha": 0.01}}}
+        toks = _doc_tokens(spark, sf_dir)
+        blobs = {r["source"]: bytes(r["state"])
+                 for r in agg.multi_sketch_agg(toks, specs,
+                                               ("source",)).collect()}
+        sketches = {src: registry.from_bytes(b) for src, b in blobs.items()}
+        sketches["__all__"] = reduce(lambda a, b: a.merge(b),
+                                     (sketches[s] for s in sorted(blobs)))
+        qs = (0.5, 0.95, 0.99)
+        _STATEFUL_Q_CACHE[key] = [
+            (src, q, float(sk.quantiles([q])[0]))
+            for src, sk in sorted(sketches.items()) for q in qs]
+    return spark.createDataFrame(_STATEFUL_Q_CACHE[key],
+                                 "source string, q double, est double")
+
+
+def q_fd_bounds_check(spark, sf_dir):
+    """Frequent Directions bound gate over the embeddings table — the
+    sketch_bounds_check pattern for the matrix kernel, closing the loop:
+    with this every kernel family in the library carries an
+    oracle-adjudicated bound query (HLL/CMS/Bloom/KLL/t-digest in
+    sketch_bounds_check, MG+CMS in heavy_hitters_bracket, theta in
+    theta_bounds_check, CS in cs_moment_check, DD in dd_ntok_quantiles).
+
+    Per label group and for the '__all__' merge, three ok-flags against
+    the EXACT Gram — computed distributed by the same fd_agg scan with
+    ell = d+1, where the shrink step provably never sheds (δ = 0), so
+    BᵀB = AᵀA up to float64 rounding:
+
+      psd:      AᵀA − BᵀB ⪰ 0        (FD's one-sided underestimate)
+      spectral: ‖AᵀA − BᵀB‖₂ ≤ ‖A‖²_F/ℓ   (Liberty KDD'13 Thm 1.1 /
+                Ghashami et al. mergeable-FD bound)
+      shed:     ‖AᵀA − BᵀB‖₂ ≤ tracked shed (the sketch's own certificate)
+
+    n_rows is carried per group so the DuckDB side contributes exact row
+    counts — the oracle emits the expected all-ok matrix with counts, and
+    any bound violation or dropped row breaks the value hash. Memoized
+    per sf_dir."""
+    from functools import reduce
+
+    import numpy as np
+
+    from sgp_sketch.kernels import registry
+    from sgp_sketch.matrix import fd_agg
+
+    _views(spark, sf_dir)
+    key = ("fd_bounds_check", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        emb = spark.table("embeddings")
+        ell, d = 16, 64
+        sk_rows = fd_agg(emb, "embedding", d=d, ell=ell,
+                         group_cols=("label",)).collect()
+        ex_rows = fd_agg(emb, "embedding", d=d, ell=d + 1,
+                         group_cols=("label",)).collect()
+        sk = {str(r["label"]): registry.from_bytes(bytes(r["state"]))
+              for r in sk_rows}
+        ex = {str(r["label"]): registry.from_bytes(bytes(r["state"]))
+              for r in ex_rows}
+        order = sorted(sk)
+        sk["__all__"] = reduce(lambda a, b: a.merge(b),
+                               (sk[g] for g in order))
+        ex["__all__"] = reduce(lambda a, b: a.merge(b),
+                               (ex[g] for g in order))
+        rows = []
+        for grp in sorted(sk):
+            diff = ex[grp].gram() - sk[grp].gram()
+            eig = np.linalg.eigvalsh(diff)
+            frob2 = float(np.trace(ex[grp].gram()))  # ‖A‖²_F = tr(AᵀA)
+            tol = 1e-9 * max(frob2, 1.0)
+            n = int(sk[grp].n_rows)
+            rows += [
+                (grp, "psd", int(float(eig.min()) >= -tol), n),
+                (grp, "spectral",
+                 int(float(eig.max()) <= frob2 / ell + tol), n),
+                (grp, "shed",
+                 int(float(eig.max()) <= sk[grp].shed + tol), n)]
+        _STATEFUL_Q_CACHE[key] = rows
+    return spark.createDataFrame(
+        _STATEFUL_Q_CACHE[key],
+        "grp string, check string, ok int, n_rows long")
+
+
 def q_token_passthrough(spark, sf_dir):
     """The north rule's PER-ROW INVARIANT — 'preserving token-array
     equality per row against the reference input' — as a hash-checked
@@ -2596,6 +2707,41 @@ def _bpe_oracle_ctes(n_merges: int, table: str = "documents") -> str:
                           (SELECT rep FROM m{r})) AS w
         FROM w{p})""")
     return "WITH " + ",\n    ".join(parts)
+
+
+def _dd_quantiles_oracle_sql() -> str:
+    """Exact DuckDB replay of q_dd_ntok_quantiles: bucket assignment
+    (ceil(ln(x)/ln γ) — ln quotient, matching kernels/dd.py:_bucket),
+    the cumulative-rank walk (first bucket whose cumulative count
+    exceeds q·(n−1)), and the midpoint 2·exp(i·ln γ)/(γ+1) — scalar libm
+    on both engines produces the identical double (verified at all three
+    scales). The γ literal is Python repr output, which round-trips to
+    the identical double through DuckDB's decimal parser. Assumes all
+    n_tok > 0 (testdata guarantees n_tok ≥ 10; the kernel itself handles
+    zero/negative stores, exercised in tests/test_kernels.py)."""
+    g = repr((1.0 + 0.01) / (1.0 - 0.01))
+    return f"""
+        WITH v AS (
+            SELECT source, CAST(len(string_split(text, ' ')) AS DOUBLE) AS x
+            FROM documents),
+        u AS (SELECT source, x FROM v
+              UNION ALL SELECT '__all__' AS source, x FROM v),
+        b AS (SELECT source, CAST(ceil(ln(x)/ln({g})) AS BIGINT) AS i,
+                     COUNT(*) AS c
+              FROM u WHERE x > 0 GROUP BY 1, 2),
+        cum AS (SELECT source, i,
+                       SUM(c) OVER (PARTITION BY source ORDER BY i) AS cum
+                FROM b),
+        n AS (SELECT source, COUNT(*) AS n FROM u WHERE x > 0 GROUP BY 1),
+        qs AS (SELECT CAST(q AS DOUBLE) AS q
+               FROM (VALUES (0.5), (0.95), (0.99)) t(q)),
+        pick AS (SELECT cum.source, qs.q, MIN(cum.i) AS i
+                 FROM cum JOIN n USING (source) CROSS JOIN qs
+                 WHERE cum.cum > qs.q * (n.n - 1)
+                 GROUP BY 1, 2)
+        SELECT source, q, 2*exp(i*ln({g}))/({g}+1) AS est
+        FROM pick ORDER BY source, q
+    """
 
 
 def _bpe_merges_oracle_sql() -> str:
@@ -2835,6 +2981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "langid_ngram": q_langid_ngram,
         "cs_moment_check": q_cs_moment_check,
+        # --- round-4 session 3: tenth kernel + FD bound gate ---
+        "dd_ntok_quantiles": q_dd_ntok_quantiles,
+        "fd_bounds_check": q_fd_bounds_check,
         # --- previously adjudicated (r03 first, then r02/r01) ---
         "zipf_slope": q_zipf_slope,
         "mad_outliers": q_mad_outliers,
@@ -4264,6 +4413,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT source FROM documents)
             CROSS JOIN (VALUES ('f2'), ('points')) c(chk)
             ORDER BY source, chk
+        """,
+        # exact replay of the deterministic DDSketch estimate (generated
+        # SQL so the gamma literal always matches the kernel's double)
+        "dd_ntok_quantiles": _dd_quantiles_oracle_sql(),
+        "fd_bounds_check": """
+            SELECT CAST(label AS VARCHAR) AS grp, chk AS check,
+                   CAST(1 AS INT) AS ok, COUNT(*) AS n_rows
+            FROM embeddings
+            CROSS JOIN (VALUES ('psd'), ('spectral'), ('shed')) c(chk)
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT '__all__' AS grp, chk AS check, CAST(1 AS INT) AS ok,
+                   (SELECT COUNT(*) FROM embeddings) AS n_rows
+            FROM (VALUES ('psd'), ('spectral'), ('shed')) c(chk)
+            ORDER BY 1, 2
         """,
         "heavy_hitters_bracket": """
             WITH c AS (

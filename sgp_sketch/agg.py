@@ -39,7 +39,7 @@ from .kernels.hashing import hash64
 PARTIAL_SCHEMA_TAIL = ("sketch_type string, state binary, n_items long, "
                        "part_id long")
 
-_NUMERIC_KINDS = {"kll", "tdigest"}
+_NUMERIC_KINDS = {"kll", "tdigest", "dd"}
 
 
 def _extract_values(col, numeric: bool) -> np.ndarray:

@@ -10,4 +10,4 @@ Every kernel exposes the same surface:
 """
 
 from . import (hashing, hll, cms, bloom, kll, tdigest,  # noqa: F401
-               theta, mg, fd, cs)  # noqa: F401
+               theta, mg, fd, cs, dd)  # noqa: F401

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import struct
 
-from . import bloom, cms, cs, fd, hll, kll, mg, tdigest, theta
+from . import bloom, cms, cs, dd, fd, hll, kll, mg, tdigest, theta
 
 _TYPES = {
     hll.TYPE_HLL: hll.HLL,
@@ -18,6 +18,7 @@ _TYPES = {
     mg.TYPE_MG: mg.MG,
     fd.TYPE_FD: fd.FD,
     cs.TYPE_CS: cs.CS,
+    dd.TYPE_DD: dd.DD,
 }
 
 _FACTORIES = {
@@ -30,6 +31,7 @@ _FACTORIES = {
     "mg": mg.empty,
     "fd": fd.empty,
     "cs": cs.empty,
+    "dd": dd.empty,
 }
 
 

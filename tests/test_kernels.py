@@ -785,3 +785,91 @@ def test_cs_table_shape_validated_on_load():
 
     with pytest.raises(ValueError, match="shape"):
         cs.CS(depth=2, width=8, table=np.zeros((3, 8), dtype=np.int64))
+
+
+# ------------------------------------------------------------------- DD
+
+def test_dd_relative_error_bound():
+    """Published guarantee: the returned quantile estimate is within
+    alpha (relative) of the exact item at rank floor(q*(n-1))."""
+    from sgp_sketch.kernels import dd
+
+    vals = RNG.lognormal(5.5, 1.2, 100000)
+    for alpha in (0.01, 0.05):
+        s = dd.DD(alpha=alpha).update(vals)
+        srt = np.sort(vals)
+        qs = np.array([0.01, 0.25, 0.5, 0.75, 0.99])
+        est = s.quantiles(qs)
+        for q, e in zip(qs, est):
+            exact = srt[int(np.floor(q * (len(vals) - 1)))]
+            assert abs(e - exact) <= alpha * abs(exact) + 1e-12, (q, e, exact)
+
+
+def test_dd_negative_zero_and_mixed_sign():
+    from sgp_sketch.kernels import dd
+
+    vals = np.concatenate([-RNG.lognormal(2, 1, 30000),
+                           np.zeros(5000),
+                           RNG.lognormal(2, 1, 65000)])
+    RNG.shuffle(vals)
+    s = dd.DD(alpha=0.02).update(vals)
+    srt = np.sort(vals)
+    for q in (0.05, 0.3, 0.5, 0.9):
+        exact = srt[int(np.floor(q * (len(vals) - 1)))]
+        e = s.quantiles([q])[0]
+        assert abs(e - exact) <= 0.02 * abs(exact) + 1e-12, (q, e, exact)
+    # the zero run around the 30-35% ranks must report exactly 0
+    assert s.quantiles([0.32])[0] == 0.0
+
+
+def test_dd_merge_byte_equal_any_split_order():
+    from sgp_sketch.kernels import dd
+
+    vals = RNG.lognormal(3, 2, 20000)
+    whole = dd.DD(alpha=0.01).update(vals)
+    parts = np.array_split(vals, 7)
+    acc = dd.DD(alpha=0.01)
+    for p in reversed(parts):
+        acc = dd.DD(alpha=0.01).update(p).merge(acc)
+    assert acc.to_bytes() == whole.to_bytes()
+    assert acc.n == whole.n == vals.size
+
+
+def test_dd_serde_roundtrip_and_registry():
+    from sgp_sketch.kernels import dd
+
+    s = dd.DD(alpha=0.03).update(RNG.normal(0, 50, 10000))
+    blob = s.to_bytes()
+    s2 = registry.from_bytes(blob)
+    assert isinstance(s2, dd.DD)
+    assert s2.to_bytes() == blob
+    assert (s2.quantiles([0.1, 0.9]) == s.quantiles([0.1, 0.9])).all()
+    assert registry.make("dd", alpha=0.03).alpha == 0.03
+
+
+def test_dd_validation_nan_and_empty():
+    from sgp_sketch.kernels import dd
+
+    with pytest.raises(ValueError, match="alpha"):
+        dd.DD(alpha=0.0)
+    with pytest.raises(ValueError, match="alpha mismatch"):
+        dd.DD(alpha=0.01).merge(dd.DD(alpha=0.02))
+    with pytest.raises(TypeError):
+        dd.DD().merge(object())
+    s = dd.DD()
+    assert np.isnan(s.quantiles([0.5])[0])
+    s.update(np.array([np.nan, np.nan]))
+    assert s.n == 0
+    s.update(np.array([np.nan, 7.0]))
+    assert s.n == 1 and s.quantiles([0.5])[0] == pytest.approx(7.0, rel=0.01)
+
+
+def test_dd_state_is_logarithmic():
+    """Bucket count grows with log(max/min), not n: 10^6 values spanning
+    9 decades stay in a KB-scale state."""
+    from sgp_sketch.kernels import dd
+
+    vals = np.exp(RNG.uniform(0, 20, 10**6))
+    s = dd.DD(alpha=0.01).update(vals)
+    assert s.pos_keys.size < 1200
+    assert len(s.to_bytes()) < 20000

@@ -297,3 +297,32 @@ def test_cs_chunking_invariance_bytes(v, cut):
              .merge(cs.CS(depth=3, width=256).update(v[cut:])))
     assert whole.to_bytes() == split.to_bytes()
     assert whole.n_items == v.size
+
+
+@given(a=f64_arrays, b=f64_arrays, c=f64_arrays)
+@settings(**SETTINGS)
+def test_dd_merge_associative_commutative_bytes(a, b, c):
+    """DDSketch merges are cell-wise counter addition over canonical sorted
+    sparse stores — byte-stable like HLL/CMS/Bloom/CS, unlike KLL/t-digest
+    which only promise bounds."""
+    from sgp_sketch.kernels import dd
+
+    mk = lambda v: dd.DD(alpha=0.02).update(v)
+    sa, sb, sc = mk(a), mk(b), mk(c)
+    assert (sa.merge(sb).merge(sc).to_bytes()
+            == sa.merge(sb.merge(sc)).to_bytes())
+    assert sa.merge(sb).to_bytes() == sb.merge(sa).to_bytes()
+    assert sa.merge(dd.DD(alpha=0.02)).to_bytes() == sa.to_bytes()
+
+
+@given(v=f64_arrays, cut=st.integers(0, 500))
+@settings(**SETTINGS)
+def test_dd_chunking_invariance_bytes(v, cut):
+    from sgp_sketch.kernels import dd
+
+    cut = min(cut, v.size)
+    whole = dd.DD(alpha=0.02).update(v)
+    split = (dd.DD(alpha=0.02).update(v[:cut])
+             .merge(dd.DD(alpha=0.02).update(v[cut:])))
+    assert whole.to_bytes() == split.to_bytes()
+    assert whole.n == v.size

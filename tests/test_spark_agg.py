@@ -354,3 +354,50 @@ def test_f2_moment_api_with_global(spark, tokens_sdf, tokens_pdf):
     f2g = float((c.astype(np.float64) ** 2).sum())
     estg = float(out.loc[out.source == "__all__", "est_f2"].iloc[0])
     assert abs(estg - f2g) <= f2g * bound
+
+
+def test_dd_distributed_build_byte_equal_and_relative_error(
+        spark, tokens_sdf, tokens_pdf):
+    """Distributed DDSketch build over n_tok: (a) partition-count
+    invariance must be BYTE-exact (cell-wise counter addition over
+    canonical sorted stores), and (b) the merged per-source quantile
+    estimates must be within alpha (relative) of the exact item at rank
+    floor(q*(n-1)) — the published DDSketch guarantee."""
+    alpha = 0.01
+    specs = {"dd": {"kind": "dd", "value_col": "n_tok",
+                    "params": {"alpha": alpha}}}
+    a = agg.multi_sketch_agg(tokens_sdf.repartition(3), specs,
+                             ("source",)).toPandas()
+    b = agg.multi_sketch_agg(tokens_sdf.repartition(13), specs,
+                             ("source",)).toPandas()
+    for src, sub in tokens_pdf.groupby("source"):
+        sa = bytes(a.loc[a.source == src, "state"].iloc[0])
+        sb = bytes(b.loc[b.source == src, "state"].iloc[0])
+        assert sa == sb, src
+        sk = registry.from_bytes(sa)
+        vals = np.sort(sub["n_tok"].to_numpy().astype(np.float64))
+        assert sk.n == vals.size
+        for q in (0.1, 0.5, 0.95, 0.99):
+            exact = vals[int(np.floor(q * (vals.size - 1)))]
+            est = sk.quantiles([q])[0]
+            assert abs(est - exact) <= alpha * abs(exact) + 1e-12, (src, q)
+
+
+def test_fd_agg_int_group_column(spark):
+    """fd_agg with a non-string (int32) group column: the partial batch
+    must pin Arrow types to the declared schema or Spark's ArrowColumnVector
+    accessor dies on the int64/int32 width mismatch (regression)."""
+    import pandas as pd
+
+    from sgp_sketch.matrix import fd_agg
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "label": np.arange(200, dtype=np.int32) % 3,
+        "embedding": list(rng.normal(size=(200, 8)).astype(np.float32)),
+    })
+    sdf = spark.createDataFrame(pdf, "label int, embedding array<float>")
+    out = fd_agg(sdf, "embedding", d=8, ell=4,
+                 group_cols=("label",)).toPandas()
+    assert sorted(out["label"].tolist()) == [0, 1, 2]
+    assert int(out["n_items"].sum()) == 200
