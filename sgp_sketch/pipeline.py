@@ -26,20 +26,27 @@ from __future__ import annotations
 
 def near_dup_clusters(pairs, id_a: str = "doc_a", id_b: str = "doc_b"):
     """Transitive duplicate clustering: union the verified near-dup PAIRS
-    into connected components (graph.connected_components over the pair
-    graph), so A~B and B~C land in ONE cluster even when A~C itself is
-    below threshold — the textbook cluster-then-keep-representative dedup,
-    vs. the simpler drop-doc_b rule.
+    into connected components, so A~B and B~C land in ONE cluster even
+    when A~C itself is below threshold — the textbook
+    cluster-then-keep-representative dedup, vs. the simpler drop-doc_b
+    rule.
+
+    Uses graph.connected_components_bigstar (large-star/small-star,
+    SoCC'14): near-dup graphs built at a loose threshold routinely chain
+    A~B~C~…, and min-label propagation pays one shuffle round per chain
+    link (the diameter) where the star algorithm pays O(log n) rounds —
+    the label semantics (cluster = min reachable doc_id) are identical,
+    parity-gated in tests/test_graph.py.
 
     → DataFrame(doc_id, cluster) where cluster = min doc_id reachable in
     the pair graph; only docs that appear in some pair are returned
     (everything else is its own singleton cluster by definition)."""
     from pyspark.sql import functions as F
 
-    from .graph import connected_components
+    from .graph import connected_components_bigstar
 
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    return (connected_components(edges)
+    return (connected_components_bigstar(edges)
             .withColumnRenamed("id", "doc_id")
             .withColumnRenamed("component", "cluster"))
 

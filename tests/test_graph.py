@@ -248,3 +248,58 @@ def test_degree_profile_counts_sink_vertices(spark):
     assert r["n_edges"] == 3
     assert r["max_degree"] == 2
     assert abs(r["avg_degree"] - 1.0) < 1e-9
+
+
+# ------------------------------------------- large-star/small-star WCC
+
+def _labels(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_bigstar_parity_on_fixtures(spark, chain_edges):
+    """bigstar CC must produce the identical (id -> min reachable) map as
+    min-label propagation on chains, stars, cliques, and self-loops."""
+    from sgp_sketch.graph import (connected_components,
+                                  connected_components_bigstar)
+
+    fixtures = [
+        [(0, 1), (1, 2), (2, 3), (3, 4), (100, 101)],        # chains
+        [(5, 1), (5, 2), (5, 3), (5, 4)],                    # star, hub=max
+        [(1, 2), (1, 3), (2, 3), (7, 8), (8, 9), (9, 7)],    # cliques
+        [(4, 4), (4, 5)],                                    # self-loop
+        [(2, 1)],                                            # reversed pair
+    ]
+    for rows in fixtures:
+        e = spark.createDataFrame(rows, "src long, dst long")
+        assert _labels(connected_components_bigstar(e)) == \
+            _labels(connected_components(e)), rows
+
+
+def test_bigstar_parity_random_graph(spark):
+    import numpy as np
+
+    from sgp_sketch.graph import (connected_components,
+                                  connected_components_bigstar)
+
+    rng = np.random.default_rng(11)
+    rows = [(int(a), int(b)) for a, b in
+            rng.integers(0, 400, size=(600, 2)) if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    assert _labels(connected_components_bigstar(e)) == \
+        _labels(connected_components(e))
+
+
+def test_bigstar_round_count_is_logarithmic_on_chain(spark):
+    """The 100-TB argument: a 200-link chain converges in O(log n) rounds
+    (min-label propagation needs ~199 — one round per diameter hop)."""
+    from sgp_sketch.graph import connected_components_bigstar
+
+    rows = [(i, i + 1) for i in range(200)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    metrics = []
+    out = connected_components_bigstar(e, round_metrics=metrics)
+    labels = _labels(out)
+    assert labels == {i: 0 for i in range(201)}
+    assert len(metrics) <= 8, [m["round"] for m in metrics]
+    # final state is the star forest: one edge per non-root vertex
+    assert metrics[-1]["edges"] == 200
