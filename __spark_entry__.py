@@ -1048,6 +1048,23 @@ def q_unigram_logprob(spark, sf_dir):
                  F.count("*").alias("n_docs")))
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM perplexity filter (text.bigram_logprob): per-doc mean
+    conditional ln-probability under the corpus's own add-1-smoothed
+    bigram model, rolled up per source — the sequence-aware upgrade of
+    unigram_logprob (a doc scores well only if its word ORDER is
+    typical). Count tables are vocab-bounded broadcasts; the corpus-sized
+    bigram-instance table never shuffles on a word key."""
+    from sgp_sketch.text import bigram_logprob
+
+    _views(spark, sf_dir)
+    return (bigram_logprob(spark.table("documents"))
+            .groupBy("source")
+            .agg(F.round(F.avg("logp"), 6).alias("avg_logp"),
+                 F.round(F.min("logp"), 6).alias("min_logp"),
+                 F.count("*").alias("n_docs")))
+
+
 def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3-shaped 3-way join (J2/J3 × A12 × O3): customer ⋈ orders
     ⋈ lineitem with selective filters on both fact sides, grouped
@@ -2981,9 +2998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "langid_ngram": q_langid_ngram,
         "cs_moment_check": q_cs_moment_check,
-        # --- round-4 session 3: tenth kernel + FD bound gate ---
+        # --- round-4 session 3: tenth kernel + FD bound gate + bigram LM ---
         "dd_ntok_quantiles": q_dd_ntok_quantiles,
         "fd_bounds_check": q_fd_bounds_check,
+        "bigram_logprob": q_bigram_logprob,
         # --- previously adjudicated (r03 first, then r02/r01) ---
         "zipf_slope": q_zipf_slope,
         "mad_outliers": q_mad_outliers,
@@ -3569,6 +3587,37 @@ def oracle_sql() -> dict[str, str]:
                        AVG(LN(CAST(f.cnt AS DOUBLE) / t.tot)) AS logp
                 FROM w JOIN f ON w.word = f.word CROSS JOIN t
                 GROUP BY w.doc_id, w.source
+            )
+            SELECT source, ROUND(AVG(logp), 6) AS avg_logp,
+                   ROUND(MIN(logp), 6) AS min_logp,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY source
+        """,
+        "bigram_logprob": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       unnest(string_split(text, ' ')) AS word,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ),
+            inst AS (
+                SELECT a.doc_id, a.source, a.word AS w1, b.word AS w2
+                FROM w a JOIN w b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            big AS (SELECT w1, w2, COUNT(*) AS c_ab FROM inst GROUP BY 1, 2),
+            pre AS (SELECT w1, SUM(c_ab) AS c_pre FROM big GROUP BY 1),
+            v AS (
+                SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS vv FROM (
+                    SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+            ),
+            d AS (
+                SELECT inst.doc_id, inst.source,
+                       AVG(LN((big.c_ab + 1.0) / (pre.c_pre + v.vv))) AS logp
+                FROM inst
+                JOIN big USING (w1, w2) JOIN pre USING (w1) CROSS JOIN v
+                GROUP BY 1, 2
             )
             SELECT source, ROUND(AVG(logp), 6) AS avg_logp,
                    ROUND(MIN(logp), 6) AS min_logp,

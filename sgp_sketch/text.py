@@ -302,6 +302,57 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text",
             .agg(F.avg(F.log(F.col("cnt") / F.col("_tot"))).alias(out_col)))
 
 
+def bigram_logprob(df, id_col: str = "doc_id", text_col: str = "text",
+                   keep_cols=("source",), alpha: float = 1.0,
+                   out_col: str = "logp"):
+    """Per-document mean CONDITIONAL token log-probability under the
+    corpus's own add-α-smoothed bigram language model — the next step up
+    from `unigram_logprob` toward the KenLM shape CCNet actually uses
+    (Wenzek et al. 2020): a document scores well only if its word
+    SEQUENCES are typical, not just its word choices, which is exactly
+    what separates fluent text from shuffled-bag-of-words boilerplate.
+
+        P(w₂ | w₁) = (c(w₁w₂) + α) / (c_prefix(w₁) + α·V)
+
+    with c(w₁w₂) the corpus bigram count, c_prefix(w₁) the count of w₁
+    as a bigram prefix, and V the corpus vocabulary size (the smoothing
+    denominator — every unseen continuation still gets mass α).
+
+    → df(id_col, *keep_cols, logp) where logp = avg over the doc's
+    adjacent pairs of ln P(w₂|w₁); docs with < 2 tokens have no bigrams
+    and drop out (no sequence evidence either way).
+
+    Scale shape: adjacent pairs come from one arrays_zip(slice, slice) +
+    explode (pure JVM, no UDF — same extraction as pmi_bigrams); the
+    bigram and prefix count tables are vocab-bounded aggregates that
+    broadcast into the scoring join, so the corpus-sized instance table
+    never shuffles on a word key; the per-doc agg shuffles on doc_id
+    only. For vocabularies too big to broadcast, drop the hints and let
+    AQE pick the join."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(id_col, *keep_cols,
+                     F.split(F.col(text_col), " ").alias("l"))
+    z = F.arrays_zip(
+        F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
+        F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))))
+    inst = (toks.select(id_col, *keep_cols, F.explode(z).alias("p"))
+            .select(id_col, *keep_cols,
+                    F.col("p.0").alias("w1"), F.col("p.1").alias("w2")))
+    big = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    pre = big.groupBy("w1").agg(F.sum("c_ab").alias("c_pre"))
+    vocab = (df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+             .agg(F.countDistinct("w").cast("double").alias("_v")))
+    a = F.lit(float(alpha))
+    return (inst.join(F.broadcast(big), ["w1", "w2"])
+            .join(F.broadcast(pre), "w1")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy(id_col, *keep_cols)
+            .agg(F.avg(F.log((F.col("c_ab") + a)
+                             / (F.col("c_pre") + a * F.col("_v"))))
+                 .alias(out_col)))
+
+
 def hash_split(df, weights=None, id_col: str = "doc_id", salt: str = "",
                out_col: str = "split"):
     """Deterministic, ENGINE-REPRODUCIBLE train/val/test assignment:

@@ -434,3 +434,41 @@ def test_streamed_cs_byte_equal_to_batch(spark, stream_input, tokens_pdf,
         _, counts = np.unique(flat, return_counts=True)
         f2 = float((counts.astype(np.float64) ** 2).sum())
         assert abs(sk.f2_estimate() - f2) <= f2 * np.sqrt(6 / sk.width)
+
+
+def test_streamed_dd_byte_equal_to_batch(spark, stream_input, tokens_pdf,
+                                         tmp_path):
+    """DDSketch through the generic streaming build: cell-wise counter
+    addition over canonical sorted stores is exact, so the streamed state
+    must be BYTE-IDENTICAL to a batch multi_sketch_agg build on the same
+    input, and the merged quantiles must satisfy the relative-error
+    guarantee vs the exact per-source n_tok distribution."""
+    import numpy as np
+
+    from sgp_sketch import agg, streaming
+    from sgp_sketch.kernels import registry
+
+    specs = {"dd": {"kind": "dd", "value_col": "n_tok",
+                    "params": {"alpha": 0.02}}}
+    state_dir = str(tmp_path / "state_dd")
+    q = streaming.stream_sketch_build(
+        spark, stream_input, state_dir, specs,
+        checkpoint_dir=str(tmp_path / "ckpt_dd"), available_now=True)
+    q.awaitTermination(120)
+    streamed = {r["source"]: bytes(r["state"])
+                for r in streaming.streamed_estimates(spark, state_dir)
+                .collect()}
+    batch_df = spark.read.parquet(stream_input)
+    batch = {r["source"]: bytes(r["state"])
+             for r in agg.multi_sketch_agg(batch_df, specs,
+                                           ("source",)).collect()}
+    assert set(streamed) == set(batch)
+    for src in batch:
+        assert streamed[src] == batch[src], src
+        sk = registry.from_bytes(streamed[src])
+        vals = np.sort(tokens_pdf[tokens_pdf.source == src]["n_tok"]
+                       .to_numpy().astype(np.float64))
+        for quant in (0.5, 0.99):
+            exact = vals[int(np.floor(quant * (vals.size - 1)))]
+            est = sk.quantiles([quant])[0]
+            assert abs(est - exact) <= 0.02 * abs(exact) + 1e-12, (src, quant)

@@ -478,3 +478,41 @@ def test_curate_corpus_null_text_not_mass_deduped(spark):
     funnel = out["funnel"].collect()[0]
     assert funnel["n_exact"] == 4   # nothing removed as an exact dup
     assert funnel["n_quality"] == 1  # NULLs die at the quality gate
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Corpus docs 'a b a b' and 'a b': bigrams (a,b)x3, (b,a)x1; prefix
+    counts a->3, b->1; V=2 (add-1 smoothing denominator). Doc2's single
+    bigram (a,b): P = (3+1)/(3+2) = 0.8; doc1 = avg of ln .8, ln(2/3),
+    ln .8."""
+    import math
+
+    from sgp_sketch.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [("d1", "a b a b", "s1"), ("d2", "a b", "s1")],
+        "doc_id string, text string, source string")
+    got = {r.doc_id: r.logp for r in bigram_logprob(df).collect()}
+    assert abs(got["d2"] - math.log(0.8)) < 1e-12
+    exp_d1 = (2 * math.log(0.8) + math.log((1 + 1) / (1 + 2))) / 3
+    assert abs(got["d1"] - exp_d1) < 1e-12
+
+
+def test_bigram_logprob_short_docs_drop_out(spark):
+    from sgp_sketch.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [("d1", "a b", "s1"), ("d2", "solo", "s1")],
+        "doc_id string, text string, source string")
+    got = {r.doc_id for r in bigram_logprob(df).collect()}
+    assert got == {"d1"}
+
+
+def test_bigram_logprob_broadcasts_count_tables(spark):
+    from sgp_sketch.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [("d1", "a b a", "s1"), ("d2", "b c d", "s2")],
+        "doc_id string, text string, source string")
+    plan = bigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
