@@ -60,6 +60,10 @@ HEADLINE = [
     # round-4 session 2: exact all-pairs cosine, vectorized (was the
     # slowest contract query as an interpreted zip_with/aggregate fold)
     "cosine_pairs",
+    # round-4 session 3: DDSketch quantiles, FD bound gate, bigram LM,
+    # and transitive dup clustering (now large-star/small-star CC)
+    "dd_ntok_quantiles", "fd_bounds_check", "bigram_logprob",
+    "dup_clusters",
 ]
 
 
@@ -239,7 +243,7 @@ def scaling_probe(pairs=((2, 8), (8, 32))):
 
 
 def cluster_scaling_probe(workers_pair=(1, 4), cores_per_worker=2,
-                          timed_runs=3):
+                          timed_runs=5):
     """North-rule gate measured ACROSS PROCESS BOUNDARIES (round-3
     verdict #5): the same sketch-build job on the same input at N vs 4N
     separate executor JVMs (Spark local-cluster mode), so blob shuffles
@@ -248,9 +252,12 @@ def cluster_scaling_probe(workers_pair=(1, 4), cores_per_worker=2,
     give. Protocol: STEADY STATE — one untimed warmup run per level (JIT,
     parquet reader, python worker pool: per-JVM costs that amortize to
     nothing over a 10^12-row scan but dominate a 20-second one), then
-    `timed_runs` timed runs. Efficiency is paired per run index (runs at
-    the two levels are temporally adjacent, sharing the VM's noise
-    window); best and median are both reported."""
+    `timed_runs` timed runs (5 by default — a 3-run median is just the
+    middle sample on a VM whose co-tenants move throughput up to 2×;
+    five paired samples make the reported median a real central
+    tendency). Efficiency is paired per run index (runs at the two
+    levels are temporally adjacent, sharing the VM's noise window); best
+    and median are both reported."""
     from sgp_sketch.deploy import ensure_py_files
     from sgp_sketch.session import get_spark
 
@@ -537,6 +544,64 @@ def cosine_probe(spark) -> dict:
     return out
 
 
+def cc_probe(spark) -> dict:
+    """Connected-components scale probe (round-4 session 3): the
+    large-star/small-star algorithm (graph.connected_components_bigstar,
+    SoCC'14) on a planted-structure graph whose SHAPE is the one that
+    kills diameter-bound label propagation — a 100,000-link chain —
+    plus a 50k-leaf star and 10k disjoint pairs (≈170k edges, 230k
+    vertices). Min-label propagation would need 100,000 shuffle rounds
+    for the chain; the star algorithm's measured round count and the
+    exact planted-structure verification (every chain node labels 0,
+    every star leaf labels the hub's component, each pair is its own
+    2-cluster) are both reported — any wrong label breaks the check."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch.graph import connected_components_bigstar
+
+    chain_n = int(os.environ.get("SPARK_GRAFT_CC_CHAIN", "100000"))
+    star_n, pairs_n = chain_n // 2, chain_n // 10
+    base = 10_000_000
+    chain = spark.range(chain_n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    star = spark.range(star_n).select(
+        F.lit(base).alias("src"), (F.lit(base + 1) + F.col("id")).alias("dst"))
+    prs = spark.range(pairs_n).select(
+        (F.lit(2 * base) + 2 * F.col("id")).alias("src"),
+        (F.lit(2 * base) + 2 * F.col("id") + 1).alias("dst"))
+    edges = chain.unionByName(star).unionByName(prs)
+
+    metrics: list = []
+    t0 = time.perf_counter()
+    labels = connected_components_bigstar(edges, round_metrics=metrics).cache()
+    aggd = labels.agg(
+        F.sum((F.col("component") == 0).cast("long")).alias("chain_ok"),
+        F.sum((F.col("component") == base).cast("long")).alias("star_ok"),
+        F.sum(((F.col("component") >= 2 * base)
+               & (F.col("component") % 2 == 0)).cast("long"))
+        .alias("pair_ok"),
+        F.countDistinct("component").alias("n_components")).collect()[0]
+    dt = time.perf_counter() - t0
+    labels.unpersist()
+    n_edges = chain_n + star_n + pairs_n
+    out = {
+        "n_edges": n_edges,
+        "n_vertices": chain_n + 1 + star_n + 1 + 2 * pairs_n,
+        "chain_len": chain_n,
+        "rounds": len(metrics),
+        "structure_verified": bool(
+            aggd["chain_ok"] == chain_n + 1
+            and aggd["star_ok"] == star_n + 1
+            and aggd["pair_ok"] == 2 * pairs_n
+            and aggd["n_components"] == 2 + pairs_n),
+        "seconds": round(dt, 2),
+        "edges_per_sec": round(n_edges / dt, 1),
+        "label_propagation_rounds_needed": chain_n,  # = chain diameter
+    }
+    log(f"cc probe: {json.dumps(out)}")
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from sgp_sketch.session import get_spark
@@ -558,6 +623,9 @@ def main() -> None:
                         if os.environ.get("SPARK_GRAFT_BENCH_COSINE",
                                           "1") != "0"
                         else None)
+        cc_stats = (cc_probe(spark)
+                    if os.environ.get("SPARK_GRAFT_BENCH_CC", "1") != "0"
+                    else None)
         n_tok, build_dt = sketch_build_job(spark, SF_DIR)
         tput = n_tok / build_dt
         log(f"sketch build: {n_tok} tokens in {build_dt:.2f}s = {tput:,.0f} tok/s")
@@ -598,6 +666,8 @@ def main() -> None:
         full["bpe_encode"] = bpe_stats
     if cosine_stats:
         full["cosine_probe"] = cosine_stats
+    if cc_stats:
+        full["cc_probe"] = cc_stats
     if SCALING:
         full["scaling"] = scaling_probe(((2, 8), (8, CPUS)))
         if os.environ.get("SPARK_GRAFT_BENCH_CLUSTER", "1") != "0":
@@ -638,6 +708,13 @@ def main() -> None:
             "pairs": cosine_stats["pairs_checked"],
             "equal": cosine_stats["pair_sets_equal"],
             "pps_blocked": cosine_stats["pairs_per_sec_blocked"],
+        }
+    if cc_stats:
+        compact["cc_probe"] = {
+            "chain": cc_stats["chain_len"],
+            "rounds": cc_stats["rounds"],
+            "ok": cc_stats["structure_verified"],
+            "eps": cc_stats["edges_per_sec"],
         }
     if "scaling" in full:
         s = full["scaling"]

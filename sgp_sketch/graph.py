@@ -257,8 +257,14 @@ def connected_components_bigstar(edges, max_rounds: int = 50,
         sym = cur.unionByName(cur.select(F.col(dst).alias(src),
                                          F.col(src).alias(dst)))
         nxt = large_star(sym).localCheckpoint(eager=True)
-        changed = (nxt.exceptAll(cur).limit(1).count()
-                   + cur.exceptAll(nxt).limit(1).count())
+        # convergence = symmetric difference empty; both sides are
+        # distinct sets, so ONE outer join answers it in a single job
+        # (exceptAll both ways would cost two)
+        changed = (nxt.withColumn("_a", F.lit(1))
+                   .join(cur.withColumn("_b", F.lit(1)), [src, dst],
+                         "outer")
+                   .where(F.col("_a").isNull() | F.col("_b").isNull())
+                   .limit(1).count())
         cur = nxt
         if round_metrics is not None:
             round_metrics.append({

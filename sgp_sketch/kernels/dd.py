@@ -98,7 +98,10 @@ class DD:
 
     def update(self, values: np.ndarray) -> "DD":
         v = np.asarray(values, dtype=np.float64).ravel()
-        v = v[~np.isnan(v)]
+        # drop NaN AND ±inf: log(inf) → inf and ceil(inf).astype(int64) is
+        # undefined — same policy as the other numeric kernels (KLL,
+        # t-digest, FD) of ignoring values that carry no usable magnitude
+        v = v[np.isfinite(v)]
         if v.size == 0:
             return self
         pos = v[v > 0.0]

@@ -873,3 +873,12 @@ def test_dd_state_is_logarithmic():
     s = dd.DD(alpha=0.01).update(vals)
     assert s.pos_keys.size < 1200
     assert len(s.to_bytes()) < 20000
+
+
+def test_dd_nonfinite_values_dropped():
+    from sgp_sketch.kernels import dd
+
+    s = dd.DD(alpha=0.02).update(
+        np.array([np.inf, -np.inf, np.nan, 5.0, 5.0]))
+    assert s.n == 2
+    assert s.quantiles([0.5])[0] == pytest.approx(5.0, rel=0.02)
