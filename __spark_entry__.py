@@ -1053,8 +1053,9 @@ def q_bigram_logprob(spark, sf_dir):
     conditional ln-probability under the corpus's own add-1-smoothed
     bigram model, rolled up per source — the sequence-aware upgrade of
     unigram_logprob (a doc scores well only if its word ORDER is
-    typical). Count tables are vocab-bounded broadcasts; the corpus-sized
-    bigram-instance table never shuffles on a word key."""
+    typical). The prefix/vocab tables broadcast (V-bounded); the bigram
+    count join is unhinted — AQE broadcasts it while it fits and falls
+    back to a keyed shuffle join at corpus scale."""
     from sgp_sketch.text import bigram_logprob
 
     _views(spark, sf_dir)

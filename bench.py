@@ -561,7 +561,10 @@ def cc_probe(spark) -> dict:
 
     chain_n = int(os.environ.get("SPARK_GRAFT_CC_CHAIN", "100000"))
     star_n, pairs_n = chain_n // 2, chain_n // 10
-    base = 10_000_000
+    # id bases derive from chain_n so the three planted structures stay
+    # disjoint at ANY probe size (a fixed base would collide with chain
+    # vertex ids once SPARK_GRAFT_CC_CHAIN reaches it)
+    base = 100 * chain_n
     chain = spark.range(chain_n).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
     star = spark.range(star_n).select(

@@ -257,20 +257,27 @@ def connected_components_bigstar(edges, max_rounds: int = 50,
         sym = cur.unionByName(cur.select(F.col(dst).alias(src),
                                          F.col(src).alias(dst)))
         nxt = large_star(sym).localCheckpoint(eager=True)
-        # convergence = symmetric difference empty; both sides are
-        # distinct sets, so ONE outer join answers it in a single job
-        # (exceptAll both ways would cost two)
-        changed = (nxt.withColumn("_a", F.lit(1))
-                   .join(cur.withColumn("_b", F.lit(1)), [src, dst],
-                         "outer")
-                   .where(F.col("_a").isNull() | F.col("_b").isNull())
-                   .limit(1).count())
+        # Convergence = the edge set IS a star forest: every src appears
+        # exactly once (one parent pointer per non-root) and no src is
+        # also a dst (parents are roots). This is a STRUCTURAL property
+        # of the output — comparing consecutive phase outputs is NOT
+        # sound: a large-star fixed point need not be a small-star fixed
+        # point (e.g. edges {(3,1),(5,1),(3,2),(6,2)} reproduce under
+        # large-star while node 3 still carries two conflicting labels;
+        # only the next small-star merges them — regression-tested in
+        # tests/test_graph.py). Both conditions fold into one job.
+        dup_src = (nxt.groupBy(src).agg(F.count(F.lit(1)).alias("_c"))
+                   .where(F.col("_c") > 1).select(src))
+        src_is_dst = (nxt.select(src)
+                      .join(nxt.select(F.col(dst).alias(src)), src,
+                            "left_semi"))
+        not_star = dup_src.unionByName(src_is_dst).limit(1).count()
         cur = nxt
         if round_metrics is not None:
             round_metrics.append({
                 "round": r, "edges": cur.count(),
                 "ms": round((time.monotonic() - t0) * 1000.0, 1)})
-        if changed == 0:
+        if not_star == 0:
             break
     labels = cur.select(F.col(src).alias("id"),
                         F.col(dst).alias("component"))

@@ -93,8 +93,23 @@ class DD:
     def _bucket(self, v: np.ndarray) -> np.ndarray:
         # i = ceil(log_gamma(v)); log quotient (not a precomputed
         # reciprocal multiply) so DuckDB's ln(x)/ln(gamma) replays the
-        # identical double-precision operations
-        return np.ceil(np.log(v) / math.log(self.gamma)).astype(np.int64)
+        # identical double-precision operations. The bulk pass uses
+        # numpy's vectorized log, but SIMD log implementations may drift
+        # from scalar libm by ~1 ulp — harmless except where the quotient
+        # lands within epsilon of an integer, where the drift can flip
+        # ceil and break the exact-oracle replay contract. Those few
+        # boundary candidates (probability ~1e-9 per value for random
+        # inputs) are recomputed with scalar math.log, the same libm
+        # function DuckDB's ln calls; _mid applies the same policy to the
+        # estimate side.
+        lg = math.log(self.gamma)
+        y = np.log(v) / lg
+        i = np.ceil(y)
+        near = np.abs(y - np.rint(y)) < 1e-9
+        if near.any():
+            idx = np.flatnonzero(near)
+            i[idx] = [math.ceil(math.log(float(x)) / lg) for x in v[idx]]
+        return i.astype(np.int64)
 
     def update(self, values: np.ndarray) -> "DD":
         v = np.asarray(values, dtype=np.float64).ravel()

@@ -323,12 +323,14 @@ def bigram_logprob(df, id_col: str = "doc_id", text_col: str = "text",
     and drop out (no sequence evidence either way).
 
     Scale shape: adjacent pairs come from one arrays_zip(slice, slice) +
-    explode (pure JVM, no UDF — same extraction as pmi_bigrams); the
-    bigram and prefix count tables are vocab-bounded aggregates that
-    broadcast into the scoring join, so the corpus-sized instance table
-    never shuffles on a word key; the per-doc agg shuffles on doc_id
-    only. For vocabularies too big to broadcast, drop the hints and let
-    AQE pick the join."""
+    explode (pure JVM, no UDF — same extraction as pmi_bigrams). The
+    PREFIX count table and the vocab total are V-bounded and broadcast.
+    The bigram count table is NOT vocab-bounded — distinct bigrams grow
+    roughly linearly with corpus size — so its join onto the instance
+    table is left unhinted: AQE broadcasts it at small scale and falls
+    back to a shuffle join on (w1, w2) when it outgrows the broadcast
+    limit (the correct plan — both sides are then keyed aggregates, and
+    the per-doc final agg still shuffles on doc_id only)."""
     from pyspark.sql import functions as F
 
     toks = df.select(id_col, *keep_cols,
@@ -344,7 +346,7 @@ def bigram_logprob(df, id_col: str = "doc_id", text_col: str = "text",
     vocab = (df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
              .agg(F.countDistinct("w").cast("double").alias("_v")))
     a = F.lit(float(alpha))
-    return (inst.join(F.broadcast(big), ["w1", "w2"])
+    return (inst.join(big, ["w1", "w2"])
             .join(F.broadcast(pre), "w1")
             .crossJoin(F.broadcast(vocab))
             .groupBy(id_col, *keep_cols)

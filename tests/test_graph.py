@@ -253,10 +253,17 @@ def test_degree_profile_counts_sink_vertices(spark):
 # ------------------------------------------- large-star/small-star WCC
 
 def _labels(df):
-    return {r["id"]: r["component"] for r in df.collect()}
+    """(id, component) rows as a dict, ASSERTING one row per vertex — a
+    plain dict comprehension would silently keep the last of duplicate
+    ids, masking exactly the malformed output a wrong convergence check
+    produces (one vertex labeled into two components)."""
+    rows = [(r["id"], r["component"]) for r in df.collect()]
+    ids = [i for i, _ in rows]
+    assert len(ids) == len(set(ids)), sorted(rows)
+    return dict(rows)
 
 
-def test_bigstar_parity_on_fixtures(spark, chain_edges):
+def test_bigstar_parity_on_fixtures(spark):
     """bigstar CC must produce the identical (id -> min reachable) map as
     min-label propagation on chains, stars, cliques, and self-loops."""
     from sgp_sketch.graph import (connected_components,
@@ -268,6 +275,13 @@ def test_bigstar_parity_on_fixtures(spark, chain_edges):
         [(1, 2), (1, 3), (2, 3), (7, 8), (8, 9), (9, 7)],    # cliques
         [(4, 4), (4, 5)],                                    # self-loop
         [(2, 1)],                                            # reversed pair
+        # REGRESSION (code review, round 4): after one large∘small round
+        # this reaches {(3,1),(5,1),(3,2),(6,2)} — a large-star FIXED
+        # POINT that is not a star forest (node 3 carries two labels); a
+        # phase-output-comparison convergence check stops here and splits
+        # the single component in two. The structural star-forest check
+        # keeps iterating.
+        [(1, 5), (3, 5), (3, 6), (2, 6)],
     ]
     for rows in fixtures:
         e = spark.createDataFrame(rows, "src long, dst long")

@@ -882,3 +882,21 @@ def test_dd_nonfinite_values_dropped():
         np.array([np.inf, -np.inf, np.nan, 5.0, 5.0]))
     assert s.n == 2
     assert s.quantiles([0.5])[0] == pytest.approx(5.0, rel=0.02)
+
+
+def test_dd_bucket_boundaries_match_scalar_libm():
+    """Values sitting exactly on bucket boundaries (x = gamma^k) must get
+    the scalar-libm bucket — the exact-oracle replay contract pins bucket
+    assignment to ceil(ln(x)/ln(gamma)) as libm computes it, and numpy's
+    SIMD log may drift a ulp there."""
+    import math
+
+    from sgp_sketch.kernels import dd
+
+    s = dd.DD(alpha=0.01)
+    lg = math.log(s.gamma)
+    ks = np.arange(-200, 1200)
+    xs = np.array([math.exp(int(k) * lg) for k in ks])
+    got = s._bucket(xs)
+    want = np.array([math.ceil(math.log(float(x)) / lg) for x in xs])
+    assert np.array_equal(got, want)
