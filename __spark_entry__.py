@@ -2549,6 +2549,77 @@ def q_dd_ntok_quantiles(spark, sf_dir):
                                  "source string, q double, est double")
 
 
+def q_moments_profile(spark, sf_dir):
+    """Moments summary over n_tok — round-4 kernel #11 (kernels/moments.py),
+    the Gan et al. (VLDB'18) power-sums summary with arbitrary-precision
+    INTEGER accumulators: (n, min, max, Σx..Σx⁴) per source, merged by
+    plain addition. Unlike every other kernel this one's answers carry
+    ZERO error — the state is exact, merges are byte-stable under any
+    split/order (integer addition has no rounding), and the derived
+    statistics (mean, population variance, Fisher skewness g1, excess
+    kurtosis g2) are pure functions of that integer state evaluated with
+    only IEEE-754 correctly-rounded ops (+,−,×,÷,sqrt — no libm pow), so
+    the DuckDB oracle reproduces every output double BIT-FOR-BIT from
+    HUGEINT power sums (`_moments_oracle_sql`).
+
+    Built distributed (multi_sketch_agg: one Arrow scan → per-partition
+    exact states → tree merge); '__all__' rows come from merging the
+    per-source blobs, adjudicating the merge path too. At 10¹² rows the
+    state is still ~64 bytes per group — the cheapest distribution-shape
+    monitor there is (drift gates on variance ratio / |skew|). Memoized
+    per sf_dir."""
+    from functools import reduce
+
+    from sgp_sketch import agg
+    from sgp_sketch.kernels import registry
+
+    _views(spark, sf_dir)
+    key = ("moments_profile", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        specs = {"mom": {"kind": "moments", "value_col": "n_tok"}}
+        toks = _doc_tokens(spark, sf_dir)
+        blobs = {r["source"]: bytes(r["state"])
+                 for r in agg.multi_sketch_agg(toks, specs,
+                                               ("source",)).collect()}
+        sketches = {src: registry.from_bytes(b) for src, b in blobs.items()}
+        sketches["__all__"] = reduce(lambda a, b: a.merge(b),
+                                     (sketches[s] for s in sorted(blobs)))
+        rows = []
+        for src, sk in sorted(sketches.items()):
+            st = sk.stats()
+            rows.append((src, st["n"], st["min"], st["max"], st["mean"],
+                         st["variance"], st["skewness"], st["kurt_excess"]))
+        _STATEFUL_Q_CACHE[key] = rows
+    return spark.createDataFrame(
+        _STATEFUL_Q_CACHE[key],
+        "source string, n long, min_tok long, max_tok long, mean double, "
+        "variance double, skewness double, kurt_excess double")
+
+
+def q_per_key_distinct(spark, sf_dir):
+    """Per-KEY distinct counting — the high-cardinality state-table path
+    (agg.sketch_agg_bykey via queries.distinct_per_key): one raw-row hash
+    shuffle on user_id, each user's theta/KMV sketch built whole inside
+    its shuffle partition, ZERO merge rounds. This is the other side of
+    the grouping-cardinality tradeoff the partial+tree-merge path
+    documents: per-source states want partials (8 groups × P partitions
+    of KB blobs); per-user states at 10^9 keys want exactly this plan —
+    the same single hash shuffle a built-in aggregate costs, emitting a
+    key-partitioned (key, blob) state table ready for point-lookup joins.
+
+    ORACLE-CHECKED EXACTLY: theta retains raw hashes while |set| < k, so
+    per-user estimates of small sets are exact — DuckDB's
+    COUNT(DISTINCT event_type) per user must match every row."""
+    from sgp_sketch import queries as Q
+
+    _views(spark, sf_dir)
+    ev = spark.table("events").selectExpr(
+        "user_id", "xxhash64(event_type) AS tok")
+    out = Q.distinct_per_key(ev, ["user_id"], "tok", "theta")
+    return out.selectExpr("user_id",
+                          "CAST(est_distinct AS BIGINT) AS n_distinct")
+
+
 def q_fd_bounds_check(spark, sf_dir):
     """Frequent Directions bound gate over the embeddings table — the
     sketch_bounds_check pattern for the matrix kernel, closing the loop:
@@ -2759,6 +2830,49 @@ def _dd_quantiles_oracle_sql() -> str:
                  GROUP BY 1, 2)
         SELECT source, q, 2*exp(i*ln({g}))/({g}+1) AS est
         FROM pick ORDER BY source, q
+    """
+
+
+def _moments_oracle_sql() -> str:
+    """Exact DuckDB replay of q_moments_profile. Power sums in HUGEINT
+    (int128 — Σx⁴ of token counts at any realistic scale fits), then the
+    IDENTICAL double-precision expression sequence the kernel's stats()
+    evaluates: int→double conversion (correctly rounded in both engines),
+    +, −, ×, ÷ and sqrt only — all IEEE-754 correctly-rounded, so matching
+    the operation order makes the outputs bit-identical. sd³ is written
+    (sqrt(var)*sqrt(var))*sqrt(var), never pow(var,1.5): pow is NOT
+    correctly rounded and differs across libms."""
+    return """
+        WITH v AS (
+            SELECT source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+            FROM documents),
+        u AS (SELECT source, x FROM v
+              UNION ALL SELECT '__all__' AS source, x FROM v),
+        s AS (SELECT source, COUNT(*) AS n, MIN(x) AS mn, MAX(x) AS mx,
+                     SUM(CAST(x AS HUGEINT)) AS s1,
+                     SUM(CAST(x AS HUGEINT) * x) AS s2,
+                     SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+                     SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+              FROM u GROUP BY source),
+        m AS (SELECT source, n, mn, mx,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                     CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+                     CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3,
+                     CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS m4
+              FROM s),
+        d AS (SELECT *, m2 - m1 * m1 AS var FROM m)
+        SELECT source, n, mn AS min_tok, mx AS max_tok, m1 AS mean,
+               var AS variance,
+               CASE WHEN var > 0 THEN
+                   (m3 - 3.0 * m1 * m2 + 2.0 * (m1 * m1 * m1))
+                   / ((sqrt(var) * sqrt(var)) * sqrt(var))
+               END AS skewness,
+               CASE WHEN var > 0 THEN
+                   (m4 - 4.0 * m1 * m3 + 6.0 * (m1 * m1) * m2
+                    - 3.0 * ((m1 * m1) * (m1 * m1))) / (var * var) - 3.0
+               END AS kurt_excess
+        FROM d ORDER BY source
     """
 
 
@@ -3003,6 +3117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ntok_quantiles": q_dd_ntok_quantiles,
         "fd_bounds_check": q_fd_bounds_check,
         "bigram_logprob": q_bigram_logprob,
+        # --- round-4 session 4: exact moments kernel + per-key states ---
+        "moments_profile": q_moments_profile,
+        "per_key_distinct": q_per_key_distinct,
         # --- previously adjudicated (r03 first, then r02/r01) ---
         "zipf_slope": q_zipf_slope,
         "mad_outliers": q_mad_outliers,
@@ -4467,6 +4584,12 @@ def oracle_sql() -> dict[str, str]:
         # exact replay of the deterministic DDSketch estimate (generated
         # SQL so the gamma literal always matches the kernel's double)
         "dd_ntok_quantiles": _dd_quantiles_oracle_sql(),
+        "moments_profile": _moments_oracle_sql(),
+        "per_key_distinct": """
+            SELECT user_id,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         "fd_bounds_check": """
             SELECT CAST(label AS VARCHAR) AS grp, chk AS check,
                    CAST(1 AS INT) AS ok, COUNT(*) AS n_rows

@@ -103,6 +103,7 @@ SKETCH_SPECS = {
               "params": {"n_blocks": 1 << 12}},
     "kll": {"kind": "kll", "value_col": "n_tok", "params": {}},
     "tdigest": {"kind": "tdigest", "value_col": "n_tok", "params": {}},
+    "moments": {"kind": "moments", "value_col": "n_tok", "params": {}},
 }
 
 

@@ -39,7 +39,7 @@ from .kernels.hashing import hash64
 PARTIAL_SCHEMA_TAIL = ("sketch_type string, state binary, n_items long, "
                        "part_id long")
 
-_NUMERIC_KINDS = {"kll", "tdigest", "dd"}
+_NUMERIC_KINDS = {"kll", "tdigest", "dd", "moments"}
 
 
 def _extract_values(col, numeric: bool) -> np.ndarray:
@@ -215,6 +215,41 @@ def sketch_agg(df, kind: str, value_col: str, group_cols=("source",),
                     "params": params or {}}},
         group_cols, fanin=fanin)
     return merged.drop("sketch")
+
+
+def sketch_agg_bykey(df, kind: str, value_col: str, key_cols=("key",),
+                     params: dict | None = None,
+                     num_partitions: int | None = None):
+    """High-cardinality per-KEY sketch build — the other side of the
+    grouping-cardinality tradeoff documented in the module docstring.
+
+    The partial+tree-merge path (multi_sketch_agg) is right for
+    low-cardinality group keys (sources, days): partial count =
+    #partitions × #groups. For per-user / per-domain state tables with
+    10^6–10^9 keys that product explodes, while each key's OWN data is
+    tiny — so the cheaper plan is the one Spark's built-in aggregates use:
+    ONE hash shuffle of the raw rows on the key, then build each key's
+    sketch completely inside its shuffle partition. After
+    `repartition(key)` every row of a key sits in exactly one partition,
+    so the per-partition partial IS the final state — no merge rounds at
+    all, and the output (key, blob) table is itself partitioned by key,
+    ready for a co-located point-lookup join or a partitioned write.
+
+    Output: key_cols…, sketch_type, state, n_items — one row per distinct
+    key. Merge-freedom is load-bearing for exactness-below-k sketches
+    (theta/KMV stores raw hashes while |set| < k, so per-key estimates of
+    small sets are EXACT — `per_key_distinct` in `__spark_entry__` is
+    oracle-adjudicated against COUNT(DISTINCT) on that basis).
+
+    `num_partitions` defaults to spark.sql.shuffle.partitions; size it so
+    (#keys × state bytes) / partitions fits the executor heap — sparse
+    states for small sets are O(set) bytes, so the resident cost is about
+    the partition's raw data, same as any built-in hash aggregate."""
+    rep = (df.repartition(num_partitions, *key_cols) if num_partitions
+           else df.repartition(*key_cols))
+    partials, _schema = build_partials(rep, kind, value_col,
+                                       list(key_cols), params)
+    return partials.drop("part_id")
 
 
 def _batch_columns(batch, group_cols):

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import struct
 
-from . import bloom, cms, cs, dd, fd, hll, kll, mg, tdigest, theta
+from . import bloom, cms, cs, dd, fd, hll, kll, mg, moments, tdigest, theta
 
 _TYPES = {
     hll.TYPE_HLL: hll.HLL,
@@ -19,6 +19,7 @@ _TYPES = {
     fd.TYPE_FD: fd.FD,
     cs.TYPE_CS: cs.CS,
     dd.TYPE_DD: dd.DD,
+    moments.TYPE_MOMENTS: moments.Moments,
 }
 
 _FACTORIES = {
@@ -32,6 +33,7 @@ _FACTORIES = {
     "fd": fd.empty,
     "cs": cs.empty,
     "dd": dd.empty,
+    "moments": moments.empty,
 }
 
 

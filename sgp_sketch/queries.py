@@ -100,6 +100,30 @@ def n_tok_quantiles(df, qs=(0.01, 0.25, 0.5, 0.75, 0.99), value_col="n_tok",
         .alias("z")).select(*group_cols, "z.q", "z.value")
 
 
+def distinct_per_key(df, key_cols, value_col="tokens", kind="theta",
+                     params: dict | None = None,
+                     num_partitions: int | None = None):
+    """Per-KEY approximate distinct — the high-cardinality state-table
+    path (agg.sketch_agg_bykey): one raw-row hash shuffle on the key,
+    each key's sketch built whole inside its shuffle partition, zero
+    merge rounds. The per-source/partial path explodes at 10^6+ keys
+    (#partitions × #keys partials); this one costs exactly what a
+    built-in hash aggregate costs.
+
+    Default kind is theta/KMV deliberately: it retains raw hashes while
+    |set| < k, so per-key estimates of small sets (the overwhelmingly
+    common case in per-user / per-domain state tables) are EXACT —
+    `per_key_distinct` in `__spark_entry__` adjudicates this against
+    COUNT(DISTINCT).
+
+    → DataFrame(key_cols..., est_distinct double).
+    """
+    blobs = agg.sketch_agg_bykey(df, kind, value_col, key_cols, params,
+                                 num_partitions)
+    est = _estimate_udf()
+    return blobs.select(*key_cols, est("state").alias("est_distinct"))
+
+
 def heavy_hitters(df, k: int = 20, value_col="tokens", group_cols=("source",),
                   depth: int = 4, width: int = 1 << 14,
                   candidates_per_partial: int | None = None):

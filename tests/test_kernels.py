@@ -900,3 +900,83 @@ def test_dd_bucket_boundaries_match_scalar_libm():
     got = s._bucket(xs)
     want = np.array([math.ceil(math.log(float(x)) / lg) for x in xs])
     assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------- moments
+
+def test_moments_exact_stats_match_reference():
+    """stats() must equal the direct float expressions over EXACT
+    arbitrary-precision power sums — zero estimation error by design
+    (Gan et al. VLDB'18 summary, exact-int variant)."""
+    import math
+
+    from sgp_sketch.kernels import moments
+
+    vals = RNG.integers(0, 5000, 20000).astype(np.int64)
+    s = moments.Moments().update(vals)
+    xs = [int(x) for x in vals.tolist()]
+    n = len(xs)
+    assert s.n == n and s.mn == min(xs) and s.mx == max(xs)
+    fn = float(n)
+    m1 = float(sum(xs)) / fn
+    m2 = float(sum(x * x for x in xs)) / fn
+    st = s.stats()
+    assert st["mean"] == m1
+    assert st["variance"] == m2 - m1 * m1
+    # sanity vs numpy within float tolerance (numpy uses a different
+    # summation order — equality is only guaranteed vs the exact sums)
+    assert st["mean"] == pytest.approx(np.mean(vals), rel=1e-12)
+    assert st["variance"] == pytest.approx(np.var(vals), rel=1e-9)
+    sd = math.sqrt(st["variance"])
+    sk = np.mean(((vals - np.mean(vals)) / sd) ** 3)
+    ku = np.mean(((vals - np.mean(vals)) / sd) ** 4) - 3.0
+    assert st["skewness"] == pytest.approx(sk, abs=1e-9)
+    assert st["kurt_excess"] == pytest.approx(ku, abs=1e-6)
+
+
+def test_moments_validation_and_edge_cases():
+    from sgp_sketch.kernels import moments
+
+    with pytest.raises(ValueError, match="non-integral"):
+        moments.Moments().update(np.array([1.0, 2.5]))
+    with pytest.raises(ValueError, match="2\\^53"):
+        moments.Moments().update(np.array([2.0 ** 60]))
+    with pytest.raises(TypeError):
+        moments.Moments().merge(object())
+    # non-finite dropped (numeric-kernel policy), integral floats accepted
+    s = moments.Moments().update(np.array([np.nan, np.inf, 3.0, 4.0]))
+    assert s.n == 2 and s.s[0] == 7 and s.mn == 3 and s.mx == 4
+    # empty: all-None stats, zero-length serde roundtrip
+    e = moments.Moments()
+    assert e.stats()["mean"] is None and e.stats()["n"] == 0
+    assert registry.from_bytes(e.to_bytes()).to_bytes() == e.to_bytes()
+    # constant column: variance 0 → skew/kurt undefined (None), not a crash
+    c = moments.Moments().update(np.full(100, 7, dtype=np.int64))
+    st = c.stats()
+    assert st["variance"] == 0.0 and st["skewness"] is None
+
+
+def test_moments_huge_magnitudes_stay_exact():
+    """|x|^4 far beyond int64 (and sums beyond float64's 2^53) — the
+    elementwise big-int fallback keeps every digit."""
+    from sgp_sketch.kernels import moments
+
+    vals = np.array([2**40, -(2**40), 2**40 + 1], dtype=np.int64)
+    s = moments.Moments().update(vals)
+    xs = [2**40, -(2**40), 2**40 + 1]
+    for p in range(1, 5):
+        assert s.s[p - 1] == sum(x ** p for x in xs)
+    rt = registry.from_bytes(s.to_bytes())
+    assert rt.s == s.s and rt.mn == -(2**40) and rt.mx == 2**40 + 1
+
+
+def test_moments_serde_roundtrip_and_registry():
+    from sgp_sketch.kernels import moments
+
+    s = moments.Moments().update(RNG.integers(-1000, 1000, 5000))
+    blob = s.to_bytes()
+    s2 = registry.from_bytes(blob)
+    assert isinstance(s2, moments.Moments)
+    assert s2.to_bytes() == blob and s2.stats() == s.stats()
+    assert registry.make("moments").n == 0
+    assert len(blob) < 120  # a handful of scalars — the smallest state

@@ -43,6 +43,9 @@ EXEMPT = {
     "cosine_pairs",           # the exact all-pairs GEMM IS the vectorized
     "cosine_pairs_blocked",   # Python path (one BLAS call per partition /
                               # block pair) — see dedup.exact_cosine_pairs
+    "per_key_distinct",       # per-key sketch STATE build (mapInPandas is
+                              # the operator) + estimate UDF; the oracle
+                              # matches because theta is exact below k
 }
 
 
@@ -152,3 +155,14 @@ def test_zipf_rank_window_is_post_aggregate(spark):
     widx = next(i for i, ln in enumerate(lines) if "Window" in ln)
     assert any("HashAggregate" in ln for ln in lines[widx:]), \
         "rank window must sit above the token-count aggregate"
+
+
+def test_per_key_build_is_one_shuffle(spark):
+    """per_key_distinct: the whole per-key state build must cost exactly
+    ONE Exchange (hash on the key) — no tree-merge rounds, no second
+    shuffle. The scan must read only (user_id, event_type)."""
+    p = _plan(entry.q_per_key_distinct(spark, "/root/testdata/sf0.001"))
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning(user_id" in p
+    scan = [ln for ln in p.splitlines() if "FileScan" in ln][0]
+    assert "event_id" not in scan and "props" not in scan

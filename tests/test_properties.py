@@ -326,3 +326,47 @@ def test_dd_chunking_invariance_bytes(v, cut):
              .merge(dd.DD(alpha=0.02).update(v[cut:])))
     assert whole.to_bytes() == split.to_bytes()
     assert whole.n == v.size
+
+
+# ------------------------------------------------------- moments (exact)
+
+i64_arrays = st.lists(
+    st.integers(-(2**40), 2**40), min_size=0, max_size=500).map(
+    lambda xs: np.array(xs, dtype=np.int64))
+
+
+@given(a=i64_arrays, b=i64_arrays, c=i64_arrays)
+@settings(**SETTINGS)
+def test_moments_merge_associative_commutative_bytes(a, b, c):
+    """Moments merges are arbitrary-precision integer addition — byte-stable
+    under ANY order with zero rounding, the strongest equivalence class."""
+    from sgp_sketch.kernels import moments
+
+    mk = lambda v: moments.Moments().update(v)
+    sa, sb, sc = mk(a), mk(b), mk(c)
+    assert (sa.merge(sb).merge(sc).to_bytes()
+            == sa.merge(sb.merge(sc)).to_bytes())
+    assert sa.merge(sb).to_bytes() == sb.merge(sa).to_bytes()
+    assert sa.merge(moments.Moments()).to_bytes() == sa.to_bytes()
+
+
+@given(v=i64_arrays, cut=st.integers(0, 500))
+@settings(**SETTINGS)
+def test_moments_chunking_invariance_and_exactness(v, cut):
+    """Chunked build == whole build byte-for-byte, AND the power sums equal
+    a direct arbitrary-precision computation — the kernel is EXACT."""
+    from sgp_sketch.kernels import moments
+
+    cut = min(cut, v.size)
+    whole = moments.Moments().update(v)
+    split = (moments.Moments().update(v[:cut])
+             .merge(moments.Moments().update(v[cut:])))
+    assert whole.to_bytes() == split.to_bytes()
+    xs = [int(x) for x in v.tolist()]
+    assert whole.n == len(xs)
+    for p in range(1, 5):
+        assert whole.s[p - 1] == sum(x ** p for x in xs)
+    if xs:
+        assert whole.mn == min(xs) and whole.mx == max(xs)
+    rt = registry.from_bytes(whole.to_bytes())
+    assert rt.to_bytes() == whole.to_bytes()

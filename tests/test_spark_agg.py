@@ -401,3 +401,70 @@ def test_fd_agg_int_group_column(spark):
                  group_cols=("label",)).toPandas()
     assert sorted(out["label"].tolist()) == [0, 1, 2]
     assert int(out["n_items"].sum()) == 200
+
+
+def test_moments_distributed_build_byte_equal_and_exact(
+        spark, tokens_sdf, tokens_pdf):
+    """Distributed moments build over n_tok: partition-count invariance is
+    BYTE-exact (arbitrary-precision integer addition — zero rounding), and
+    the merged per-source statistics equal a direct exact computation: the
+    one kernel whose estimates carry NO error at all."""
+    specs = {"mom": {"kind": "moments", "value_col": "n_tok"}}
+    a = agg.multi_sketch_agg(tokens_sdf.repartition(3), specs,
+                             ("source",)).toPandas()
+    b = agg.multi_sketch_agg(tokens_sdf.repartition(13), specs,
+                             ("source",)).toPandas()
+    for src, sub in tokens_pdf.groupby("source"):
+        sa = bytes(a.loc[a.source == src, "state"].iloc[0])
+        sb = bytes(b.loc[b.source == src, "state"].iloc[0])
+        assert sa == sb, src
+        sk = registry.from_bytes(sa)
+        xs = [int(x) for x in sub["n_tok"].tolist()]
+        assert sk.n == len(xs) and sk.mn == min(xs) and sk.mx == max(xs)
+        for p in range(1, 5):
+            assert sk.s[p - 1] == sum(x ** p for x in xs), (src, p)
+        st = sk.stats()
+        fn = float(len(xs))
+        assert st["mean"] == float(sum(xs)) / fn
+
+
+def test_sketch_agg_bykey_exact_below_k_and_partition_invariant(
+        spark, tokens_sdf, tokens_pdf):
+    """High-cardinality per-key path: theta per doc_id over its tokens.
+    (a) every per-key estimate is EXACT (|set| < k keeps theta in raw-hash
+    mode), (b) the per-key state is byte-identical across shuffle-partition
+    counts (each key's rows land whole in one partition either way, and
+    the retained-hash set is canonical sorted-unique), (c) exactly one
+    blob row per key — no partial leaks through."""
+    from sgp_sketch import queries as Q
+
+    for nparts in (4, 17):
+        blobs = agg.sketch_agg_bykey(tokens_sdf, "theta", "tokens",
+                                     ("doc_id",),
+                                     num_partitions=nparts).toPandas()
+        assert blobs.groupby("doc_id").size().max() == 1
+        if nparts == 4:
+            first = blobs.set_index("doc_id")["state"].map(bytes)
+        else:
+            second = blobs.set_index("doc_id")["state"].map(bytes)
+    assert first.sort_index().equals(second.sort_index())
+    est = Q.distinct_per_key(tokens_sdf, ["doc_id"], "tokens",
+                             "theta").toPandas()
+    got = {r.doc_id: int(r.est_distinct) for r in est.itertuples()}
+    for doc_id, sub in tokens_pdf.groupby("doc_id"):
+        exact = len({t for row in sub["tokens"] for t in row})
+        assert got[doc_id] == exact, doc_id
+
+
+def test_sketch_agg_bykey_moments_exact_per_key(spark, tokens_sdf,
+                                                tokens_pdf):
+    """Per-key moments: numeric kinds ride the same per-key plan; power
+    sums per source-as-key equal the direct exact computation."""
+    blobs = agg.sketch_agg_bykey(tokens_sdf, "moments", "n_tok",
+                                 ("source",)).toPandas()
+    for src, sub in tokens_pdf.groupby("source"):
+        sk = registry.from_bytes(
+            bytes(blobs.loc[blobs.source == src, "state"].iloc[0]))
+        xs = [int(x) for x in sub["n_tok"].tolist()]
+        assert sk.n == len(xs)
+        assert sk.s[3] == sum(x ** 4 for x in xs)

@@ -472,3 +472,34 @@ def test_streamed_dd_byte_equal_to_batch(spark, stream_input, tokens_pdf,
             exact = vals[int(np.floor(quant * (vals.size - 1)))]
             est = sk.quantiles([quant])[0]
             assert abs(est - exact) <= 0.02 * abs(exact) + 1e-12, (src, quant)
+
+
+def test_streamed_moments_byte_equal_to_batch(spark, stream_input,
+                                              tokens_pdf, tmp_path):
+    """Moments through the generic streaming build: integer addition is
+    exact, so the streamed state must be BYTE-IDENTICAL to the batch
+    multi_sketch_agg build, and its stats equal the exact computation."""
+    from sgp_sketch import agg, streaming
+    from sgp_sketch.kernels import registry
+
+    specs = {"mom": {"kind": "moments", "value_col": "n_tok"}}
+    state_dir = str(tmp_path / "state_mom")
+    q = streaming.stream_sketch_build(
+        spark, stream_input, state_dir, specs,
+        checkpoint_dir=str(tmp_path / "ckpt_mom"), available_now=True)
+    q.awaitTermination(120)
+    streamed = {r["source"]: bytes(r["state"])
+                for r in streaming.streamed_estimates(spark, state_dir)
+                .collect()}
+    batch_df = spark.read.parquet(stream_input)
+    batch = {r["source"]: bytes(r["state"])
+             for r in agg.multi_sketch_agg(batch_df, specs,
+                                           ("source",)).collect()}
+    assert set(streamed) == set(batch)
+    for src in batch:
+        assert streamed[src] == batch[src], src
+        sk = registry.from_bytes(streamed[src])
+        xs = [int(x) for x in
+              tokens_pdf[tokens_pdf.source == src]["n_tok"].tolist()]
+        assert sk.n == len(xs)
+        assert sk.s[1] == sum(x * x for x in xs)
