@@ -1257,6 +1257,35 @@ def q_csv_roundtrip(spark, sf_dir):
             .orderBy("n_nationkey"))
 
 
+_ORC_STAGE: dict = {}
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """S-family source/sink: the second COLUMNAR format Spark ships
+    natively (ORC, zlib-compressed) — supplier is exported once per
+    sf_dir partitioned BY s_nationkey (so the read-back path exercises
+    ORC partition discovery, not just decoding), then read back with a
+    partition-pruning-friendly layout. The oracle reads the original
+    parquet: a hash match proves the ORC round-trip is lossless,
+    including the partition-column int round-trip through directory
+    names. At scale this is the 'engine can serve its state back out in
+    a second columnar format' guarantee — same rows either way."""
+    _views(spark, sf_dir)
+    if sf_dir not in _ORC_STAGE:
+        out = _scratch(prefix="sgp_orc_") + "/supplier_orc"
+        (spark.table("supplier")
+         .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+         .coalesce(1)  # one file per partition dir — bounded tiny-file cost
+         .write.partitionBy("s_nationkey")
+         .option("compression", "zlib").orc(out))
+        _ORC_STAGE[sf_dir] = out
+    return (spark.read.orc(_ORC_STAGE[sf_dir])
+            .select("s_suppkey", "s_name",
+                    F.col("s_acctbal").cast("double").alias("s_acctbal"),
+                    F.col("s_nationkey").cast("int").alias("s_nationkey"))
+            .orderBy("s_suppkey"))
+
+
 def q_partition_introspection(spark, sf_dir):
     """G4 partition-of-query introspection: after hash-routing events to
     shards and repartitioning BY the shard column, `spark_partition_id()`
@@ -2620,6 +2649,28 @@ def q_per_key_distinct(spark, sf_dir):
                           "CAST(est_distinct AS BIGINT) AS n_distinct")
 
 
+def q_per_key_quantile(spark, sf_dir):
+    """Per-KEY quantiles on the high-cardinality state-table plan
+    (queries.quantiles_per_key → agg.sketch_agg_bykey: one raw-row hash
+    shuffle on user_id, each user's DDSketch built whole inside its
+    shuffle partition, zero merge rounds). ORACLE-CHECKED EXACTLY: DD's
+    bucket assignment (⌈ln(x)/ln γ⌉), the cumulative-rank walk, and the
+    midpoint 2·exp(i·ln γ)/(γ+1) are deterministic scalar-libm
+    arithmetic, so DuckDB replays every per-user p50 bit-for-bit — the
+    same replay contract dd_ntok_quantiles establishes per source, here
+    stressing 150–1,500 independent per-key walks. events.value is
+    strictly positive at every scale (datagen), so the positive-store
+    walk suffices; the kernel's zero/negative stores are tested in
+    tests/test_kernels.py."""
+    from sgp_sketch import queries as Q
+
+    _views(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "value")
+    out = Q.quantiles_per_key(ev, ["user_id"], "value", qs=(0.5,),
+                              kind="dd", params={"alpha": 0.01})
+    return out.select("user_id", F.col("value").alias("p50_est"))
+
+
 def q_fd_bounds_check(spark, sf_dir):
     """Frequent Directions bound gate over the embeddings table — the
     sketch_bounds_check pattern for the matrix kernel, closing the loop:
@@ -2876,6 +2927,30 @@ def _moments_oracle_sql() -> str:
     """
 
 
+def _per_key_quantile_oracle_sql() -> str:
+    """Exact DuckDB replay of q_per_key_quantile: per-user DDSketch p50 —
+    bucket assignment, cumulative-rank walk, and midpoint arithmetic,
+    scalar libm on both engines (see _dd_quantiles_oracle_sql for the
+    bit-exactness argument; this one runs the walk once per user)."""
+    g = repr((1.0 + 0.01) / (1.0 - 0.01))
+    return f"""
+        WITH b AS (SELECT user_id,
+                          CAST(ceil(ln(value)/ln({g})) AS BIGINT) AS i,
+                          COUNT(*) AS c
+                   FROM events GROUP BY 1, 2),
+        cum AS (SELECT user_id, i,
+                       SUM(c) OVER (PARTITION BY user_id ORDER BY i) AS cum
+                FROM b),
+        n AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        pick AS (SELECT cum.user_id, MIN(cum.i) AS i
+                 FROM cum JOIN n USING (user_id)
+                 WHERE cum.cum > 0.5 * (n.n - 1)
+                 GROUP BY 1)
+        SELECT user_id, 2*exp(i*ln({g}))/({g}+1) AS p50_est
+        FROM pick ORDER BY user_id
+    """
+
+
 def _bpe_merges_oracle_sql() -> str:
     body = " UNION ALL ".join(
         f"SELECT CAST({r - 1} AS INT) AS rank, a AS sym_a, b AS sym_b, "
@@ -3120,6 +3195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 session 4: exact moments kernel + per-key states ---
         "moments_profile": q_moments_profile,
         "per_key_distinct": q_per_key_distinct,
+        "per_key_quantile": q_per_key_quantile,
+        "orc_roundtrip": q_orc_roundtrip,
         # --- previously adjudicated (r03 first, then r02/r01) ---
         "zipf_slope": q_zipf_slope,
         "mad_outliers": q_mad_outliers,
@@ -4590,6 +4667,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
             FROM events GROUP BY user_id ORDER BY user_id
         """,
+        "orc_roundtrip": """
+            SELECT s_suppkey, s_name, s_acctbal,
+                   CAST(s_nationkey AS INT) AS s_nationkey
+            FROM supplier ORDER BY s_suppkey
+        """,
+        "per_key_quantile": _per_key_quantile_oracle_sql(),
         "fd_bounds_check": """
             SELECT CAST(label AS VARCHAR) AS grp, chk AS check,
                    CAST(1 AS INT) AS ok, COUNT(*) AS n_rows

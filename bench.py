@@ -606,6 +606,45 @@ def cc_probe(spark) -> dict:
     return out
 
 
+def perkey_probe(spark) -> dict:
+    """High-cardinality per-KEY state-table probe (round-4 session 4):
+    theta per doc_id over the 300k-doc / ~100M-token scaling table —
+    300k keys is 3 orders of magnitude beyond the per-source path's
+    sweet spot and the regime agg.sketch_agg_bykey exists for (one
+    raw-row hash shuffle, each key's state built whole in its shuffle
+    partition, zero merge rounds). Every per-key estimate is then
+    checked against the exact per-doc distinct count computed
+    distributively (theta below k retains raw hashes → estimates must
+    be EXACT; one mismatch fails the probe)."""
+    from pyspark.sql import functions as F
+
+    from sgp_sketch import queries as Q
+
+    path, n_tok = _ensure_scaling_table(CPUS)
+    df = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    est = Q.distinct_per_key(df, ["doc_id"], "tokens", "theta",
+                             num_partitions=CPUS * 4).cache()
+    n_keys = est.count()
+    dt = time.perf_counter() - t0
+    exact = df.select("doc_id",
+                      F.size(F.array_distinct("tokens")).alias("exact"))
+    mismatches = (est.join(exact, "doc_id")
+                  .filter(F.col("est_distinct").cast("long")
+                          != F.col("exact")).count())
+    est.unpersist()
+    out = {
+        "n_keys": n_keys,
+        "n_tokens": n_tok,
+        "seconds": round(dt, 2),
+        "keys_per_sec": round(n_keys / dt, 1),
+        "tokens_per_sec": round(n_tok / dt, 1),
+        "estimate_mismatches": mismatches,  # must be 0 (exact below k)
+    }
+    log(f"per-key probe: {json.dumps(out)}")
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from sgp_sketch.session import get_spark
@@ -630,6 +669,10 @@ def main() -> None:
         cc_stats = (cc_probe(spark)
                     if os.environ.get("SPARK_GRAFT_BENCH_CC", "1") != "0"
                     else None)
+        perkey_stats = (perkey_probe(spark)
+                        if os.environ.get("SPARK_GRAFT_BENCH_PERKEY",
+                                          "1") != "0"
+                        else None)
         n_tok, build_dt = sketch_build_job(spark, SF_DIR)
         tput = n_tok / build_dt
         log(f"sketch build: {n_tok} tokens in {build_dt:.2f}s = {tput:,.0f} tok/s")
@@ -672,6 +715,8 @@ def main() -> None:
         full["cosine_probe"] = cosine_stats
     if cc_stats:
         full["cc_probe"] = cc_stats
+    if perkey_stats:
+        full["perkey_probe"] = perkey_stats
     if SCALING:
         full["scaling"] = scaling_probe(((2, 8), (8, CPUS)))
         if os.environ.get("SPARK_GRAFT_BENCH_CLUSTER", "1") != "0":
@@ -720,6 +765,12 @@ def main() -> None:
             "ok": cc_stats["structure_verified"],
             "eps": cc_stats["edges_per_sec"],
         }
+    if perkey_stats:
+        compact["perkey_probe"] = {
+            "keys": perkey_stats["n_keys"],
+            "kps": perkey_stats["keys_per_sec"],
+            "mism": perkey_stats["estimate_mismatches"],
+        }
     if "scaling" in full:
         s = full["scaling"]
         compact["scaling"] = {
@@ -745,7 +796,7 @@ def main() -> None:
     # hard stdout budget: shed optional detail progressively, NEVER crash
     # (an assert here would throw away the whole run's minutes and print
     # no summary at all — the exact failure the compact line exists to fix)
-    shed_order = ("queries", "streaming", "dedup_probe",
+    shed_order = ("queries", "streaming", "dedup_probe", "perkey_probe",
                   "cluster_scaling", "scaling")
     line = json.dumps(compact)
     for key in shed_order:

@@ -247,6 +247,11 @@ def sketch_agg_bykey(df, kind: str, value_col: str, key_cols=("key",),
     the partition's raw data, same as any built-in hash aggregate."""
     rep = (df.repartition(num_partitions, *key_cols) if num_partitions
            else df.repartition(*key_cols))
+    # the pandas accumulator beats the Arrow packed-sort path here
+    # (measured 2x on 300k keys x 337 tokens, warm): with MANY SMALL
+    # groups a hash groupby + per-group vector ops wins over sorting
+    # every token by (group, token) per batch — the Arrow path's packed
+    # np.unique is tuned for few groups x many tokens, the opposite shape
     partials, _schema = build_partials(rep, kind, value_col,
                                        list(key_cols), params)
     return partials.drop("part_id")

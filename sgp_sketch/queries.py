@@ -124,6 +124,30 @@ def distinct_per_key(df, key_cols, value_col="tokens", kind="theta",
     return blobs.select(*key_cols, est("state").alias("est_distinct"))
 
 
+def quantiles_per_key(df, key_cols, value_col, qs=(0.5,), kind="dd",
+                      params: dict | None = None,
+                      num_partitions: int | None = None):
+    """Per-KEY quantiles on the high-cardinality state-table plan (one
+    hash shuffle, zero merge rounds — agg.sketch_agg_bykey). Default kind
+    is DDSketch: deterministic bucket assignment makes the per-key
+    estimates exactly replayable by an external engine, which is how
+    `per_key_quantile` in `__spark_entry__` is adjudicated.
+
+    → DataFrame(key_cols..., q double, value double), long form.
+    """
+    from pyspark.sql import functions as F
+
+    blobs = agg.sketch_agg_bykey(df, kind, value_col, key_cols, params,
+                                 num_partitions)
+    quant = _quantile_udf(qs)
+    wide = blobs.select(*key_cols, quant("state").alias("vals"))
+    qlit = F.array(*[F.lit(float(q)) for q in qs])
+    return wide.select(
+        *key_cols,
+        F.explode(F.arrays_zip(qlit.alias("q"), F.col("vals").alias("value")))
+        .alias("z")).select(*key_cols, "z.q", "z.value")
+
+
 def heavy_hitters(df, k: int = 20, value_col="tokens", group_cols=("source",),
                   depth: int = 4, width: int = 1 << 14,
                   candidates_per_partial: int | None = None):

