@@ -2659,9 +2659,9 @@ def q_per_key_quantile(spark, sf_dir):
     arithmetic, so DuckDB replays every per-user p50 bit-for-bit — the
     same replay contract dd_ntok_quantiles establishes per source, here
     stressing 150–1,500 independent per-key walks. events.value is
-    strictly positive at every scale (datagen), so the positive-store
-    walk suffices; the kernel's zero/negative stores are tested in
-    tests/test_kernels.py."""
+    non-negative (datagen; a handful of exact zeros at sf0.1), so the
+    oracle walks the ZERO bucket + positive store exactly as the kernel
+    orders them; the negative store is tested in tests/test_kernels.py."""
     from sgp_sketch import queries as Q
 
     _views(spark, sf_dir)
@@ -2931,23 +2931,39 @@ def _per_key_quantile_oracle_sql() -> str:
     """Exact DuckDB replay of q_per_key_quantile: per-user DDSketch p50 —
     bucket assignment, cumulative-rank walk, and midpoint arithmetic,
     scalar libm on both engines (see _dd_quantiles_oracle_sql for the
-    bit-exactness argument; this one runs the walk once per user)."""
+    bit-exactness argument; this one runs the walk once per user).
+
+    The walk includes the ZERO bucket (estimate 0.0) ahead of the
+    positive store, exactly as kernels/dd.py:quantiles orders it —
+    events.value is 0 for a handful of rows at sf0.1, which a
+    positive-only replay would crash on (ln(0)). Negative values never
+    occur in events (datagen floors at 0); the kernel's negative store
+    is pytest-gated."""
     g = repr((1.0 + 0.01) / (1.0 - 0.01))
     return f"""
-        WITH b AS (SELECT user_id,
-                          CAST(ceil(ln(value)/ln({g})) AS BIGINT) AS i,
-                          COUNT(*) AS c
-                   FROM events GROUP BY 1, 2),
-        cum AS (SELECT user_id, i,
-                       SUM(c) OVER (PARTITION BY user_id ORDER BY i) AS cum
-                FROM b),
+        WITH b AS (
+            SELECT user_id, CAST(0 AS BIGINT) AS i, COUNT(*) AS c,
+                   1 AS is_zero
+            FROM events WHERE value = 0 GROUP BY user_id
+            UNION ALL
+            SELECT user_id, CAST(ceil(ln(value)/ln({g})) AS BIGINT) AS i,
+                   COUNT(*) AS c, 0 AS is_zero
+            FROM events WHERE value > 0 GROUP BY 1, 2),
         n AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
-        pick AS (SELECT cum.user_id, MIN(cum.i) AS i
+        cum AS (SELECT user_id, i, is_zero,
+                       SUM(c) OVER (PARTITION BY user_id
+                                    ORDER BY is_zero DESC, i) AS cum
+                FROM b),
+        pick AS (SELECT cum.user_id, cum.i, cum.is_zero,
+                        ROW_NUMBER() OVER (PARTITION BY cum.user_id
+                                           ORDER BY cum.is_zero DESC, cum.i)
+                        AS rn
                  FROM cum JOIN n USING (user_id)
-                 WHERE cum.cum > 0.5 * (n.n - 1)
-                 GROUP BY 1)
-        SELECT user_id, 2*exp(i*ln({g}))/({g}+1) AS p50_est
-        FROM pick ORDER BY user_id
+                 WHERE cum.cum > 0.5 * (n.n - 1))
+        SELECT user_id,
+               CASE WHEN is_zero = 1 THEN 0.0
+                    ELSE 2*exp(i*ln({g}))/({g}+1) END AS p50_est
+        FROM pick WHERE rn = 1 ORDER BY user_id
     """
 
 

@@ -468,3 +468,27 @@ def test_sketch_agg_bykey_moments_exact_per_key(spark, tokens_sdf,
         xs = [int(x) for x in sub["n_tok"].tolist()]
         assert sk.n == len(xs)
         assert sk.s[3] == sum(x ** 4 for x in xs)
+
+
+def test_quantiles_per_key_zero_values(spark):
+    """Per-key DD quantiles with planted zero values: each per-key state
+    must equal a direct kernel build (zero bucket included), and the p50
+    of an all-zeros key is exactly 0.0 — the sf0.1 events table contains
+    real zeros, so the oracle walk covers this path (regression)."""
+    import pandas as pd
+
+    from sgp_sketch import queries as Q
+    from sgp_sketch.kernels import dd
+
+    pdf = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 4 + ["z"] * 3,
+        "v": [0.0, 1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    })
+    sdf = spark.createDataFrame(pdf, "k string, v double")
+    out = Q.quantiles_per_key(sdf, ["k"], "v", qs=(0.5,), kind="dd",
+                              params={"alpha": 0.01}).toPandas()
+    got = {r.k: r.value for r in out.itertuples()}
+    for k, sub in pdf.groupby("k"):
+        exact = dd.DD(alpha=0.01).update(sub["v"].to_numpy())
+        assert got[k] == exact.quantiles([0.5])[0], k
+    assert got["z"] == 0.0
