@@ -2625,6 +2625,22 @@ def q_moments_profile(spark, sf_dir):
         "variance double, skewness double, kurt_excess double")
 
 
+def q_moments_drift(spark, sf_dir):
+    """Distribution-shape drift from EXACT moments (stats.moments_drift,
+    kernel #11): variance ratio, standardized mean difference and
+    skewness delta of n_chars between two sources — the third drift lens
+    next to KS (needs the distinct-value axis) and PSI (needs bin
+    edges); moments need neither and merge by addition. ORACLE-CHECKED
+    BIT-EXACTLY: every output double is a fixed IEEE-754 op sequence
+    over exact integer power sums, replayed from HUGEINT in DuckDB
+    (same contract as moments_profile)."""
+    from sgp_sketch import stats as S
+
+    _views(spark, sf_dir)
+    return S.moments_drift(spark.table("documents"), "n_chars",
+                           "source", "src3", "src7")
+
+
 def q_per_key_distinct(spark, sf_dir):
     """Per-KEY distinct counting — the high-cardinality state-table path
     (agg.sketch_agg_bykey via queries.distinct_per_key): one raw-row hash
@@ -3213,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_key_distinct": q_per_key_distinct,
         "per_key_quantile": q_per_key_quantile,
         "orc_roundtrip": q_orc_roundtrip,
+        "moments_drift": q_moments_drift,
         # --- previously adjudicated (r03 first, then r02/r01) ---
         "zipf_slope": q_zipf_slope,
         "mad_outliers": q_mad_outliers,
@@ -4689,6 +4706,35 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier ORDER BY s_suppkey
         """,
         "per_key_quantile": _per_key_quantile_oracle_sql(),
+        "moments_drift": """
+            WITH s AS (SELECT source, COUNT(*) AS n,
+                              SUM(CAST(n_chars AS HUGEINT)) AS s1,
+                              SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+                              SUM(CAST(n_chars AS HUGEINT) * n_chars
+                                  * n_chars) AS s3
+                       FROM documents
+                       WHERE source IN ('src3', 'src7') GROUP BY source),
+            m AS (SELECT source, n,
+                         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+                         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3
+                  FROM s),
+            d AS (SELECT *, m2 - m1 * m1 AS var FROM m),
+            g AS (SELECT *,
+                         CASE WHEN var > 0 THEN
+                             (m3 - 3.0 * m1 * m2 + 2.0 * (m1 * m1 * m1))
+                             / ((sqrt(var) * sqrt(var)) * sqrt(var))
+                         END AS skew
+                  FROM d)
+            SELECT a.n AS n_a, b.n AS n_b, a.m1 AS mean_a, b.m1 AS mean_b,
+                   CASE WHEN b.var > 0 THEN a.var / b.var END AS var_ratio,
+                   CASE WHEN b.var > 0 AND (a.var + b.var) / 2.0 > 0 THEN
+                       (a.m1 - b.m1) / sqrt((a.var + b.var) / 2.0)
+                   END AS std_mean_diff,
+                   a.skew - b.skew AS skew_delta
+            FROM (SELECT * FROM g WHERE source = 'src3') a,
+                 (SELECT * FROM g WHERE source = 'src7') b
+        """,
         "fd_bounds_check": """
             SELECT CAST(label AS VARCHAR) AS grp, chk AS check,
                    CAST(1 AS INT) AS ok, COUNT(*) AS n_rows

@@ -252,3 +252,62 @@ def psi_drift(df, value_col: str, group_col: str, group_a, group_b,
                        F.sum("_cb").over(tot).alias("_nb"))
             .agg(F.round(F.sum("_t"), 6).alias("psi"),
                  F.max("_na").alias("n_a"), F.max("_nb").alias("n_b")))
+
+
+def moments_drift(df, value_col: str, group_col: str, group_a, group_b):
+    """Distribution-shape drift between two groups from EXACT moments
+    (kernels/moments.py — arbitrary-precision integer power sums): the
+    third drift lens next to KS (exact distance, needs the
+    distinct-value axis) and PSI (binned, needs chosen edges). Moments
+    need neither — ~64 bytes per group, one scan, merge-by-addition —
+    and the three gates it derives are the ones a training-mix monitor
+    actually pages on:
+
+      var_ratio      var_a / var_b          (spread blow-up/collapse)
+      std_mean_diff  (μa − μb)/√((va+vb)/2) (standardized mean shift,
+                                             Cohen's-d-style)
+      skew_delta     g1_a − g1_b            (tail direction flip)
+
+    All outputs are pure functions of the exact integer state evaluated
+    with IEEE-754 correctly-rounded ops only (+,−,×,÷,sqrt), so the
+    DuckDB oracle in `__spark_entry__` reproduces every double
+    bit-for-bit from HUGEINT power sums (same contract as
+    `moments_profile`). Returns one row:
+    (n_a, n_b, mean_a, mean_b, var_ratio, std_mean_diff, skew_delta) —
+    ratio/smd NULL when a variance is 0 or a group is empty (loud via
+    the n columns, never a crash).
+    """
+    import math
+
+    from . import agg
+    from .kernels import registry
+
+    sub = df.filter(df[group_col].isin([group_a, group_b]))
+    blobs = {r[group_col]: bytes(r["state"])
+             for r in agg.multi_sketch_agg(
+                 sub, {"mom": {"kind": "moments", "value_col": value_col}},
+                 (group_col,)).collect()}
+
+    def unpack(g):
+        if g not in blobs:
+            return {"n": 0, "mean": None, "variance": None,
+                    "skewness": None}
+        return registry.from_bytes(blobs[g]).stats()
+
+    a, b = unpack(group_a), unpack(group_b)
+    var_ratio = smd = skew_delta = None
+    if a["n"] and b["n"]:
+        if b["variance"] is not None and b["variance"] > 0.0 \
+                and a["variance"] is not None:
+            var_ratio = a["variance"] / b["variance"]
+            pooled = (a["variance"] + b["variance"]) / 2.0
+            if pooled > 0.0:
+                smd = (a["mean"] - b["mean"]) / math.sqrt(pooled)
+        if a["skewness"] is not None and b["skewness"] is not None:
+            skew_delta = a["skewness"] - b["skewness"]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(a["n"], b["n"], a["mean"], b["mean"],
+          var_ratio, smd, skew_delta)],
+        "n_a long, n_b long, mean_a double, mean_b double, "
+        "var_ratio double, std_mean_diff double, skew_delta double")

@@ -204,3 +204,38 @@ def test_histogram_excludes_nan(spark):
     out = equi_width_histogram(df, "v", lo=0.0, hi=4.0, nbins=4).collect()
     assert sum(r["n"] for r in out) == 2
     assert all(r["avg_value"] == r["avg_value"] for r in out)  # no NaN
+
+
+def test_moments_drift_exact_and_degenerate(spark):
+    """moments_drift: (a) matches a direct exact computation, (b) missing
+    group and zero-variance group yield NULL gates + loud n columns, not
+    crashes."""
+    import math
+
+    import pandas as pd
+    import pytest
+
+    from sgp_sketch.stats import moments_drift
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"] * 4 + ["c"] * 3,
+        "v": [1, 2, 3, 4, 5, 6, 10, 20, 30, 40, 7, 7, 7],
+    })
+    sdf = spark.createDataFrame(pdf, "g string, v long")
+    row = moments_drift(sdf, "v", "g", "a", "b").collect()[0]
+    xa = [1, 2, 3, 4, 5, 6]
+    xb = [10, 20, 30, 40]
+    ma, mb = sum(xa) / 6.0, sum(xb) / 4.0
+    va = sum(x * x for x in xa) / 6.0 - ma * ma
+    vb = sum(x * x for x in xb) / 4.0 - mb * mb
+    assert row["n_a"] == 6 and row["n_b"] == 4
+    assert row["var_ratio"] == pytest.approx(va / vb, rel=1e-12)
+    assert row["std_mean_diff"] == pytest.approx(
+        (ma - mb) / math.sqrt((va + vb) / 2.0), rel=1e-12)
+    # zero-variance comparison group: ratio/smd NULL, counts loud
+    row = moments_drift(sdf, "v", "g", "a", "c").collect()[0]
+    assert row["n_b"] == 3 and row["var_ratio"] is None
+    assert row["std_mean_diff"] is None and row["skew_delta"] is None
+    # missing group entirely
+    row = moments_drift(sdf, "v", "g", "a", "nope").collect()[0]
+    assert row["n_b"] == 0 and row["var_ratio"] is None
