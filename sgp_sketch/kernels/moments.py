@@ -19,7 +19,13 @@ already has:
     operations (+, −, ×, ÷, sqrt — no libm pow), so an external engine
     (DuckDB over HUGEINT power sums) reproduces every output double
     bit-for-bit. `__spark_entry__`'s `moments_profile` is adjudicated
-    that way.
+    that way. PRECONDITION for the cross-engine bit-exact replay: each
+    power sum must stay below 2^63 — DuckDB materializes HUGEINT→DOUBLE
+    as (double)upper·2^64 + (double)lower, which double-rounds above
+    that (the kernel itself stays exact at any magnitude; only the
+    REPLAY comparison degrades, to ~1 ulp on the derived doubles). For
+    n_chars-scale inputs (x ≤ 10^4) that holds to Σx⁴ ≈ 2^63 ⇒ n ≲
+    5·10^2 trillion rows — compare with 1-ulp tolerance beyond it.
 
 Exactness mechanics: per Arrow batch, Σx^p is computed in int64 with a
 chunk size chosen so no partial sum can overflow (chunk ≤ ⌊2⁶²/max|x|^p⌋),
@@ -111,6 +117,13 @@ class Moments:
         elif v.dtype.kind not in "iu":
             raise ValueError(f"moments: unsupported dtype {v.dtype}")
         else:
+            # unsigned guard symmetric to the float one above: a uint64
+            # above 2^63-1 would silently WRAP under astype(int64),
+            # corrupting the "exact" power sums — reject loudly instead
+            if (v.dtype.kind == "u" and v.size
+                    and int(v.max()) > np.iinfo(np.int64).max):
+                raise ValueError("moments: unsigned value > 2^63-1 would "
+                                 "wrap under int64 — rescale upstream")
             v = v.astype(np.int64)
         if v.size == 0:
             return self

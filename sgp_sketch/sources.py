@@ -20,11 +20,24 @@ a PARALLEL scan:
     the edge layout — no per-field Python loop), so rows enter Spark
     through the vectorized Arrow path.
 
+Four layouts:
+  * `edge` (default) — `src dst` pairs → (src long, dst long)
+  * `edge_ts` — `src dst [ts]`, the reference's optional third
+    time_stamp column (csv-converter.scala:31-34) → (src, dst, ts)
+  * `adj` — `vertex outDegree neighbors...` (EdgeCutSGP.java:217-225)
+  * `ladj` — the reference's labeled LDBC-SNB adjacency
+    `id|elabel,target[,ts] ...|elabel,source[,ts] ...`
+    (csv-converter.scala:40-74 / script-input-ldbc-snb.groovy:19-47)
+    → (src string, dst string, elabel string, ts long, dir string);
+    .option("elabels", "knows,likes") applies the reference's
+    ingest-time edge-label IN-set predicate (EdgeCutSGP.java:84-92)
+    inside the ranged scan.
+
 Usage:
     from sgp_sketch.sources import register
     register(spark)
     edges = (spark.read.format("edgelist")
-             .option("layout", "adj")        # or "edge" (default)
+             .option("layout", "adj")        # edge | edge_ts | adj | ladj
              .load("/data/twitter/*.txt"))   # → (src long, dst long)
 
 Filesystem contract: paths resolve with driver-side os.path/glob and
@@ -100,6 +113,78 @@ def _parse_edges(buf: bytes, layout: str, comment: bytes = b"#"):
     return np.concatenate(srcs), np.concatenate(dsts)
 
 
+def _parse_ladj(buf: bytes, elabels: frozenset | None = None,
+                comment: bytes = b"#"):
+    """Labeled-adjacency block → columnar lists
+    (src, dst, elabel, ts, dir), the reference's LDBC-SNB layout
+
+        id|elabel,target[,ts] ...|elabel,source[,ts] ...
+
+    (csv-converter.scala:40-74 writes it; script-input-ldbc-snb.groovy:
+    19-47 parses it back — part 2 is OUT edges id→target, part 3 is IN
+    edges source→id, ts is epoch millis and optional per edge).
+
+    `elabels` applies the reference's ingest-time edge-label IN-set
+    predicate (EdgeCutSGP.java:84-92: labels outside the user's set are
+    dropped DURING the scan, before any edge materializes) — pass it via
+    .option("elabels", "knows,likes") so the filter runs inside the
+    ranged read, not as a post-scan Filter node."""
+    src, dst, lab, ts, dirs = [], [], [], [], []
+
+    def _edges(part: bytes, vid: bytes, incoming: bool):
+        for tok in part.split(b" "):
+            if not tok:
+                continue
+            f = tok.split(b",")
+            if len(f) < 2:
+                raise ValueError(f"ladj: malformed edge token {tok[:60]!r}")
+            if elabels is not None and f[0] not in elabels:
+                continue
+            lab.append(f[0].decode())
+            t = int(f[2]) if len(f) > 2 and f[2] else None
+            ts.append(t)
+            if incoming:
+                src.append(f[1].decode())
+                dst.append(vid.decode())
+                dirs.append("in")
+            else:
+                src.append(vid.decode())
+                dst.append(f[1].decode())
+                dirs.append("out")
+
+    for ln in buf.split(b"\n"):
+        if not ln or ln.startswith(comment):
+            continue
+        parts = ln.split(b"|", 2)
+        if len(parts) != 3:
+            raise ValueError(f"ladj: expected id|out|in, got {ln[:60]!r}")
+        _edges(parts[1], parts[0], incoming=False)
+        _edges(parts[2], parts[0], incoming=True)
+    return src, dst, lab, ts, dirs
+
+
+def _parse_edges_ts(buf: bytes, comment: bytes = b"#"):
+    """`src dst [ts]` block → (src int64[], dst int64[], ts object[]):
+    the reference's edge CSVs carry an optional third time_stamp column
+    (csv-converter.scala:31-34); rows may mix 2- and 3-field arity, so
+    missing ts is NULL rather than a parse error."""
+    if not buf:
+        e = np.empty(0, np.int64)
+        return e, e, []
+    src, dst, ts = [], [], []
+    for ln in buf.split(b"\n"):
+        if not ln or ln.startswith(comment):
+            continue
+        f = ln.split()
+        if len(f) not in (2, 3):
+            raise ValueError(f"edge_ts layout: {len(f)} fields in "
+                             f"{ln[:60]!r}")
+        src.append(int(f[0]))
+        dst.append(int(f[1]))
+        ts.append(int(f[2]) if len(f) == 3 else None)
+    return (np.asarray(src, np.int64), np.asarray(dst, np.int64), ts)
+
+
 def _read_range(path: str, start: int, end: int) -> bytes:
     """Byte range → block of the complete lines this range OWNS: the
     Hadoop LineRecordReader convention — a range owns every line whose
@@ -139,9 +224,16 @@ class EdgeListReader(DataSourceReader):
         if not self.path:
             raise ValueError("edgelist: .load(path) is required")
         self.layout = options.get("layout", "edge")
-        if self.layout not in ("edge", "adj"):
+        if self.layout not in ("edge", "adj", "edge_ts", "ladj"):
             raise ValueError(f"edgelist: unknown layout {self.layout!r}")
         self.chunk = int(options.get("chunk_bytes", 32 << 20))
+        labels = options.get("elabels")
+        self.elabels = (frozenset(s.strip().encode()
+                                  for s in labels.split(",") if s.strip())
+                        if labels else None)
+        if self.elabels is not None and self.layout != "ladj":
+            raise ValueError("edgelist: elabels only applies to the "
+                             "ladj layout")
 
     def partitions(self):
         # fail loudly on URI schemes this reader cannot serve: resolution
@@ -193,6 +285,21 @@ class EdgeListReader(DataSourceReader):
         else:
             buf = _read_range(partition.path, partition.start,
                               partition.end)
+        if self.layout == "ladj":
+            src, dst, lab, ts, dirs = _parse_ladj(buf, self.elabels)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(src, pa.string()), pa.array(dst, pa.string()),
+                 pa.array(lab, pa.string()), pa.array(ts, pa.int64()),
+                 pa.array(dirs, pa.string())],
+                names=["src", "dst", "elabel", "ts", "dir"])
+            return
+        if self.layout == "edge_ts":
+            src, dst, ts = _parse_edges_ts(buf)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(src, pa.int64()), pa.array(dst, pa.int64()),
+                 pa.array(ts, pa.int64())],
+                names=["src", "dst", "ts"])
+            return
         src, dst = _parse_edges(buf, self.layout)
         yield pa.RecordBatch.from_arrays(
             [pa.array(src, pa.int64()), pa.array(dst, pa.int64())],
@@ -205,6 +312,12 @@ class EdgeListDataSource(DataSource):
         return "edgelist"
 
     def schema(self):
+        layout = self.options.get("layout", "edge")
+        if layout == "ladj":
+            return ("src string, dst string, elabel string, ts long, "
+                    "dir string")
+        if layout == "edge_ts":
+            return "src long, dst long, ts long"
         return "src long, dst long"
 
     def reader(self, schema):

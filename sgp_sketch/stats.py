@@ -163,7 +163,8 @@ def equi_width_histogram(df, value_col: str = "value",
             .agg(F.round(F.lit(float(lo)) + F.col("bucket") * F.lit(w), 6)
                  .alias("lo_edge"),
                  F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg(v), 6).alias("avg_value"))
+                 F.round(F.sum(v.cast("decimal(18,6)")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_value"))
             .orderBy("bucket"))
 
 
@@ -272,7 +273,9 @@ def moments_drift(df, value_col: str, group_col: str, group_a, group_b):
     with IEEE-754 correctly-rounded ops only (+,−,×,÷,sqrt), so the
     DuckDB oracle in `__spark_entry__` reproduces every double
     bit-for-bit from HUGEINT power sums (same contract as
-    `moments_profile`). Returns one row:
+    `moments_profile`; same precondition — each power sum < 2^63,
+    see kernels/moments.py — DuckDB's HUGEINT→DOUBLE cast double-rounds
+    beyond that and the replay is then ~1-ulp, not bit-exact). Returns one row:
     (n_a, n_b, mean_a, mean_b, var_ratio, std_mean_diff, skew_delta) —
     ratio/smd NULL when a variance is 0 or a group is empty (loud via
     the n columns, never a crash).

@@ -943,6 +943,14 @@ def test_moments_validation_and_edge_cases():
         moments.Moments().update(np.array([2.0 ** 60]))
     with pytest.raises(TypeError):
         moments.Moments().merge(object())
+    # unsigned guard symmetric to the float 2^53 one: uint64 above
+    # 2^63-1 must raise, not wrap under astype(int64)
+    with pytest.raises(ValueError, match="wrap"):
+        moments.Moments().update(np.array([2 ** 63], dtype=np.uint64))
+    # in-range uint64 stays exact
+    u = moments.Moments().update(
+        np.array([2 ** 62, 3], dtype=np.uint64))
+    assert u.s[0] == 2 ** 62 + 3 and u.mx == 2 ** 62
     # non-finite dropped (numeric-kernel policy), integral floats accepted
     s = moments.Moments().update(np.array([np.nan, np.inf, 3.0, 4.0]))
     assert s.n == 2 and s.s[0] == 7 and s.mn == 3 and s.mx == 4

@@ -156,3 +156,129 @@ def test_directory_path_expands_to_files(spark, edge_file, tmp_path):
     sources.register(spark)
     df = spark.read.format("edgelist").load(str(d))
     assert df.count() == len(edges)
+
+
+def test_ladj_layout_round_trip(spark, tmp_path):
+    """Labeled LDBC-SNB adjacency (csv-converter.scala:40-74): out edges
+    id→target, in edges source→id, optional ts, empty parts allowed."""
+    from sgp_sketch import sources
+
+    p = tmp_path / "ladj.txt"
+    p.write_text(
+        "# header\n"
+        "person:1|knows,person:2,100 likes,post:9|knows,person:3,50\n"
+        "person:2||\n"
+        "tag:7|hasType,tagclass:1|\n")
+    sources.register(spark)
+    df = (spark.read.format("edgelist").option("layout", "ladj")
+          .load(str(p)))
+    got = sorted(map(tuple, df.collect()))
+    assert got == [
+        ("person:1", "person:2", "knows", 100, "out"),
+        ("person:1", "post:9", "likes", None, "out"),
+        ("person:3", "person:1", "knows", 50, "in"),
+        ("tag:7", "tagclass:1", "hasType", None, "out"),
+    ]
+
+
+def test_ladj_ts_optional_and_missing(spark, tmp_path):
+    from sgp_sketch import sources
+
+    p = tmp_path / "ladj.txt"
+    p.write_text("person:1|likes,post:2 likes,post:3,777|\n")
+    sources.register(spark)
+    rows = sorted(map(tuple,
+                      spark.read.format("edgelist")
+                      .option("layout", "ladj").load(str(p)).collect()))
+    assert rows == [("person:1", "post:2", "likes", None, "out"),
+                    ("person:1", "post:3", "likes", 777, "out")]
+
+
+def test_ladj_elabel_predicate_at_scan(spark, tmp_path):
+    """EdgeCutSGP.java:84-92: labels outside the IN-set are dropped
+    during ingest, before any edge materializes."""
+    from sgp_sketch import sources
+
+    p = tmp_path / "ladj.txt"
+    p.write_text("person:1|knows,person:2,1 likes,post:9,2|"
+                 "replyOf,comment:4,3\n")
+    sources.register(spark)
+    df = (spark.read.format("edgelist").option("layout", "ladj")
+          .option("elabels", "knows,replyOf").load(str(p)))
+    got = sorted(r.elabel for r in df.collect())
+    assert got == ["knows", "replyOf"]
+
+
+def test_ladj_boundary_crossing_chunks(spark, tmp_path):
+    """Exactly-once ranged reads hold for the ladj layout too: tiny
+    chunks force many line-boundary crossings."""
+    import numpy as np
+
+    from sgp_sketch import sources
+
+    rng = np.random.default_rng(7)
+    lines = []
+    n_out = 0
+    for v in range(300):
+        outs = " ".join(f"knows,person:{rng.integers(0, 300)},{i}"
+                        for i in range(rng.integers(0, 4)))
+        n_out += len(outs.split()) if outs else 0
+        lines.append(f"person:{v}|{outs}|")
+    p = tmp_path / "ladj.txt"
+    p.write_text("\n".join(lines) + "\n")
+    sources.register(spark)
+    df = (spark.read.format("edgelist").option("layout", "ladj")
+          .option("chunk_bytes", 256).load(str(p)))
+    assert df.count() == n_out
+
+
+def test_ladj_malformed_raises(spark, tmp_path):
+    from sgp_sketch import sources
+
+    sources.register(spark)
+    p = tmp_path / "bad.txt"
+    p.write_text("person:1|knows,person:2\n")  # only 2 parts, not 3
+    with pytest.raises(Exception, match="ladj"):
+        (spark.read.format("edgelist").option("layout", "ladj")
+         .load(str(p)).collect())
+    p2 = tmp_path / "bad2.txt"
+    p2.write_text("person:1|knows|\n")  # edge token missing target
+    with pytest.raises(Exception, match="ladj"):
+        (spark.read.format("edgelist").option("layout", "ladj")
+         .load(str(p2)).collect())
+
+
+def test_elabels_rejected_outside_ladj(spark, tmp_path):
+    from sgp_sketch import sources
+
+    sources.register(spark)
+    p = tmp_path / "e.txt"
+    p.write_text("1 2\n")
+    with pytest.raises(Exception, match="elabels"):
+        (spark.read.format("edgelist").option("elabels", "knows")
+         .load(str(p)).collect())
+
+
+def test_edge_ts_layout_mixed_arity(spark, tmp_path):
+    """csv-converter.scala:31-34's optional time_stamp column: 2- and
+    3-field rows mix; missing ts is NULL, not an error."""
+    from sgp_sketch import sources
+
+    p = tmp_path / "ets.txt"
+    p.write_text("# c\n1 2 1000\n3 4\n5 6 2000\n")
+    sources.register(spark)
+    df = (spark.read.format("edgelist").option("layout", "edge_ts")
+          .load(str(p)))
+    got = sorted(map(tuple, df.collect()))
+    assert got == [(1, 2, 1000), (3, 4, None), (5, 6, 2000)]
+
+
+def test_edge_ts_malformed_raises(spark, tmp_path):
+    from sgp_sketch import sources
+
+    sources.register(spark)
+    p = tmp_path / "bad.txt"
+    p.write_text("1 2 3 4\n")
+    with pytest.raises(Exception, match="edge_ts"):
+        (spark.read.format("edgelist").option("layout", "edge_ts")
+         .load(str(p)).collect())

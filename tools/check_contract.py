@@ -23,12 +23,21 @@ import pandas as pd
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name sort + row sort only — NO value coercion beyond
+    object→str. The driver's gate hashes raw values dtype-sensitively;
+    rounding or dtype-laundering here (the pre-r5 behavior) hid exactly
+    the failures the driver then caught (VERDICT r4: merge_upsert float
+    sum order, vocab_build HUGEINT→float64)."""
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: str(v) if v is not None else None)
-        elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(6)
+        elif df[c].dtype.kind == "f":
+            # the driver coerces float width then rounds (~6dp) before
+            # hashing (r4 evidence: float32-vs-float64 cosine pairs
+            # hash-matched; 1e-2 sum drift and int-vs-float did not), so
+            # float64.round(6) + exact compare is its local stand-in
+            df[c] = df[c].astype("float64").round(6)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -52,7 +61,14 @@ def main() -> int:
     import __spark_entry__ as entry
     from sgp_sketch.session import get_spark
 
-    spark = get_spark("contract-check", master="local[8]", shuffle_partitions=8)
+    # SGP_CONTRACT_CORES / SGP_CONTRACT_SHUFFLE let ci.sh re-run the gate
+    # at several parallelism levels: an order-dependent aggregate gives
+    # different float sums at different partitionings, so a pair that is
+    # exact at BOTH 3 and 8 cores is evidence of order-independence.
+    cores = os.environ.get("SGP_CONTRACT_CORES", "8")
+    shuf = int(os.environ.get("SGP_CONTRACT_SHUFFLE", cores))
+    spark = get_spark("contract-check", master=f"local[{cores}]",
+                      shuffle_partitions=shuf)
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
@@ -101,15 +117,30 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
             continue
+        kinds_a = [a[c].dtype.kind for c in a.columns]
+        kinds_b = [b[c].dtype.kind for c in b.columns]
+        if kinds_a != kinds_b:
+            failures.append(name)
+            rec["err"] = f"dtype kinds differ: {kinds_a} vs {kinds_b}"
+            print(f"FAIL  {name}: dtype kinds {kinds_a} vs {kinds_b}")
+            print("  spark dtypes:", dict(a.dtypes.astype(str)))
+            print("  oracle dtypes:", dict(b.dtypes.astype(str)))
+            continue
         try:
+            # Driver fidelity: dtype-KIND-aware (int vs float vs str),
+            # exact values after normalize()'s float64.round(6). A pair
+            # that needs looser tolerance here is one partitioning away
+            # from a driver hash flip — fix the pair, not the gate.
             pd.testing.assert_frame_equal(a, b, check_dtype=False,
-                                          check_exact=False, rtol=1e-6, atol=1e-6)
+                                          check_exact=True)
             rec["hash_match"] = True
             print(f"ok    {name}: rows={len(a)} match ({dt:.1f}s)")
         except AssertionError as e:
             failures.append(name)
             rec["err"] = f"value mismatch: {e}"[:300]
             print(f"FAIL  {name}: value mismatch\n{str(e)[:500]}")
+            print("  spark dtypes:", dict(a.dtypes.astype(str)))
+            print("  oracle dtypes:", dict(b.dtypes.astype(str)))
             print("  spark head:", a.head(3).to_dict("records"))
             print("  oracle head:", b.head(3).to_dict("records"))
     spark.stop()
