@@ -122,8 +122,8 @@ def q_pricing_summary(spark, sf_dir):
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-                     / COUNT(l_discount), 4) AS avg_disc,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(l_discount) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -517,9 +517,9 @@ def q_quality_score(spark, sf_dir):
                COUNT(*) AS n_docs,
                ROUND(AVG(n_chars), 2) AS avg_chars,
                ROUND(AVG(size(split(text, ' '))), 2) AS avg_words,
-               ROUND(CAST(SUM(CAST(n_chars / size(split(text, ' '))
-                                   AS DECIMAL(18,9))) AS DOUBLE)
-                     / COUNT(*), 3) AS chars_per_word
+               CAST(SUM(CAST(n_chars / size(split(text, ' '))
+                               AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*) AS chars_per_word
         FROM documents GROUP BY source
     """)
 
@@ -945,7 +945,7 @@ def q_session_stats(spark, sf_dir):
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     return (s.groupBy("user_id", "session_idx")
             .agg(F.count("*").alias("n_events"),
-                 F.round((F.max(us) - F.min(us)) / 1e6, 3)
+                 ((F.max(us) - F.min(us)) / F.lit(1e6))
                  .alias("duration_sec"),
                  F.sum(F.col("value").cast("decimal(18,2)"))
                  .cast("double").alias("sum_value")))
@@ -967,7 +967,7 @@ def q_session_window_counts(spark, sf_dir):
     return (ev.groupBy("user_id",
                        F.session_window("tst", "30 minutes").alias("w"))
             .agg(F.count("*").alias("n_events"),
-                 F.round((F.max(us) - F.min(us)) / 1e6, 3)
+                 ((F.max(us) - F.min(us)) / F.lit(1e6))
                  .alias("duration_sec"),
                  F.sum(F.col("value").cast("decimal(18,2)"))
                  .cast("double").alias("sum_value"))
@@ -1611,8 +1611,8 @@ def q_skew_salted_join(spark, sf_dir):
     _views(spark, sf_dir)
     ev = spark.table("events")
     dim = ev.groupBy("event_type").agg(
-        F.round(F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("double") / F.count("value"), 6).alias("type_avg"))
+        (F.sum(F.col("value").cast("decimal(18,6)"))
+           .cast("double") / F.count("value")).alias("type_avg"))
     joined = salted_join(ev, dim, "event_type", n_salts=8,
                          scatter_cols=["event_id"])
     return (joined.groupBy("event_type")
@@ -1797,9 +1797,18 @@ def q_merge_upsert(spark, sf_dir):
 
     _views(spark, sf_dir)
     base = spark.table("orders")
+    # the 10% bump runs entirely in DECIMAL: ROUND(double*1.1, 2) is NOT
+    # engine-portable — Spark rounds the double's shortest decimal repr
+    # (a true 3-decimal tie like 135.795 goes HALF_UP) while DuckDB
+    # rounds the binary value (just below the tie → down). price(2dp)
+    # × 1.1 in decimal is exact at scale 3; decimal ROUND is
+    # half-away-from-zero on BOTH engines; the cast back to double is
+    # correctly rounded on both. (r4 driver hash failure, root cause.)
     upd = (base.where(F.col("o_orderkey") % 10 == 0)
            .withColumn("o_totalprice",
-                       F.round(F.col("o_totalprice") * 1.1, 2))
+                       F.round(F.col("o_totalprice").cast("decimal(18,2)")
+                               * F.lit("1.1").cast("decimal(2,1)"), 2)
+                       .cast("double"))
            .withColumn("o_orderstatus", F.lit("U")))
     ins = (base.where(F.col("o_orderkey") % 97 == 0)
            .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
@@ -3483,8 +3492,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket,
                    ROUND(bucket * 50.0, 6) AS lo_edge,
                    COUNT(*) AS n,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                         / COUNT(*), 6) AS avg_value
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*) AS avg_value
             FROM (SELECT CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9)
                               AS BIGINT) AS bucket, value
                   FROM events WHERE value IS NOT NULL)
@@ -4050,8 +4059,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_type, COUNT(*) AS n_events,
                    COUNT(*) FILTER (e.value > d.type_avg) AS n_above
             FROM events e
-            JOIN (SELECT event_type, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                         / COUNT(value), 6) AS type_avg
+            JOIN (SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(value) AS type_avg
                   FROM events GROUP BY 1) d USING (event_type)
             GROUP BY e.event_type
         """,
@@ -4117,7 +4126,9 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": """
             WITH upd AS (
                 SELECT o_orderkey,
-                       ROUND(o_totalprice * 1.1, 2) AS o_totalprice,
+                       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                                  * CAST(1.1 AS DECIMAL(2,1)), 2)
+                            AS DOUBLE) AS o_totalprice,
                        'U' AS o_orderstatus
                 FROM orders WHERE o_orderkey % 10 = 0),
             ins AS (
@@ -4176,8 +4187,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-                     / COUNT(l_discount), 4) AS avg_disc,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(l_discount) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -4393,9 +4404,9 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    ROUND(AVG(n_chars), 2) AS avg_chars,
                    ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_words,
-                   ROUND(CAST(SUM(CAST(n_chars / len(string_split(text, ' '))
-                                   AS DECIMAL(18,9))) AS DOUBLE)
-                     / COUNT(*), 3)
+                   CAST(SUM(CAST(n_chars / len(string_split(text, ' '))
+                               AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*)
                        AS chars_per_word
             FROM documents GROUP BY source
         """,
@@ -4632,8 +4643,8 @@ def oracle_sql() -> dict[str, str]:
                             ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
                 FROM o)
             SELECT user_id, session_idx, COUNT(*) AS n_events,
-                   ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
-                         / 1000000.0, 3) AS duration_sec,
+                   (epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                       / 1000000.0 AS duration_sec,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_idx
         """,
@@ -4660,8 +4671,8 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING) AS session_idx
                 FROM o)
             SELECT user_id, COUNT(*) AS n_events,
-                   ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
-                         / 1000000.0, 3) AS duration_sec,
+                   (epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                       / 1000000.0 AS duration_sec,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, session_idx
         """,

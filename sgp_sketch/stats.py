@@ -163,8 +163,8 @@ def equi_width_histogram(df, value_col: str = "value",
             .agg(F.round(F.lit(float(lo)) + F.col("bucket") * F.lit(w), 6)
                  .alias("lo_edge"),
                  F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum(v.cast("decimal(18,6)")).cast("double")
-                         / F.count(F.lit(1)), 6).alias("avg_value"))
+                 (F.sum(v.cast("decimal(18,6)")).cast("double")
+                  / F.count(F.lit(1))).alias("avg_value"))
             .orderBy("bucket"))
 
 

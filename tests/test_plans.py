@@ -168,3 +168,14 @@ def test_per_key_build_is_one_shuffle(spark):
     assert "hashpartitioning(user_id" in p
     scan = [ln for ln in p.splitlines() if "FileScan" in ln][0]
     assert "event_id" not in scan and "props" not in scan
+
+
+def test_two_hop_seeded_broadcasts_seeds(spark):
+    """two_hop_seeded (the reference's per-seed traversal shape,
+    PartitioningTwoHopTest.groovy:156): the 5-row seed list must
+    BROADCAST into the first hop — if it ever shuffle-joins, the query
+    has degenerated into the all-pairs census form whose deg² hot-key
+    bound q_two_hop documents."""
+    p = _plan(entry.q_two_hop_seeded(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
