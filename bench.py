@@ -166,16 +166,21 @@ def calibration_probe(spark) -> dict:
                                                                       4096].sum()
     cpu_sec = time.perf_counter() - t0
 
-    big = np.zeros(200_000_000, dtype=np.int64)  # 1.6 GB
+    big = np.ones(100_000_000, dtype=np.int64)  # 800 MB, faulted-in
+    cp = np.empty_like(big)
+    np.copyto(cp, big)  # fault destination pages OUTSIDE the timed window
     t0 = time.perf_counter()
-    cp = big.copy()
+    for _ in range(3):
+        np.copyto(cp, big)
     memcpy_sec = time.perf_counter() - t0
-    gbs = 2 * big.nbytes / memcpy_sec / 1e9  # read + write traffic
+    gbs = 3 * 2 * big.nbytes / memcpy_sec / 1e9  # read + write traffic
     del big, cp
 
     t0 = time.perf_counter()
+    # pmod before SUM: ANSI mode makes a raw SUM(xxhash64) long-overflow
     spark.range(100_000_000).select(
-        F.xxhash64("id").alias("h")).agg(F.sum("h")).collect()
+        F.pmod(F.xxhash64("id"), F.lit(1000003)).alias("h")).agg(
+        F.sum("h")).collect()
     jvm_sec = time.perf_counter() - t0
     out = {"cpu_sec": round(cpu_sec, 3), "memcpy_gbs": round(gbs, 2),
            "jvm_sec": round(jvm_sec, 3), "_acc": int(acc) % 97}

@@ -78,6 +78,14 @@ def main() -> int:
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = []
     n_checked = 0
+    unknown = only - set(qs)
+    if unknown:
+        # A typo'd name would otherwise silently disable the gate for
+        # that query (ci.sh greps exit codes, not coverage).
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}",
+              file=sys.stderr)
+        failures.extend(sorted(unknown))
+        n_checked += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue

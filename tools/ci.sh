@@ -14,6 +14,17 @@ if ! python -c "import PIL, soundfile" 2>/dev/null; then
         || echo "ci: no network / pip unavailable - codec tests stay skipped"
 fi
 python -m pytest tests/ -x -q
+python tools/check_contract.py --json CONTRACT_LOG_sf0.001.json /root/testdata/sf0.001
 python tools/check_contract.py --json CONTRACT_LOG_sf0.01.json /root/testdata/sf0.01
 python tools/check_contract.py --json CONTRACT_LOG_sf0.1.json /root/testdata/sf0.1
+# Order-independence gate: every exact-decimal aggregation site must stay
+# bit-identical under a DIFFERENT partitioning (an order-dependent float
+# sum gives different answers at different parallelism — r4's merge_upsert
+# failure mode). Odd core/shuffle counts maximize partition-boundary churn.
+SGP_CONTRACT_CORES=3 SGP_CONTRACT_SHUFFLE=5 python tools/check_contract.py \
+    /root/testdata/sf0.01 \
+    merge_upsert pricing_summary one_hop rollup_revenue shipping_priority \
+    regional_revenue cumulative_spend trailing_7day_revenue date_rollup \
+    cube_revenue bucketed_join session_stats session_window_counts \
+    skew_salted_join quality_score value_histogram
 SPARK_GRAFT_BENCH_SCALING=0 python bench.py
