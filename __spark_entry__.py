@@ -3351,9 +3351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "ts_epoch_parse": q_ts_epoch_parse,
         "edge_cases": q_edge_cases,
-        "dup_clusters": q_dup_clusters,
-        "curation_funnel": q_curation_funnel,
+        "dup_clusters": q_dup_clusters,          # entry #50 — window edge
         # --- behind the window: green in r4 or earlier, unchanged ---
+        "curation_funnel": q_curation_funnel,
         "contamination": q_contamination,
         "checkpointed_hll": q_checkpointed_hll,
         "partition_introspection": q_partition_introspection,

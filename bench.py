@@ -199,8 +199,8 @@ def run_probes_interleaved(probes, repeats: int | None = None):
     attached as 'seconds_runs'. Correctness fields (recall, byte-equal,
     mismatches) must agree across repeats — any disagreement is surfaced
     as 'unstable_fields' instead of silently picking one."""
-    repeats = repeats or int(os.environ.get(
-        "SPARK_GRAFT_BENCH_PROBE_REPEATS", "3"))
+    repeats = max(1, repeats or int(os.environ.get(
+        "SPARK_GRAFT_BENCH_PROBE_REPEATS", "3")))
     runs: dict = {n: [] for n in probes}
     for r in range(repeats):
         for name, fn in probes.items():
@@ -211,6 +211,13 @@ def run_probes_interleaved(probes, repeats: int | None = None):
         order = sorted(range(len(rs)), key=lambda i: rs[i]["seconds"])
         rep = dict(rs[order[len(rs) // 2]])
         rep["seconds_runs"] = [round(r["seconds"], 2) for r in rs]
+        if "per_kernel_sec" in rep:
+            # per-kernel medians across the repeats already paid for —
+            # a single run's per-kernel row has no noise protection
+            rep["per_kernel_sec"] = {
+                k: round(sorted(r["per_kernel_sec"][k] for r in rs)
+                         [len(rs) // 2], 3)
+                for k in rep["per_kernel_sec"]}
         unstable = sorted(
             k for k in rs[0]
             if not k.startswith("seconds") and "per_sec" not in k

@@ -155,8 +155,12 @@ def _parse_ladj(buf: bytes, elabels: frozenset | None = None,
     for ln in buf.split(b"\n"):
         if not ln or ln.startswith(comment):
             continue
-        parts = ln.split(b"|", 2)
+        parts = ln.split(b"|")
         if len(parts) != 3:
+            # full split, not maxsplit=2: a 4th |-part would otherwise be
+            # silently glued into the in-edges block and parse as a
+            # corrupt vertex id instead of raising like every other arity
+            # error in this module
             raise ValueError(f"ladj: expected id|out|in, got {ln[:60]!r}")
         _edges(parts[1], parts[0], incoming=False)
         _edges(parts[2], parts[0], incoming=True)
@@ -171,18 +175,32 @@ def _parse_edges_ts(buf: bytes, comment: bytes = b"#"):
     if not buf:
         e = np.empty(0, np.int64)
         return e, e, []
-    src, dst, ts = [], [], []
-    for ln in buf.split(b"\n"):
-        if not ln or ln.startswith(comment):
-            continue
-        f = ln.split()
-        if len(f) not in (2, 3):
-            raise ValueError(f"edge_ts layout: {len(f)} fields in "
-                             f"{ln[:60]!r}")
-        src.append(int(f[0]))
-        dst.append(int(f[1]))
-        ts.append(int(f[2]) if len(f) == 3 else None)
-    return (np.asarray(src, np.int64), np.asarray(dst, np.int64), ts)
+    rows = [ln.split() for ln in buf.split(b"\n")
+            if ln and not ln.startswith(comment)]
+    if not rows:
+        e = np.empty(0, np.int64)
+        return e, e, []
+    # Vectorized like the fixed-arity `edge` parser: per-line split stays
+    # (arity varies per row) but ALL int conversion happens as one numpy
+    # S->int64 cast instead of 2-3 Python int() boxings per row, which is
+    # what serialized the ranged scan on bytecode for big files.
+    arity = np.fromiter(map(len, rows), np.int64, len(rows))
+    bad = (arity < 2) | (arity > 3)
+    if bad.any():
+        i = int(np.flatnonzero(bad)[0])
+        raise ValueError(f"edge_ts layout: {int(arity[i])} fields in "
+                         f"{b' '.join(rows[i])[:60]!r}")
+    flat = np.array([t for r in rows for t in r], dtype="S24")
+    try:
+        flat = flat.astype(np.int64)
+    except ValueError as exc:
+        raise ValueError(f"edge_ts layout: non-integer field ({exc})")
+    starts = np.zeros(len(rows), np.int64)
+    np.cumsum(arity[:-1], out=starts[1:])
+    ts = np.full(len(rows), None, dtype=object)
+    has3 = arity == 3
+    ts[has3] = flat[starts[has3] + 2]
+    return flat[starts], flat[starts + 1], ts.tolist()
 
 
 def _read_range(path: str, start: int, end: int) -> bytes:

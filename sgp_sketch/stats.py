@@ -148,6 +148,11 @@ def equi_width_histogram(df, value_col: str = "value",
     hash aggregate at any scale.
 
     → per bucket: (bucket, lo_edge, n, avg_value) ordered by bucket.
+
+    avg_value accumulates in exact decimal(38,6) so the answer cannot
+    vary with partitioning (float partial sums are order-dependent);
+    domain: |value| < 10^32 per row and < 10^32 per-bucket total —
+    values beyond that raise under ANSI mode rather than skew silently.
     """
     from pyspark.sql import functions as F
 
@@ -163,7 +168,7 @@ def equi_width_histogram(df, value_col: str = "value",
             .agg(F.round(F.lit(float(lo)) + F.col("bucket") * F.lit(w), 6)
                  .alias("lo_edge"),
                  F.count(F.lit(1)).alias("n"),
-                 (F.sum(v.cast("decimal(18,6)")).cast("double")
+                 (F.sum(v.cast("decimal(38,6)")).cast("double")
                   / F.count(F.lit(1))).alias("avg_value"))
             .orderBy("bucket"))
 

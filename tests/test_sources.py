@@ -246,6 +246,13 @@ def test_ladj_malformed_raises(spark, tmp_path):
     with pytest.raises(Exception, match="ladj"):
         (spark.read.format("edgelist").option("layout", "ladj")
          .load(str(p2)).collect())
+    # 4 |-parts must raise, not be glued into the in-edges block (a
+    # maxsplit=2 parse would silently ingest 'b|junk' as a vertex id)
+    p3 = tmp_path / "bad3.txt"
+    p3.write_text("u1|knows,a,1|likes,b,2|junk,c,3\n")
+    with pytest.raises(Exception, match="ladj"):
+        (spark.read.format("edgelist").option("layout", "ladj")
+         .load(str(p3)).collect())
 
 
 def test_elabels_rejected_outside_ladj(spark, tmp_path):
@@ -282,3 +289,25 @@ def test_edge_ts_malformed_raises(spark, tmp_path):
     with pytest.raises(Exception, match="edge_ts"):
         (spark.read.format("edgelist").option("layout", "edge_ts")
          .load(str(p)).collect())
+    # non-integer field: the vectorized S->int64 cast must raise the
+    # layout's own error, not a bare numpy one
+    p2 = tmp_path / "bad2.txt"
+    p2.write_text("1 2 1000\n3 x\n")
+    with pytest.raises(Exception, match="edge_ts"):
+        (spark.read.format("edgelist").option("layout", "edge_ts")
+         .load(str(p2)).collect())
+
+
+def test_edge_ts_parse_unit_vectorized():
+    """Direct unit check of the vectorized mixed-arity parser: ordering
+    preserved, ts NULLs where the third field is absent, comments and
+    blanks skipped."""
+    from sgp_sketch.sources import _parse_edges_ts
+
+    src, dst, ts = _parse_edges_ts(
+        b"# hdr\n10 20\n30 40 7\n\n50 60\n70 80 9")
+    assert src.tolist() == [10, 30, 50, 70]
+    assert dst.tolist() == [20, 40, 60, 80]
+    assert [None if t is None else int(t) for t in ts] == [None, 7, None, 9]
+    e_src, e_dst, e_ts = _parse_edges_ts(b"")
+    assert len(e_src) == 0 and len(e_dst) == 0 and e_ts == []

@@ -120,8 +120,20 @@ def run_leg(leg: str, k: int, reps_scale: float = 1.0) -> float:
              for i in range(k)]
     for p in procs:
         p.start()
+    # join with a timeout: a worker killed pre-barrier (e.g. OOM on the
+    # 16 GB K=32 memcpy allocation) leaves the others blocked in
+    # Barrier.wait() forever; and a dead worker's out[slot] stays 0.0,
+    # which `max` would silently skip while its work is still credited —
+    # fail loudly instead of reporting an inflated curve point
+    deadline = time.monotonic() + 600
     for p in procs:
-        p.join()
+        p.join(timeout=max(1.0, deadline - time.monotonic()))
+    if any(p.is_alive() or p.exitcode != 0 for p in procs):
+        for p in procs:
+            p.kill()
+        raise RuntimeError(
+            f"{leg} k={k}: worker died or hung "
+            f"(exitcodes={[p.exitcode for p in procs]})")
     slowest = max(out[:])
     return k * reps * work / slowest
 
