@@ -194,9 +194,13 @@ def _parse_edges_ts(buf: bytes, comment: bytes = b"#"):
         if len(f) not in (2, 3):
             raise ValueError(f"edge_ts layout: {len(f)} fields in "
                              f"{ln[:60]!r}")
-        src.append(int(f[0]))
-        dst.append(int(f[1]))
-        ts.append(int(f[2]) if len(f) == 3 else None)
+        try:
+            src.append(int(f[0]))
+            dst.append(int(f[1]))
+            ts.append(int(f[2]) if len(f) == 3 else None)
+        except ValueError:
+            raise ValueError(f"edge_ts layout: non-integer field in "
+                             f"{ln[:60]!r}") from None
     return (np.asarray(src, np.int64), np.asarray(dst, np.int64), ts)
 
 
