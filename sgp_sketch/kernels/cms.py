@@ -37,10 +37,11 @@ TYPE_CMS = 2
 
 
 class CMS:
-    __slots__ = ("depth", "width", "seed", "table", "n_items")
+    __slots__ = ("depth", "width", "seed", "table", "n_items", "conservative")
 
     def __init__(self, depth: int = 4, width: int = 1 << 14, seed: int = 7,
-                 table: np.ndarray | None = None, n_items: int = 0):
+                 table: np.ndarray | None = None, n_items: int = 0,
+                 conservative: bool = True):
         if width <= 0 or width & (width - 1):
             raise ValueError("width must be a positive power of two")
         if depth < 1:
@@ -50,6 +51,14 @@ class CMS:
         self.seed = seed
         self.table = table if table is not None else np.zeros((depth, width), dtype=np.int64)
         self.n_items = n_items
+        # Update POLICY, not state: conservative=False makes every cell a
+        # plain sum (order/partitioning-independent → the DuckDB
+        # counter-replay oracle can re-derive the table exactly), at the
+        # cost of the CU overestimate reduction. Deliberately NOT
+        # serialized — from_bytes restores the default — because all
+        # updates in the agg pipeline happen before the first to_bytes;
+        # resuming callers that keep updating must re-supply it.
+        self.conservative = conservative
 
     # eps/delta of the classic analysis: width = ceil(e/eps), depth = ceil(ln 1/delta)
     @property
@@ -69,7 +78,9 @@ class CMS:
         return cols
 
     def update_hashes(self, h: np.ndarray, counts: np.ndarray | None = None,
-                      conservative: bool = True) -> "CMS":
+                      conservative: bool | None = None) -> "CMS":
+        if conservative is None:
+            conservative = self.conservative
         h = np.asarray(h, dtype=np.uint64)
         if h.size == 0:
             return self
@@ -99,8 +110,8 @@ class CMS:
                 np.add.at(self.table[j], cols[j], counts)
         return self
 
-    def update(self, values: np.ndarray, counts=None, conservative: bool = True,
-               seed: int = 0) -> "CMS":
+    def update(self, values: np.ndarray, counts=None,
+               conservative: bool | None = None, seed: int = 0) -> "CMS":
         return self.update_hashes(hash64(np.asarray(values), seed=seed),
                                   counts=counts, conservative=conservative)
 
@@ -149,5 +160,6 @@ class CMS:
                    n_items=n_items)
 
 
-def empty(depth: int = 4, width: int = 1 << 14, seed: int = 7) -> CMS:
-    return CMS(depth, width, seed)
+def empty(depth: int = 4, width: int = 1 << 14, seed: int = 7,
+          conservative: bool = True) -> CMS:
+    return CMS(depth, width, seed, conservative=conservative)

@@ -593,3 +593,73 @@ def f2_moment(df, value_col="tokens", group_cols=("source",),
             gout = gout.withColumn(c, F.lit("__all__"))
         out = out.unionByName(gout.select(*group_cols, "est_f2"))
     return out
+
+
+# ------------------------------------------------------- state introspection
+
+def hll_register_table(blobs_df, group_cols=("grp",)):
+    """Long-form dump of the NONZERO HLL registers in a blob table:
+    → DataFrame(group_cols..., idx int, rank int).
+
+    Mode-independent: sparse codes and dense registers decode to the same
+    (idx, max-rank) pairs, so the output is a pure function of the
+    distinct-hash set — which is what lets an external engine re-derive
+    it from the raw table and hash-compare (`hll_register_replay` in
+    `__spark_entry__`, via oracle_replay.hll_register_cols). This is the
+    sketch-state analog of the reference's partition-assignment dump
+    (`EdgeCutSGP.java:247-255` writes the raw id→partition map, not a
+    summary of it)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<idx:int,rank:int>>")
+    def regs(state: pd.Series) -> pd.Series:
+        out = []
+        for b in state:
+            h = registry.from_bytes(bytes(b))
+            if h.sparse is not None:
+                idx = (h.sparse >> np.uint32(6)).astype(int)
+                rank = (h.sparse & np.uint32(63)).astype(int)
+            else:
+                idx = np.flatnonzero(h.dense)
+                rank = h.dense[idx].astype(int)
+            out.append([{"idx": int(i), "rank": int(r)}
+                        for i, r in zip(idx, rank)])
+        return pd.Series(out)
+
+    group_cols = list(group_cols)
+    return (blobs_df.select(*group_cols, F.explode(regs("state")).alias("r"))
+            .select(*group_cols, F.col("r.idx").alias("idx"),
+                    F.col("r.rank").alias("rank")))
+
+
+def theta_summary_table(blobs_df, group_cols=("grp",)):
+    """Theta/KMV state summary per group: retained-sample size, inclusion
+    probability and the estimate derived from them —
+    → DataFrame(group_cols..., n_retained long, theta_frac double,
+    est_distinct double).
+
+    All three are deterministic order statistics of the distinct-hash set
+    (kernels/theta.py:_trim keeps the k smallest below the (k+1)-th), so
+    an order-statistic window query re-derives them exactly
+    (`theta_kmv_replay` oracle)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_retained:long,theta_frac:double,est_distinct:double>")
+    def summ(state: pd.Series) -> pd.DataFrame:
+        out = []
+        for b in state:
+            t = registry.from_bytes(bytes(b))
+            out.append({"n_retained": int(t.retained.size),
+                        "theta_frac": float(t._theta_frac()),
+                        "est_distinct": float(t.estimate())})
+        return pd.DataFrame(out, columns=["n_retained", "theta_frac",
+                                          "est_distinct"])
+
+    group_cols = list(group_cols)
+    return (blobs_df.select(*group_cols, summ("state").alias("s"))
+            .select(*group_cols, "s.n_retained", "s.theta_frac",
+                    "s.est_distinct"))

@@ -1,0 +1,171 @@
+"""Cross-engine hash-chain replay (sgp_sketch/oracle_replay.py).
+
+Every SQL fragment the replay oracles are built from is checked
+bit-for-bit against the numpy kernels it claims to replay — no Spark
+session needed, the fragments are pure DuckDB scalar math. The
+end-to-end Spark-vs-DuckDB adjudication runs in tools/check_contract.py
+(queries hll_register_replay / theta_kmv_replay / bloom_bits_replay /
+cms_counter_replay); these tests pin the primitives so a contract
+failure localizes.
+"""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pytest
+
+from sgp_sketch.kernels.hashing import hash64, splitmix64
+from sgp_sketch.oracle_replay import (hll_register_cols, md5_token_sql,
+                                      seeded_sm64_cols, sm64_cols,
+                                      splitmix64_const)
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+def _col(con, q):
+    return np.array([int(r[0]) for r in con.execute(q).fetchall()],
+                    dtype=np.uint64)
+
+
+def _edge_values():
+    """uint64 edge cases + a spread of magnitudes."""
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        np.array([0, 1, 2, 63, 64, 2**31 - 1, 2**31, 2**32 - 1, 2**32,
+                  2**53, 2**53 + 1, 2**60 - 1, 2**63 - 1, 2**63,
+                  2**64 - 1], dtype=np.uint64),
+        rng.integers(0, 2**64, size=500, dtype=np.uint64),
+    ])
+    return vals
+
+
+def _values_rel(vals):
+    return "(VALUES " + ", ".join(
+        f"(CAST({int(v)} AS HUGEINT))" for v in vals) + ") AS t(v)"
+
+
+def test_sm64_chain_bit_exact(con):
+    vals = _edge_values()
+    q = (f"SELECT h FROM (SELECT v, {sm64_cols('v', 'h', 'a')} "
+         f"FROM {_values_rel(vals)})")
+    assert np.array_equal(_col(con, q), splitmix64(vals))
+
+
+@pytest.mark.parametrize("seed", [7, 8, 10, 11, 12, 13])
+def test_seeded_chain_matches_hash64(con, seed):
+    vals = _edge_values()
+    q = (f"SELECT hs FROM (SELECT v, "
+         f"{seeded_sm64_cols('v', seed, 'hs', 'a')} "
+         f"FROM {_values_rel(vals)})")
+    assert np.array_equal(_col(con, q), hash64(vals, seed=seed))
+
+
+def test_seeded_requires_nonzero_seed():
+    with pytest.raises(ValueError):
+        seeded_sm64_cols("v", 0, "h", "a")
+
+
+def test_splitmix64_const_matches_numpy():
+    for s in (1, 7, 11, 12, 13, 2**63):
+        assert splitmix64_const(s) == int(splitmix64(np.uint64(s)))
+
+
+@pytest.mark.parametrize("p", [4, 6, 12, 14])
+def test_hll_register_cols_match_kernel_codes(con, p):
+    from sgp_sketch.kernels.hll import HLL
+
+    vals = _edge_values()
+    rows = con.execute(
+        f"SELECT v, idx, rank FROM (SELECT v, {hll_register_cols('v', p)} "
+        f"FROM {_values_rel(vals)}) ORDER BY v").fetchall()
+    got = {int(r[0]): (r[1], r[2]) for r in rows}
+    codes = HLL(p=p)._codes_from_hashes(vals)
+    for v, code in zip(vals, codes):
+        assert got[int(v)] == (int(code) >> 6, int(code) & 63)
+
+
+def test_md5_token_sql_matches_python(con):
+    words = ["hello", "absent:0", "42", "", "Ünïcode-ø", "a" * 100]
+    for w in words:
+        got = con.execute("SELECT " + md5_token_sql("?"), [w]).fetchone()[0]
+        exp = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+        assert int(got) == exp, w
+        assert 0 <= exp < 2**60  # non-negative in int64 on the Spark side
+
+
+def test_cms_nonconservative_is_exact_cell_sum_and_order_free():
+    from sgp_sketch.kernels.cms import CMS
+
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, 2**60, size=300, dtype=np.int64)
+    cnts = rng.integers(1, 50, size=300, dtype=np.int64)
+    h = hash64(toks.astype(np.uint64))
+
+    a = CMS(depth=4, width=64, conservative=False)
+    a.update_hashes(h, counts=cnts)
+    # split into 3 chunks in a different order → identical table
+    b = CMS(depth=4, width=64, conservative=False)
+    for sl in (slice(200, 300), slice(0, 100), slice(100, 200)):
+        b.update_hashes(h[sl], counts=cnts[sl])
+    assert np.array_equal(a.table, b.table)
+    assert a.to_bytes() == b.to_bytes()
+    # every cell is the plain sum of colliding counts
+    cols = a._rows(h)
+    for j in range(4):
+        exp = np.zeros(64, dtype=np.int64)
+        np.add.at(exp, cols[j], cnts)
+        assert np.array_equal(a.table[j], exp)
+    # conservative ordering-dependence is the reason the flag exists:
+    # estimates must still upper-bound the truth in both modes
+    cons = CMS(depth=4, width=64)  # default conservative
+    cons.update_hashes(h, counts=cnts)
+    est_c = cons.estimate_hashes(h)
+    est_n = a.estimate_hashes(h)
+    assert np.all(est_c >= cnts) and np.all(est_n >= cnts)
+    assert np.all(est_n >= est_c)  # CU never exceeds the plain sums
+
+
+def test_cms_conservative_flag_not_serialized():
+    from sgp_sketch.kernels.cms import CMS
+
+    c = CMS(depth=2, width=32, conservative=False)
+    c.update_hashes(hash64(np.arange(10, dtype=np.uint64)))
+    back = CMS.from_bytes(c.to_bytes())
+    assert back.conservative is True  # documented: policy, not state
+    assert np.array_equal(back.table, c.table)
+
+
+def test_bloom_positions_replay(con):
+    """The Bloom oracle's position math (block, h1 + i*(h2|1) double
+    hashing) re-derives kernels/bloom.py:_positions exactly."""
+    from sgp_sketch.kernels.bloom import Bloom
+
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, 2**60, size=200, dtype=np.uint64)
+    h = hash64(toks)
+    flt = Bloom(n_blocks=1024, k=8, seed=11)
+    widx, masks = flt._positions(h)
+    bits = np.log2(masks.astype(np.float64)).astype(np.int64)
+
+    q = f"""
+    WITH base AS (SELECT v, {sm64_cols('v', 'h', 'qa')}
+                  FROM {_values_rel(toks)}),
+    s1 AS (SELECT v, h, {seeded_sm64_cols('h', 11, 'hb', 'qb')} FROM base),
+    s2 AS (SELECT v, h, hb, {seeded_sm64_cols('h', 12, 'h1', 'qc')} FROM s1),
+    s3 AS (SELECT v, hb, h1, {seeded_sm64_cols('h', 13, 'h2r', 'qd')} FROM s2)
+    SELECT v, i, block + pos // 64 AS widx, pos % 64 AS bit FROM (
+        SELECT v, i, (hb % 1024) * 8 AS block,
+               (h1 + i * (CASE WHEN h2r % 2 = 0 THEN h2r + 1 ELSE h2r END))
+               % 512 AS pos
+        FROM s3 CROSS JOIN range(8) AS kk(i))
+    ORDER BY v, i
+    """
+    got = {(int(r[0]), int(r[1])): (int(r[2]), int(r[3]))
+           for r in con.execute(q).fetchall()}
+    for n, t in enumerate(toks):
+        for i in range(8):
+            assert got[(int(t), i)] == (int(widx[i, n]), int(bits[i, n]))
