@@ -1739,6 +1739,62 @@ def q_cms_counter_replay(spark, sf_dir):
             .orderBy("grp", "user_id"))
 
 
+def _md5_word_shingles(docs, n: int = 3):
+    """(doc_id, shingles array<long>) — word n-gram shingles with
+    md5-derived 60-bit tokens (replayable; the production path is
+    dedup.word_shingles over xxhash64), distinct per doc, JVM-side."""
+    from sgp_sketch.oracle_replay import md5_token_col
+
+    tok = md5_token_col()
+    words = F.split(F.col("text"), " ")
+    idx = F.when(F.size(words) >= n,
+                 F.sequence(F.lit(1), F.size(words) - (n - 1))
+                 ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: tok(F.concat_ws(" ", F.slice(words, i, n))))
+    return docs.select("doc_id", F.array_distinct(grams).alias("shingles"))
+
+
+def q_minhash_sig_replay(spark, sf_dir):
+    """MinHash SIGNATURE replay: the 16-lane minhash matrix over md5-word-
+    trigram shingles of every document, long-form (doc_id, lane, sig).
+    The oracle re-derives each lane as MIN over shingles of
+    splitmix64(shingle ⊕ splitmix64((lane+1)·GOLDEN)) — the exact lane
+    convention of dedup.minhash_batch — so the LSH layer's input (the
+    signatures themselves, incl. the empty-doc sentinel −1) is
+    hash-adjudicated, not just the verified-duplicate output
+    (minhash_verified_dupes)."""
+    from sgp_sketch import dedup
+
+    _views(spark, sf_dir)
+    sh = _md5_word_shingles(spark.table("documents"))
+    sig = dedup.minhash_signatures(sh, "shingles", k=16)
+    return (sig.select("doc_id", F.posexplode("sig"))
+            .toDF("doc_id", "lane", "sig")
+            .select("doc_id", F.col("lane").cast("int").alias("lane"), "sig")
+            .orderBy("doc_id", "lane"))
+
+
+def q_simhash_fp_replay(spark, sf_dir):
+    """SimHash FINGERPRINT replay: the 64-bit Charikar fingerprint of
+    every document over md5-derived word tokens (duplicates kept — the
+    majority vote is over the token multiset, dedup.simhash_batch). The
+    oracle recomputes all 64 bit-majorities from scratch (SUM of
+    (h >> b) & 1 vs n_tok, strict >) and reassembles the fingerprint —
+    adjudicating the fingerprint family that simhash_near_dup buckets
+    on (that query stays rows-only; this pins its primitive exactly)."""
+    from sgp_sketch import dedup
+    from sgp_sketch.oracle_replay import md5_token_col
+
+    _views(spark, sf_dir)
+    tok = md5_token_col()
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "), tok).alias("tokens"))
+    fps = dedup.simhash_fingerprints(docs, "doc_id", "tokens")
+    return fps.select("doc_id", "simhash").orderBy("doc_id")
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -3379,6 +3435,79 @@ def _cms_counter_replay_oracle_sql() -> str:
     """
 
 
+_SIGNED64 = ("CASE WHEN {v} >= 9223372036854775808 "
+             "THEN {v} - 18446744073709551616 ELSE {v} END")
+
+
+def _minhash_sig_replay_oracle_sql() -> str:
+    """Independent re-derivation of q_minhash_sig_replay: distinct
+    md5-word-trigram shingles per doc, 16 seeded splitmix64 lanes
+    (seed_i = sm64((i+1)·GOLDEN), dedup.minhash_batch), MIN per
+    (doc, lane); docs with no shingle emit the uint64-max sentinel,
+    which views to −1 in int64 (dedup._EMPTY_SENTINEL)."""
+    from sgp_sketch.oracle_replay import (GOLDEN_CONST, md5_token_sql,
+                                          sm64_cols, splitmix64_const)
+
+    seeds = [splitmix64_const(((i + 1) * GOLDEN_CONST) % (1 << 64))
+             for i in range(16)]
+    whens = " ".join(f"WHEN {i} THEN CAST({s} AS HUGEINT)"
+                     for i, s in enumerate(seeds[:-1]))
+    lane_case = f"CASE lane {whens} ELSE CAST({seeds[-1]} AS HUGEINT) END"
+    signed = _SIGNED64.format(v="mn.mh")
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                         list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(list_slice(w, i, i + 2),
+                                                  ' '))
+                     ELSE [] END AS grams
+              FROM d),
+        sh AS (SELECT DISTINCT doc_id, {md5_token_sql('gram')} AS t
+               FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+        lanes AS (SELECT i AS lane FROM range(16) AS r(i)),
+        hh AS (SELECT doc_id, lane,
+                      {sm64_cols(f'xor(t, {lane_case})', 'h', 'a')}
+               FROM sh CROSS JOIN lanes),
+        mn AS (SELECT doc_id, lane, MIN(h) AS mh FROM hh GROUP BY 1, 2),
+        grid AS (SELECT d.doc_id, lanes.lane FROM d CROSS JOIN lanes)
+        SELECT grid.doc_id, CAST(grid.lane AS INT) AS lane,
+               CAST(COALESCE({signed}, -1) AS BIGINT) AS sig
+        FROM grid LEFT JOIN mn
+          ON mn.doc_id = grid.doc_id AND mn.lane = grid.lane
+        ORDER BY 1, 2
+    """
+
+
+def _simhash_fp_replay_oracle_sql() -> str:
+    """Independent re-derivation of q_simhash_fp_replay: per doc and bit
+    position b, ones = Σ (splitmix64(token) >> b) & 1 over the token
+    MULTISET; bit set iff ones·2 > n_tok (strict — dedup.simhash_batch's
+    majority), fingerprint reassembled as Σ bit·2^b and viewed signed."""
+    from sgp_sketch.oracle_replay import md5_token_sql, sm64_cols
+
+    signed = _SIGNED64.format(v="f")
+    return f"""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        t AS (SELECT doc_id, {md5_token_sql('word')} AS t FROM w),
+        h AS (SELECT doc_id, {sm64_cols('t', 'h', 'a')} FROM t),
+        n AS (SELECT doc_id, COUNT(*) AS ntok FROM h GROUP BY 1),
+        lanes AS (SELECT i AS b, CAST(power(2, i) AS HUGEINT) AS p2
+                  FROM range(64) AS r(i)),
+        bits AS (SELECT doc_id, b, p2, SUM((h // p2) % 2) AS ones
+                 FROM h CROSS JOIN lanes GROUP BY 1, 2, 3),
+        fp AS (SELECT bits.doc_id,
+                      SUM(CASE WHEN ones * 2 > n.ntok THEN p2
+                          ELSE CAST(0 AS HUGEINT) END) AS f
+               FROM bits JOIN n ON n.doc_id = bits.doc_id
+               GROUP BY 1)
+        SELECT doc_id, CAST({signed} AS BIGINT) AS simhash
+        FROM fp ORDER BY doc_id
+    """
+
+
 def _per_key_quantile_oracle_sql() -> str:
     """Exact DuckDB replay of q_per_key_quantile: per-user DDSketch p50 —
     bucket assignment, cumulative-rank walk, and midpoint arithmetic,
@@ -3642,6 +3771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_kmv_replay": q_theta_kmv_replay,
         "bloom_bits_replay": q_bloom_bits_replay,
         "cms_counter_replay": q_cms_counter_replay,
+        "minhash_sig_replay": q_minhash_sig_replay,
+        "simhash_fp_replay": q_simhash_fp_replay,
         # --- (4) decimal-accumulation sweep (values changed) ---
         "pricing_summary": q_pricing_summary,
         "broadcast_join_agg": q_broadcast_join_agg,
@@ -3681,16 +3812,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_stream_counts": q_windowed_stream_counts,
         "stream_dedup_users": q_stream_dedup_users,
         "stream_stream_join": q_stream_stream_join,
-        "ts_epoch_parse": q_ts_epoch_parse,
-        "edge_cases": q_edge_cases,
         "dup_clusters": q_dup_clusters,          # entry #50 — window edge
         # --- behind the window: green in r4 or earlier, unchanged ---
-        # (the four IO roundtrips ceded their window slots to the replay
-        # queries above — all four were r4-green and are untouched)
+        # (the four IO roundtrips, ts_epoch_parse and edge_cases ceded
+        # their window slots to the six replay queries above — all six
+        # displaced entries were r4-green and are untouched)
         "csv_roundtrip": q_csv_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
         "json_roundtrip": q_json_roundtrip,
         "json_extract": q_json_extract,
+        "ts_epoch_parse": q_ts_epoch_parse,
+        "edge_cases": q_edge_cases,
         "curation_funnel": q_curation_funnel,
         "contamination": q_contamination,
         "checkpointed_hll": q_checkpointed_hll,
@@ -5206,6 +5338,8 @@ def oracle_sql() -> dict[str, str]:
         "theta_kmv_replay": _theta_kmv_replay_oracle_sql(),
         "bloom_bits_replay": _bloom_bits_replay_oracle_sql(),
         "cms_counter_replay": _cms_counter_replay_oracle_sql(),
+        "minhash_sig_replay": _minhash_sig_replay_oracle_sql(),
+        "simhash_fp_replay": _simhash_fp_replay_oracle_sql(),
         "moments_drift": """
             WITH s AS (SELECT source, COUNT(*) AS n,
                               SUM(CAST(n_chars AS HUGEINT)) AS s1,

@@ -37,6 +37,7 @@ M64 = 1 << 64
 _C1 = 0x9E3779B97F4A7C15
 _C2 = 0xBF58476D1CE4E5B9
 _C3 = 0x94D049BB133111EB
+GOLDEN_CONST = _C1  # == kernels.hashing.GOLDEN (seed stride, e.g. minhash)
 
 
 def splitmix64_const(seed: int) -> int:

@@ -169,3 +169,66 @@ def test_bloom_positions_replay(con):
     for n, t in enumerate(toks):
         for i in range(8):
             assert got[(int(t), i)] == (int(widx[i, n]), int(bits[i, n]))
+
+
+def test_minhash_lane_seeds_match_kernel():
+    """The oracle's 16 lane constants equal dedup.minhash_batch's seeds:
+    splitmix64((i+1) * GOLDEN) for 0-based lane i."""
+    from sgp_sketch.kernels.hashing import GOLDEN
+    from sgp_sketch.oracle_replay import GOLDEN_CONST
+
+    assert GOLDEN_CONST == int(GOLDEN)
+    k = 16
+    kernel_seeds = splitmix64(np.arange(1, k + 1, dtype=np.uint64) * GOLDEN)
+    oracle_seeds = [splitmix64_const(((i + 1) * GOLDEN_CONST) % 2**64)
+                    for i in range(k)]
+    assert oracle_seeds == [int(s) for s in kernel_seeds]
+
+
+def test_minhash_simhash_sql_replay_small(con):
+    """End-to-end kernel-vs-SQL on a tiny in-memory doc set: minhash lanes
+    and simhash bit-majorities re-derived with the same SQL shapes the
+    oracles use (the full table run is contract-gated)."""
+    from sgp_sketch.dedup import minhash_batch, simhash_batch
+    from sgp_sketch.kernels.hashing import GOLDEN
+    from sgp_sketch.oracle_replay import GOLDEN_CONST
+
+    rng = np.random.default_rng(11)
+    docs = [rng.integers(0, 2**60, size=n, dtype=np.int64)
+            for n in (1, 5, 17, 40)]
+    k = 4
+    mh = minhash_batch(docs, k=k)           # (4, k) uint64
+    sh = simhash_batch(docs)                # (4,) uint64
+
+    rel = "(VALUES " + ", ".join(
+        f"({d}, CAST({int(t)} AS HUGEINT))"
+        for d, arr in enumerate(docs) for t in arr) + ") AS t(doc, v)"
+    seeds = [splitmix64_const(((i + 1) * GOLDEN_CONST) % 2**64)
+             for i in range(k)]
+    whens = " ".join(f"WHEN {i} THEN CAST({s} AS HUGEINT)"
+                     for i, s in enumerate(seeds[:-1]))
+    lane_case = f"CASE lane {whens} ELSE CAST({seeds[-1]} AS HUGEINT) END"
+    q = f"""
+    WITH lanes AS (SELECT i AS lane FROM range({k}) AS r(i)),
+    hh AS (SELECT doc, lane, {sm64_cols(f'xor(v, {lane_case})', 'h', 'a')}
+           FROM {rel} CROSS JOIN lanes)
+    SELECT doc, lane, MIN(h) FROM hh GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    for doc, lane, got in con.execute(q).fetchall():
+        assert int(got) == int(mh[doc, lane]), (doc, lane)
+
+    q2 = f"""
+    WITH h AS (SELECT doc, {sm64_cols('v', 'h', 'a')} FROM {rel}),
+    n AS (SELECT doc, COUNT(*) AS ntok FROM h GROUP BY 1),
+    lanes AS (SELECT i AS b, CAST(power(2, i) AS HUGEINT) AS p2
+              FROM range(64) AS r(i)),
+    bits AS (SELECT doc, b, p2, SUM((h // p2) % 2) AS ones
+             FROM h CROSS JOIN lanes GROUP BY 1, 2, 3),
+    fp AS (SELECT bits.doc,
+                  SUM(CASE WHEN ones * 2 > n.ntok THEN p2
+                      ELSE CAST(0 AS HUGEINT) END) AS f
+           FROM bits JOIN n ON n.doc = bits.doc GROUP BY 1)
+    SELECT doc, f FROM fp ORDER BY doc
+    """
+    for doc, got in con.execute(q2).fetchall():
+        assert int(got) == int(sh[doc]), doc

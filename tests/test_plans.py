@@ -48,6 +48,13 @@ EXEMPT = {
                               # matches because theta is exact below k
     "per_key_quantile",       # same per-key plan with DDSketch; the oracle
                               # matches via DD's deterministic replay
+    "hll_register_replay",    # sketch-STATE replay family: the kernel
+    "theta_kmv_replay",       # build (mapInArrow) + state-dump finalizer
+    "bloom_bits_replay",      # IS the operator under test; the oracle
+    "cms_counter_replay",     # re-derives the state with splitmix64 in
+    "minhash_sig_replay",     # HUGEINT SQL (sgp_sketch/oracle_replay.py),
+    "simhash_fp_replay",      # so Python nodes here are the very thing
+                              # being adjudicated, not an accident
 }
 
 
