@@ -1739,6 +1739,54 @@ def q_cms_counter_replay(spark, sf_dir):
             .orderBy("grp", "user_id"))
 
 
+def q_theta_algebra_replay(spark, sf_dir):
+    """Theta SET-ALGEBRA replay: per unordered event_type pair, the
+    intersect / a_not_b / union result sketches (k=64 → estimation mode
+    at every sf) with BOTH the retained-sample counts and the estimates.
+    The oracle re-derives everything from order statistics: each group's
+    retained set is its 64 smallest splitmix64 hashes, pair sets are
+    plain set ops below θ = min(θ_a, θ_b), and the union re-trims to the
+    65th smallest (kernels/theta.py:merge/intersect/a_not_b exactly).
+    This adjudicates the set-expression paths that theta_kmv_replay
+    (single-set) and theta_bounds_check (bounds only) do not."""
+    import pandas as pd
+
+    from sgp_sketch import agg
+    from sgp_sketch.kernels import registry
+
+    toks = _event_md5_tokens(spark, sf_dir)
+    blobs = agg.sketch_agg(toks, "theta", "token", ("grp",), {"k": 64})
+    keyed = blobs.select("grp", "state")
+
+    @F.pandas_udf("struct<n_inter:long,n_diff_ab:long,n_union:long,"
+                  "est_inter:double,est_diff_ab:double,est_union:double>")
+    def alg(sa, sb):
+        rows = []
+        for ba, bb in zip(sa, sb):
+            a = registry.from_bytes(bytes(ba))
+            b = registry.from_bytes(bytes(bb))
+            i, d, u = a.intersect(b), a.a_not_b(b), a.merge(b)
+            rows.append({"n_inter": int(i.retained.size),
+                         "n_diff_ab": int(d.retained.size),
+                         "n_union": int(u.retained.size),
+                         "est_inter": float(i.estimate()),
+                         "est_diff_ab": float(d.estimate()),
+                         "est_union": float(u.estimate())})
+        return pd.DataFrame(rows, columns=["n_inter", "n_diff_ab",
+                                           "n_union", "est_inter",
+                                           "est_diff_ab", "est_union"])
+
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (a.join(b, F.col("a.grp") < F.col("b.grp"))
+             .select(F.col("a.grp").alias("grp_a"),
+                     F.col("b.grp").alias("grp_b"),
+                     alg(F.col("a.state"), F.col("b.state")).alias("s")))
+    return (pairs.select("grp_a", "grp_b", "s.n_inter", "s.n_diff_ab",
+                         "s.n_union", "s.est_inter", "s.est_diff_ab",
+                         "s.est_union")
+            .orderBy("grp_a", "grp_b"))
+
+
 def _md5_word_shingles(docs, n: int = 3):
     """(doc_id, shingles array<long>) — word n-gram shingles with
     md5-derived 60-bit tokens (replayable; the production path is
@@ -3439,6 +3487,85 @@ _SIGNED64 = ("CASE WHEN {v} >= 9223372036854775808 "
              "THEN {v} - 18446744073709551616 ELSE {v} END")
 
 
+def _theta_algebra_replay_oracle_sql(k: int = 64) -> str:
+    """Independent re-derivation of q_theta_algebra_replay: per group the
+    retained set is the k smallest splitmix64 hashes with θ = (k+1)-th
+    (sentinel 2^64 in exact mode); per pair, intersect/diff are set ops
+    on the retained sets below θ_m = min(θ_a, θ_b) (the b side of the
+    diff deliberately UNfiltered, as in theta.py:a_not_b — equivalent
+    because the a side is already below θ_m), and the union re-trims to
+    the (k+1)-th smallest when over capacity (theta.py:merge + _trim).
+    Estimates are the same single IEEE division n / (θ / 2^64)."""
+    kp1, sent = k + 1, 1 << 64
+    return f"""
+        WITH {_event_token_hash_ctes()},
+        ranked AS (SELECT grp, h,
+                          row_number() OVER (PARTITION BY grp ORDER BY h)
+                              AS rn,
+                          COUNT(*) OVER (PARTITION BY grp) AS cnt
+                   FROM hg),
+        ret AS (SELECT grp, h FROM ranked WHERE rn <= {k}),
+        th AS (SELECT grp, CASE WHEN MAX(cnt) <= {k}
+                                THEN CAST({sent} AS HUGEINT)
+                                ELSE MAX(CASE WHEN rn = {kp1} THEN h END)
+                           END AS theta
+               FROM ranked GROUP BY grp),
+        gp AS (SELECT ta.grp AS ga, tb.grp AS gb,
+                      LEAST(ta.theta, tb.theta) AS thm
+               FROM th ta JOIN th tb ON ta.grp < tb.grp),
+        ia AS (SELECT gp.ga, gp.gb, gp.thm, r.h
+               FROM gp JOIN ret r ON r.grp = gp.ga AND r.h < gp.thm),
+        ib AS (SELECT gp.ga, gp.gb, r.h
+               FROM gp JOIN ret r ON r.grp = gp.gb),
+        inter AS (SELECT ia.ga, ia.gb, COUNT(*) AS n_inter
+                  FROM ia JOIN ib ON ib.ga = ia.ga AND ib.gb = ia.gb
+                                 AND ib.h = ia.h
+                  GROUP BY 1, 2),
+        diff AS (SELECT ia.ga, ia.gb, COUNT(*) AS n_diff
+                 FROM ia LEFT JOIN ib ON ib.ga = ia.ga AND ib.gb = ia.gb
+                                     AND ib.h = ia.h
+                 WHERE ib.h IS NULL GROUP BY 1, 2),
+        ub AS (SELECT gp.ga, gp.gb, r.h
+               FROM gp JOIN ret r ON r.grp = gp.gb AND r.h < gp.thm),
+        uu AS (SELECT ga, gb, h FROM ia
+               UNION SELECT ga, gb, h FROM ub),
+        ur AS (SELECT ga, gb, h,
+                      row_number() OVER (PARTITION BY ga, gb ORDER BY h)
+                          AS rn,
+                      COUNT(*) OVER (PARTITION BY ga, gb) AS cnt
+               FROM uu),
+        un AS (SELECT ga, gb, LEAST(MAX(cnt), {k}) AS n_union,
+                      CASE WHEN MAX(cnt) <= {k} THEN NULL
+                           ELSE MAX(CASE WHEN rn = {kp1} THEN h END)
+                      END AS theta_u_raw
+               FROM ur GROUP BY 1, 2),
+        fin AS (SELECT gp.ga, gp.gb,
+                       COALESCE(i.n_inter, 0) AS n_inter,
+                       COALESCE(d.n_diff, 0) AS n_diff_ab,
+                       COALESCE(u.n_union, 0) AS n_union,
+                       CASE WHEN gp.thm = {sent} THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(gp.thm AS DOUBLE) / {sent}.0
+                       END AS tfm,
+                       CASE WHEN COALESCE(u.theta_u_raw, gp.thm) = {sent}
+                            THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(COALESCE(u.theta_u_raw, gp.thm)
+                                      AS DOUBLE) / {sent}.0
+                       END AS tfu
+                FROM gp
+                LEFT JOIN inter i ON i.ga = gp.ga AND i.gb = gp.gb
+                LEFT JOIN diff d ON d.ga = gp.ga AND d.gb = gp.gb
+                LEFT JOIN un u ON u.ga = gp.ga AND u.gb = gp.gb)
+        SELECT ga AS grp_a, gb AS grp_b,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               CAST(n_diff_ab AS BIGINT) AS n_diff_ab,
+               CAST(n_union AS BIGINT) AS n_union,
+               CAST(n_inter AS DOUBLE) / tfm AS est_inter,
+               CAST(n_diff_ab AS DOUBLE) / tfm AS est_diff_ab,
+               CAST(n_union AS DOUBLE) / tfu AS est_union
+        FROM fin ORDER BY 1, 2
+    """
+
+
 def _minhash_sig_replay_oracle_sql() -> str:
     """Independent re-derivation of q_minhash_sig_replay: distinct
     md5-word-trigram shingles per doc, 16 seeded splitmix64 lanes
@@ -3773,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counter_replay": q_cms_counter_replay,
         "minhash_sig_replay": q_minhash_sig_replay,
         "simhash_fp_replay": q_simhash_fp_replay,
+        "theta_algebra_replay": q_theta_algebra_replay,
         # --- (4) decimal-accumulation sweep (values changed) ---
         "pricing_summary": q_pricing_summary,
         "broadcast_join_agg": q_broadcast_join_agg,
@@ -3811,12 +3939,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_counts": q_sliding_window_counts,
         "windowed_stream_counts": q_windowed_stream_counts,
         "stream_dedup_users": q_stream_dedup_users,
-        "stream_stream_join": q_stream_stream_join,
         "dup_clusters": q_dup_clusters,          # entry #50 — window edge
         # --- behind the window: green in r4 or earlier, unchanged ---
-        # (the four IO roundtrips, ts_epoch_parse and edge_cases ceded
-        # their window slots to the six replay queries above — all six
-        # displaced entries were r4-green and are untouched)
+        # (the four IO roundtrips, ts_epoch_parse, edge_cases and
+        # stream_stream_join ceded their window slots to the seven replay
+        # queries above — all seven displaced entries were r4-green and
+        # are untouched)
+        "stream_stream_join": q_stream_stream_join,
         "csv_roundtrip": q_csv_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
         "json_roundtrip": q_json_roundtrip,
@@ -5340,6 +5469,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_counter_replay": _cms_counter_replay_oracle_sql(),
         "minhash_sig_replay": _minhash_sig_replay_oracle_sql(),
         "simhash_fp_replay": _simhash_fp_replay_oracle_sql(),
+        "theta_algebra_replay": _theta_algebra_replay_oracle_sql(),
         "moments_drift": """
             WITH s AS (SELECT source, COUNT(*) AS n,
                               SUM(CAST(n_chars AS HUGEINT)) AS s1,

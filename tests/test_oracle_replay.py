@@ -232,3 +232,58 @@ def test_minhash_simhash_sql_replay_small(con):
     """
     for doc, got in con.execute(q2).fetchall():
         assert int(got) == int(sh[doc]), doc
+
+
+def test_theta_algebra_order_statistic_model():
+    """The theta_algebra_replay oracle models each group's final state as
+    order statistics of the whole hash set (retained = k smallest, theta
+    = (k+1)-th) regardless of build partitioning, and pair algebra as
+    plain set ops below min-theta with a union re-trim. Pin that model
+    against the kernel built through an arbitrary chunked merge tree."""
+    from sgp_sketch.kernels.theta import Theta
+
+    rng = np.random.default_rng(13)
+    k = 32
+    a_vals = splitmix64(rng.integers(0, 2**60, size=300, dtype=np.uint64))
+    b_vals = splitmix64(np.concatenate([
+        rng.integers(0, 2**60, size=150, dtype=np.uint64),
+        rng.integers(0, 2**60, size=100, dtype=np.uint64)]))
+    # share some hashes so the intersection is non-trivial
+    b_vals[:40] = a_vals[:40]
+
+    def build_chunked(vals, chunks):
+        parts = []
+        for sl in np.array_split(vals, chunks):
+            t = Theta(k=k)
+            t.update_hashes(sl)
+            parts.append(t)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.merge(p)
+        return acc
+
+    a = build_chunked(a_vals, 7)
+    b = build_chunked(b_vals, 3)
+
+    # group model: retained = k smallest uniques, theta = (k+1)-th
+    ua, ub = np.unique(a_vals), np.unique(b_vals)
+    assert np.array_equal(a.retained, ua[:k]) and int(a.theta) == int(ua[k])
+    assert np.array_equal(b.retained, ub[:k]) and int(b.theta) == int(ub[k])
+
+    thm = min(int(a.theta), int(b.theta))
+    ra = ua[:k][ua[:k] < thm]
+    rb = ub[:k]
+    # intersect / a_not_b: set ops below thm (b side unfiltered)
+    assert int(a.intersect(b).retained.size) == \
+        np.intersect1d(ra, rb).size
+    assert int(a.a_not_b(b).retained.size) == \
+        np.setdiff1d(ra, rb).size
+    # union: re-trim to (k+1)-th smallest of the filtered union
+    u = np.union1d(ra, rb[rb < thm])
+    m = a.merge(b)
+    if u.size > k:
+        assert int(m.retained.size) == k and int(m.theta) == int(u[k])
+    else:
+        assert int(m.retained.size) == u.size and int(m.theta) == thm
+    # estimates are the single division the oracle replays
+    assert float(m.estimate()) == m.retained.size / (float(m.theta) / 2**64)

@@ -54,7 +54,7 @@ EXEMPT = {
     "cms_counter_replay",     # re-derives the state with splitmix64 in
     "minhash_sig_replay",     # HUGEINT SQL (sgp_sketch/oracle_replay.py),
     "simhash_fp_replay",      # so Python nodes here are the very thing
-                              # being adjudicated, not an accident
+    "theta_algebra_replay",   # being adjudicated, not an accident
 }
 
 
