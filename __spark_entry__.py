@@ -1739,6 +1739,67 @@ def q_cms_counter_replay(spark, sf_dir):
             .orderBy("grp", "user_id"))
 
 
+def q_checkpoint_resume_replay(spark, sf_dir):
+    """Checkpoint RESUME adjudicated: stage documents as 4 parquet files,
+    complete ONLY slice 0 through the public API (an interrupted run),
+    then build_checkpointed must SKIP it (lineage match) and finish the
+    rest; finalize() must byte-equal a direct one-shot sketch_agg build
+    on the same input. Output per source: the scanned token count
+    (n_items lineage metric — EXACT, the oracle recomputes it as
+    SUM(len(string_split))) plus two invariant flags the oracle pins to
+    1: resumed-state byte-equality and exactly-one-skipped-slice. This
+    upgrades the S4/M4 resumability component (checkpoint.py:161
+    slice_complete, :236 build_checkpointed) from pytest-only to
+    driver-adjudicated. Memoized per sf_dir (pure recompute)."""
+    import shutil
+
+    from sgp_sketch import agg, checkpoint
+    from sgp_sketch.deploy import ensure_py_files
+    from sgp_sketch.testdata import doc_tokens_from
+
+    key = ("checkpoint_resume_replay", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        ensure_py_files(spark)
+        work = _scratch(prefix="sgp_ckresume_q_")
+        try:
+            staged = f"{work}/docs"
+            (spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .repartition(4).write.mode("overwrite").parquet(staged))
+            ckpt = f"{work}/ckpt"
+            checkpoint._fs_mkdirs(spark, f"{ckpt}/slices")
+            files = checkpoint.list_input_files(spark, staged)
+            slices = checkpoint.plan_slices(files, files_per_slice=1)
+            # phase 1: an "interrupted" run that finished one slice
+            checkpoint.build_slice(spark, slices[0], "hll", "tokens",
+                                   ("source",), {"p": 12}, ckpt,
+                                   prepare=doc_tokens_from,
+                                   base_path=staged)
+            # phase 2: resume — lineage match must skip slice 0
+            manifest = checkpoint.build_checkpointed(
+                spark, staged, "hll", "tokens", ("source",), {"p": 12},
+                ckpt_dir=ckpt, files_per_slice=1, prepare=doc_tokens_from)
+            skipped_one = int(manifest["skipped"] ==
+                              [slices[0]["slice_id"]])
+            resumed = {r["source"]: (bytes(r["state"]), int(r["n_items"]))
+                       for r in checkpoint.finalize(spark, ckpt).collect()}
+            direct = {r["source"]: bytes(r["state"])
+                      for r in agg.sketch_agg(
+                          doc_tokens_from(spark.read.parquet(staged)),
+                          "hll", "tokens", ("source",),
+                          {"p": 12}).collect()}
+            _STATEFUL_Q_CACHE[key] = sorted(
+                (src, n_items,
+                 int(set(resumed) == set(direct) and blob == direct[src]),
+                 skipped_one)
+                for src, (blob, n_items) in resumed.items())
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        _STATEFUL_Q_CACHE[key],
+        "source string, n_tokens long, resumed_equals_direct int, "
+        "resume_skipped_one int")
+
+
 def q_theta_algebra_replay(spark, sf_dir):
     """Theta SET-ALGEBRA replay: per unordered event_type pair, the
     intersect / a_not_b / union result sketches (k=64 → estimation mode
@@ -3901,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig_replay": q_minhash_sig_replay,
         "simhash_fp_replay": q_simhash_fp_replay,
         "theta_algebra_replay": q_theta_algebra_replay,
+        "checkpoint_resume_replay": q_checkpoint_resume_replay,
         # --- (4) decimal-accumulation sweep (values changed) ---
         "pricing_summary": q_pricing_summary,
         "broadcast_join_agg": q_broadcast_join_agg,
@@ -3938,13 +4000,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_counts": q_range_join_counts,
         "sliding_window_counts": q_sliding_window_counts,
         "windowed_stream_counts": q_windowed_stream_counts,
-        "stream_dedup_users": q_stream_dedup_users,
         "dup_clusters": q_dup_clusters,          # entry #50 — window edge
         # --- behind the window: green in r4 or earlier, unchanged ---
-        # (the four IO roundtrips, ts_epoch_parse, edge_cases and
-        # stream_stream_join ceded their window slots to the seven replay
-        # queries above — all seven displaced entries were r4-green and
-        # are untouched)
+        # (the four IO roundtrips, ts_epoch_parse, edge_cases,
+        # stream_stream_join and stream_dedup_users ceded their window
+        # slots to the eight replay/adjudication queries above — all
+        # eight displaced entries were r4-green and are untouched)
+        "stream_dedup_users": q_stream_dedup_users,
         "stream_stream_join": q_stream_stream_join,
         "csv_roundtrip": q_csv_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
@@ -5470,6 +5532,18 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sig_replay": _minhash_sig_replay_oracle_sql(),
         "simhash_fp_replay": _simhash_fp_replay_oracle_sql(),
         "theta_algebra_replay": _theta_algebra_replay_oracle_sql(),
+        "checkpoint_resume_replay": """
+            -- n_tokens recomputed from raw text; the two invariant flags
+            -- (resume byte-equality, exactly-one-skipped-slice) are
+            -- computed Spark-side and PINNED here: a broken resume path
+            -- flips them to 0 and the driver hash goes red
+            SELECT source,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens,
+                   CAST(1 AS INT) AS resumed_equals_direct,
+                   CAST(1 AS INT) AS resume_skipped_one
+            FROM documents GROUP BY source ORDER BY source
+        """,
         "moments_drift": """
             WITH s AS (SELECT source, COUNT(*) AS n,
                               SUM(CAST(n_chars AS HUGEINT)) AS s1,

@@ -55,6 +55,7 @@ EXEMPT = {
     "minhash_sig_replay",     # HUGEINT SQL (sgp_sketch/oracle_replay.py),
     "simhash_fp_replay",      # so Python nodes here are the very thing
     "theta_algebra_replay",   # being adjudicated, not an accident
+    "checkpoint_resume_replay",  # collected memoized rows (staged build)
 }
 
 
