@@ -1586,12 +1586,14 @@ def q_bloom_membership(spark, sf_dir):
 def _event_md5_tokens(spark, sf_dir, types=None):
     """(grp=event_type, token=md5-60bit(event_id)) — the replay queries'
     shared input. Token derivation is JVM-side conv(md5) (oracle_replay.
-    md5_token_col), identical to DuckDB's CAST('0x'||substr(md5,1,15))."""
+    md5_token_col), identical to DuckDB's CAST('0x'||substr(md5,1,15)).
+    NULL event_ids are filtered explicitly (the agg scan would drop the
+    NULL tokens anyway; the oracles filter symmetrically)."""
     from sgp_sketch.oracle_replay import md5_token_col
 
     _views(spark, sf_dir)
     tok = md5_token_col()
-    ev = spark.table("events")
+    ev = spark.table("events").filter(F.col("event_id").isNotNull())
     if types:
         ev = ev.filter(F.col("event_type").isin(list(types)))
     return ev.select(F.col("event_type").alias("grp"),
@@ -1612,11 +1614,17 @@ def q_hll_register_replay(spark, sf_dir):
     from sgp_sketch import queries as Q
 
     toks = _event_md5_tokens(spark, sf_dir)
+    # both precision legs from ONE mapInArrow scan (multi_sketch_agg:
+    # "N sketches for the price of one") — per-leg sub-tables are sliced
+    # off the merged blob table, no second pass over the input
+    specs = {f"p{p}": {"kind": "hll", "value_col": "token",
+                       "params": {"p": p}} for p in (6, 12)}
+    blobs = agg.multi_sketch_agg(toks, specs, ("grp",))
     outs = []
     for p in (6, 12):
-        blobs = agg.sketch_agg(toks, "hll", "token", ("grp",), {"p": p})
-        per = Q.hll_register_table(blobs, ("grp",))
-        gl = (Q.hll_register_table(agg.merge_across(blobs, group_cols=()), ())
+        leg = blobs.filter(F.col("sketch") == f"p{p}").drop("sketch")
+        per = Q.hll_register_table(leg, ("grp",))
+        gl = (Q.hll_register_table(agg.merge_across(leg, group_cols=()), ())
               .withColumn("grp", F.lit("__all__")))
         for df in (per, gl):
             outs.append(df.withColumn("p", F.lit(p))
@@ -1641,11 +1649,16 @@ def q_theta_kmv_replay(spark, sf_dir):
     from sgp_sketch import queries as Q
 
     toks = _event_md5_tokens(spark, sf_dir)
+    # both k legs from ONE mapInArrow scan (multi_sketch_agg), as in
+    # q_hll_register_replay
+    specs = {f"k{k}": {"kind": "theta", "value_col": "token",
+                       "params": {"k": k}} for k in (16, 4096)}
+    blobs = agg.multi_sketch_agg(toks, specs, ("grp",))
     outs = []
     for k in (16, 4096):
-        blobs = agg.sketch_agg(toks, "theta", "token", ("grp",), {"k": k})
-        per = Q.theta_summary_table(blobs, ("grp",))
-        gl = (Q.theta_summary_table(agg.merge_across(blobs, group_cols=()),
+        leg = blobs.filter(F.col("sketch") == f"k{k}").drop("sketch")
+        per = Q.theta_summary_table(leg, ("grp",))
+        gl = (Q.theta_summary_table(agg.merge_across(leg, group_cols=()),
                                     ())
               .withColumn("grp", F.lit("__all__")))
         for df in (per, gl):
@@ -1849,19 +1862,14 @@ def q_theta_algebra_replay(spark, sf_dir):
 
 
 def _md5_word_shingles(docs, n: int = 3):
-    """(doc_id, shingles array<long>) — word n-gram shingles with
-    md5-derived 60-bit tokens (replayable; the production path is
-    dedup.word_shingles over xxhash64), distinct per doc, JVM-side."""
+    """(doc_id, shingles array<long>) — the production shingler
+    (dedup.word_shingles) with its hash swapped to md5-derived 60-bit
+    tokens so the oracle can re-derive the identical shingle set."""
+    from sgp_sketch.dedup import word_shingles
     from sgp_sketch.oracle_replay import md5_token_col
 
-    tok = md5_token_col()
-    words = F.split(F.col("text"), " ")
-    idx = F.when(F.size(words) >= n,
-                 F.sequence(F.lit(1), F.size(words) - (n - 1))
-                 ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx, lambda i: tok(F.concat_ws(" ", F.slice(words, i, n))))
-    return docs.select("doc_id", F.array_distinct(grams).alias("shingles"))
+    return word_shingles(docs, n=n, token_fn=md5_token_col()) \
+        .select("doc_id", "shingles")
 
 
 def q_minhash_sig_replay(spark, sf_dir):
@@ -3383,17 +3391,21 @@ def _moments_oracle_sql() -> str:
     """
 
 
-def _event_token_hash_ctes(where: str = "") -> str:
+def _event_token_hash_ctes() -> str:
     """Shared CTE prefix for the sketch-state replay oracles: md5-token
     per event (oracle_replay.md5_token_sql — identical to the Spark
     side's conv(md5)), distinct per event_type ('grp') and globally
     ('__all__'), then h = splitmix64(token) replayed in HUGEINT SQL
-    (oracle_replay.sm64_cols, bit-equal to kernels/hashing.py)."""
+    (oracle_replay.sm64_cols, bit-equal to kernels/hashing.py).
+    NULL event_ids are excluded to mirror the Spark side twice over:
+    _event_md5_tokens filters them AND the agg Arrow scan drops NULL
+    tokens — DISTINCT here would otherwise RETAIN a NULL row."""
     from sgp_sketch.oracle_replay import md5_token_sql, sm64_cols
 
     t = md5_token_sql("CAST(event_id AS VARCHAR)")
     return f"""
-        tok AS (SELECT event_type AS grp, {t} AS t FROM events{where}),
+        tok AS (SELECT event_type AS grp, {t} AS t FROM events
+                WHERE event_id IS NOT NULL),
         u AS (SELECT DISTINCT grp, t FROM tok),
         uall AS (SELECT DISTINCT t FROM tok),
         hg AS (SELECT grp, {sm64_cols('t', 'h', 'sm')} FROM u),
@@ -3485,7 +3497,8 @@ def _bloom_bits_replay_oracle_sql() -> str:
     return f"""
         WITH ins AS (SELECT DISTINCT event_type AS grp, {t_ev} AS t
                      FROM events
-                     WHERE event_type IN ('click', 'view')),
+                     WHERE event_type IN ('click', 'view')
+                       AND event_id IS NOT NULL),
         pres AS (SELECT event_type AS grp,
                         'ev:' || CAST(event_id AS VARCHAR) AS probe_id,
                         {t_ev} AS t
@@ -3691,8 +3704,13 @@ def _simhash_fp_replay_oracle_sql() -> str:
                           ELSE CAST(0 AS HUGEINT) END) AS f
                FROM bits JOIN n ON n.doc_id = bits.doc_id
                GROUP BY 1)
-        SELECT doc_id, CAST({signed} AS BIGINT) AS simhash
-        FROM fp ORDER BY doc_id
+        -- LEFT JOIN off documents: a NULL-text doc has no word rows but
+        -- the Spark side still emits fingerprint 0 for it
+        -- (dedup.simhash_batch maps an empty/None token array to 0)
+        SELECT d.doc_id,
+               CAST(COALESCE({signed}, 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+        ORDER BY d.doc_id
     """
 
 

@@ -111,16 +111,23 @@ def hyperplane_signature(vectors: np.ndarray, n_planes: int = 16,
 # ============================================================ Spark: shingles
 
 def word_shingles(df, text_col: str = "text", n: int = 3,
-                  out_col: str = "shingles"):
+                  out_col: str = "shingles", token_fn=None):
     """doc → array<long> of hashed word n-gram shingles, entirely JVM-side
-    (split → sliding slice → concat_ws → xxhash64); distinct per doc."""
+    (split → sliding slice → concat_ws → hash); distinct per doc.
+
+    `token_fn` maps a gram string column to an integer token column —
+    default F.xxhash64 (the fast production path); the replay queries
+    pass oracle_replay.md5_token_col() so an external engine can
+    re-derive the identical shingle set."""
     from pyspark.sql import functions as F
 
+    if token_fn is None:
+        token_fn = F.xxhash64
     words = F.split(F.col(text_col), " ")
     idx = F.when(F.size(words) >= n,
                  F.sequence(F.lit(1), F.size(words) - (n - 1))
                  ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.xxhash64(
+    grams = F.transform(idx, lambda i: token_fn(
         F.concat_ws(" ", F.slice(words, i, n))))
     return df.withColumn(out_col, F.array_distinct(grams))
 

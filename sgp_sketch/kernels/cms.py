@@ -120,9 +120,14 @@ class CMS:
             raise TypeError(f"cannot merge CMS with {type(other).__name__}")
         if (self.depth, self.width, self.seed) != (other.depth, other.width, other.seed):
             raise ValueError("CMS shape/seed mismatch")
+        # the merged sketch keeps the plain-sum update policy only if BOTH
+        # inputs had it — a single conservative-updated input already
+        # broke the cell-sum invariant, so continuing non-conservative
+        # would claim a replayability the table no longer has
         return CMS(self.depth, self.width, self.seed,
                    table=self.table + other.table,
-                   n_items=self.n_items + other.n_items)
+                   n_items=self.n_items + other.n_items,
+                   conservative=self.conservative or other.conservative)
 
     def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
         h = np.asarray(h, dtype=np.uint64)

@@ -139,6 +139,28 @@ def test_cms_conservative_flag_not_serialized():
     assert np.array_equal(back.table, c.table)
 
 
+def test_cms_merge_propagates_update_policy():
+    """merge keeps non-conservative ONLY when both inputs are — one
+    CU-updated input already broke the plain-sum invariant."""
+    from sgp_sketch.kernels.cms import CMS
+
+    nc = lambda: CMS(depth=2, width=32, conservative=False)  # noqa: E731
+    cu = lambda: CMS(depth=2, width=32)  # noqa: E731
+    assert nc().merge(nc()).conservative is False
+    assert nc().merge(cu()).conservative is True
+    assert cu().merge(nc()).conservative is True
+    assert cu().merge(cu()).conservative is True
+    # and the non-conservative merged state keeps accepting plain-sum
+    # updates without an explicit override
+    m = nc().merge(nc())
+    h = hash64(np.arange(50, dtype=np.uint64))
+    m.update_hashes(h, counts=np.full(50, 3, dtype=np.int64))
+    cols = m._rows(h)
+    exp = np.zeros(32, dtype=np.int64)
+    np.add.at(exp, cols[0], np.full(50, 3, dtype=np.int64))
+    assert np.array_equal(m.table[0], exp)
+
+
 def test_bloom_positions_replay(con):
     """The Bloom oracle's position math (block, h1 + i*(h2|1) double
     hashing) re-derives kernels/bloom.py:_positions exactly."""
