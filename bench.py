@@ -346,54 +346,62 @@ def scaling_probe(pairs=((2, 8), (8, 32))):
 
 
 def cluster_scaling_probe(workers_pair=(1, 4), cores_per_worker=2,
-                          timed_runs=5):
+                          blocks=2, runs_per_block=2):
     """North-rule gate measured ACROSS PROCESS BOUNDARIES (round-3
     verdict #5): the same sketch-build job on the same input at N vs 4N
     separate executor JVMs (Spark local-cluster mode), so blob shuffles
     pay real cross-process serialization — the honest single-box stand-in
     for N→4N cluster executors that the in-process local[N] probe cannot
-    give. Protocol: STEADY STATE — one untimed warmup run per level (JIT,
-    parquet reader, python worker pool: per-JVM costs that amortize to
-    nothing over a 10^12-row scan but dominate a 20-second one), then
-    `timed_runs` timed runs (5 by default — a 3-run median is just the
-    middle sample on a VM whose co-tenants move throughput up to 2×;
-    five paired samples make the reported median a real central
-    tendency). Efficiency is paired per run index (runs at the two
-    levels are temporally adjacent, sharing the VM's noise window); best
-    and median are both reported."""
+    give.
+
+    Protocol: INTERLEAVED STEADY-STATE BLOCKS. The r4 shape ran all lo
+    runs, then all hi runs minutes later, yet paired them by index — so a
+    co-tenant burst during one block skewed every "paired" efficiency the
+    same way (observed spread 0.55-0.89 on identical code). Now each
+    block spins a fresh local-cluster at lo, does one untimed warmup run
+    (JIT, parquet reader, python worker pool: per-JVM costs that amortize
+    to nothing over a 10^12-row scan but dominate a 20-second one) plus
+    `runs_per_block` timed runs, then immediately does the same at hi —
+    so paired runs really are temporally adjacent (≤ ~2 min apart, vs
+    ~5 min block separation before) and slow drift cancels in the ratio.
+    Efficiency is paired per (block, run); best (clamped at 1.0 —
+    identical work cannot scale super-linearly) and median are both
+    reported, plus every sample."""
     from sgp_sketch.deploy import ensure_py_files
     from sgp_sketch.session import get_spark
 
     path, n_tok = _ensure_scaling_table(32)
-    times: dict[int, list] = {}
-    for workers in workers_pair:
-        cores = workers * cores_per_worker
-        spark = get_spark(
-            f"bench-cluster-{workers}x{cores_per_worker}",
-            master=f"local-cluster[{workers},{cores_per_worker},4096]",
-            shuffle_partitions=cores,
-            extra_conf={"spark.sql.files.maxPartitionBytes": str(16 << 20)})
-        ensure_py_files(spark)
-        try:
-            runs = []
-            for i in range(timed_runs + 1):  # run 0 = warmup, untimed
-                dt = _scaling_build(spark, path)
-                if i > 0:
-                    runs.append(dt)
-                log(f"cluster {workers}x{cores_per_worker} "
-                    f"{'warmup' if i == 0 else f'run{i}'}: {dt:.2f}s "
-                    f"({n_tok / dt:,.0f} tok/s)")
-            times[workers] = runs
-        finally:
-            spark.stop()
+    times: dict[int, list] = {w: [] for w in workers_pair}
+    for block in range(blocks):
+        for workers in workers_pair:
+            cores = workers * cores_per_worker
+            spark = get_spark(
+                f"bench-cluster-{workers}x{cores_per_worker}-b{block}",
+                master=f"local-cluster[{workers},{cores_per_worker},4096]",
+                shuffle_partitions=cores,
+                extra_conf={
+                    "spark.sql.files.maxPartitionBytes": str(16 << 20)})
+            ensure_py_files(spark)
+            try:
+                for i in range(runs_per_block + 1):  # run 0 = warmup
+                    dt = _scaling_build(spark, path)
+                    if i > 0:
+                        times[workers].append(dt)
+                    log(f"cluster b{block} {workers}x{cores_per_worker} "
+                        f"{'warmup' if i == 0 else f'run{i}'}: {dt:.2f}s "
+                        f"({n_tok / dt:,.0f} tok/s)")
+            finally:
+                spark.stop()
     lo_w, hi_w = workers_pair
     factor = hi_w / lo_w
+    n_runs = blocks * runs_per_block
     effs = [round((times[lo_w][i] / times[hi_w][i]) / factor, 3)
-            for i in range(timed_runs)]
+            for i in range(n_runs)]
     import statistics
 
     return {
-        "protocol": "steady-state (1 warmup + paired timed runs)",
+        "protocol": "interleaved blocks (per-block warmup + paired runs)",
+        "blocks": blocks, "runs_per_block": runs_per_block,
         "executors_lo": lo_w, "executors_hi": hi_w,
         "cores_per_executor": cores_per_worker,
         "n_tokens": n_tok,
