@@ -1813,6 +1813,102 @@ def q_checkpoint_resume_replay(spark, sf_dir):
         "resume_skipped_one int")
 
 
+def _route_replay_input(spark, sf_dir, limit: int = 512):
+    """Shared input of the greedy-route replay queries: the first
+    `limit` documents in doc_id order as (pos, doc_id, key, tokens),
+    with doc key and per-term tokens md5-60bit-hashed JVM-side
+    (oracle_replay.md5_token_col) so DuckDB derives the identical ids.
+    The global row_number window is the adjudication-probe shape
+    (bounded K, single ordered stream) — the production router is
+    assign_shards' per-partition form, no global sort."""
+    from pyspark.sql.window import Window
+
+    from sgp_sketch.oracle_replay import md5_token_col
+
+    _views(spark, sf_dir)
+    tok = md5_token_col()
+    w = Window.orderBy("doc_id")
+    return (spark.table("documents")
+            .orderBy("doc_id").limit(limit)
+            .select("doc_id", "text")
+            .withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
+            # doc_id is BIGINT; hash its decimal text (DuckDB's implicit
+            # BIGINT→VARCHAR cast in md5() renders the same digits)
+            .withColumn("key", tok(F.col("doc_id").cast("string")))
+            .withColumn("tokens", F.transform(F.split("text", " "), tok))
+            .select("pos", "doc_id", "key", "tokens"))
+
+
+def _route_replay_assign(spark, sf_dir, algorithm: str):
+    """(pos, doc_id, shard) for the bounded greedy-route probe."""
+    from sgp_sketch.routing import route_stream_sequential
+
+    inp = _route_replay_input(spark, sf_dir)
+    assign = route_stream_sequential(inp.select("pos", "key", "tokens"),
+                                     n_shards=8, algorithm=algorithm,
+                                     slack=0.3)
+    return (inp.select("pos", "doc_id").join(assign, "pos")
+            .select("pos", "doc_id", "shard"))
+
+
+def q_ldg_route_replay(spark, sf_dir):
+    """LDG greedy routing adjudicated EXACTLY (R2/F6/F11 upgrade from
+    pytest-parity to driver oracle): the reference's sequential
+    per-record greedy loop (EdgeCutSGP.java:211-246, LDG score at :145)
+    run as a chunk=1 router over the first 512 docs in doc_id order;
+    the DuckDB oracle re-derives EVERY assignment independently with a
+    recursive CTE that carries the assignment prefix — first-writer-wins
+    token homes, (1 - size/cap)·|N∩P| scoring, full-shard masking, and
+    the splitmix64(doc_key) % n_ties tie-break are all replayed in SQL
+    (oracle_replay.greedy_route_replay_ctes). Balance/cut invariants
+    stay in tests; THIS pins the assignments themselves."""
+    return _route_replay_assign(spark, sf_dir, "ldg").orderBy("pos")
+
+
+def q_fennel_route_replay(spark, sf_dir):
+    """Fennel greedy routing adjudicated EXACTLY (R3/F7 upgrade): same
+    bounded sequential probe as q_ldg_route_replay with the Fennel
+    objective |N∩P| - γ·α·size^(γ-1) (EdgeCutSGP.java:182-183), γ=1.5,
+    α = (√k·m)/(n·√n) computed from the probe's own (n, m) via the
+    identical IEEE expression tree in both engines
+    (routing.fennel_alpha_exact; sqrt is correctly rounded in numpy AND
+    DuckDB, so scores — and therefore every assignment — hash-match)."""
+    return _route_replay_assign(spark, sf_dir, "fennel").orderBy("pos")
+
+
+def q_route_quality_replay(spark, sf_dir):
+    """Router QUALITY metrics adjudicated (A5/A6/A9 upgrade): per-shard
+    doc counts, cut token-occurrences (home shard ≠ doc shard — the
+    running edge-cut totals of EdgeCutSGP.java:125-130), and the
+    max/mean imbalance, derived declaratively from the LDG replay
+    assignments. The oracle recomputes all three from ITS OWN recursive
+    replay + the same first-containing-doc join, so the quality numbers
+    are cross-engine exact, not just the assignments."""
+    from pyspark.sql.window import Window
+
+    assign = _route_replay_assign(spark, sf_dir, "ldg")
+    inp = _route_replay_input(spark, sf_dir)
+    occ = inp.select("pos", F.explode("tokens").alias("tok"))
+    fp = occ.groupBy("tok").agg(F.min("pos").alias("fd"))
+    known = occ.join(fp, "tok").where(F.col("fd") < F.col("pos"))
+    home = assign.select(F.col("pos").alias("fd"),
+                         F.col("shard").alias("home"))
+    cut = (known.join(home, "fd")
+           .join(assign.select("pos", "shard"), "pos")
+           .where(F.col("home") != F.col("shard"))
+           .groupBy("shard").agg(F.count(F.lit(1)).alias("cut_occ")))
+    sizes = assign.groupBy("shard").agg(F.count(F.lit(1)).alias("n_docs"))
+    grid = spark.range(8).select(F.col("id").cast("int").alias("shard"))
+    w = Window.partitionBy()
+    return (grid.join(sizes, "shard", "left").join(cut, "shard", "left")
+            .fillna(0, subset=["n_docs", "cut_occ"])
+            .withColumn("max_over_mean",
+                        F.max("n_docs").over(w).cast("double")
+                        / (F.sum("n_docs").over(w).cast("double")
+                           / F.lit(8.0)))
+            .orderBy("shard"))
+
+
 def q_theta_algebra_replay(spark, sf_dir):
     """Theta SET-ALGEBRA replay: per unordered event_type pair, the
     intersect / a_not_b / union result sketches (k=64 → estimation mode
@@ -3414,6 +3510,51 @@ def _event_token_hash_ctes() -> str:
         hu AS (SELECT grp, h FROM hg UNION ALL SELECT grp, h FROM hall)"""
 
 
+def _route_replay_oracle_sql(algorithm: str) -> str:
+    """Independent re-derivation of q_{ldg,fennel}_route_replay: a
+    recursive CTE replays the sequential greedy loop record-by-record
+    (oracle_replay.greedy_route_replay_ctes) and every assignment must
+    hash-match the chunk=1 router's."""
+    from sgp_sketch.oracle_replay import greedy_route_replay_ctes
+
+    return f"""{greedy_route_replay_ctes(algorithm)}
+        SELECT a.pos, d.doc_id, a.shard
+        FROM assignments a JOIN docs d USING (pos)
+        ORDER BY a.pos
+    """
+
+
+def _route_quality_replay_oracle_sql() -> str:
+    """Independent re-derivation of q_route_quality_replay: per-shard
+    sizes, cut occurrences (first-containing-doc home ≠ doc shard,
+    EdgeCutSGP.java:125-130 accounting) and max/mean imbalance computed
+    from the oracle's OWN recursive LDG replay."""
+    from sgp_sketch.oracle_replay import greedy_route_replay_ctes
+
+    return f"""{greedy_route_replay_ctes("ldg")},
+        cut AS (SELECT a2.shard, COUNT(*) AS cut_occ
+                FROM occ o
+                JOIN fp f USING (tok)
+                JOIN assignments a1 ON a1.pos = f.fd
+                JOIN assignments a2 ON a2.pos = o.pos
+                WHERE f.fd < o.pos AND a1.shard <> a2.shard
+                GROUP BY 1),
+        sz AS (SELECT shard, COUNT(*) AS n_docs
+               FROM assignments GROUP BY 1),
+        grid AS (SELECT CAST(range AS INT) AS shard FROM range(8)),
+        out AS (SELECT g.shard,
+                       COALESCE(z.n_docs, 0) AS n_docs,
+                       COALESCE(c.cut_occ, 0) AS cut_occ
+                FROM grid g LEFT JOIN sz z USING (shard)
+                            LEFT JOIN cut c USING (shard))
+        SELECT shard, n_docs, cut_occ,
+               CAST(MAX(n_docs) OVER () AS DOUBLE)
+               / (CAST(SUM(n_docs) OVER () AS DOUBLE) / 8.0)
+                   AS max_over_mean
+        FROM out ORDER BY shard
+    """
+
+
 def _hll_register_replay_oracle_sql() -> str:
     """Independent re-derivation of q_hll_register_replay: register idx =
     h >> (64-p), rank = (65-p) - bit_length(h mod 2^(64-p)) — the exact
@@ -3981,6 +4122,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fp_replay": q_simhash_fp_replay,
         "theta_algebra_replay": q_theta_algebra_replay,
         "checkpoint_resume_replay": q_checkpoint_resume_replay,
+        # --- (3c) round 5, session 3: the reference's HEADLINE greedy
+        # partitioners (LDG/Fennel) upgraded from pytest-parity to exact
+        # driver adjudication — a bounded sequential probe whose every
+        # assignment (and the cut/balance metrics over it) a DuckDB
+        # recursive CTE re-derives independently ---
+        "ldg_route_replay": q_ldg_route_replay,
+        "fennel_route_replay": q_fennel_route_replay,
+        "route_quality_replay": q_route_quality_replay,
         # --- (4) decimal-accumulation sweep (values changed) ---
         "pricing_summary": q_pricing_summary,
         "broadcast_join_agg": q_broadcast_join_agg,
@@ -5544,6 +5693,9 @@ def oracle_sql() -> dict[str, str]:
         # sketch-STATE replay oracles: the hash→state pipeline re-derived
         # from raw tables with splitmix64 in HUGEINT SQL (oracle_replay.py)
         "hll_register_replay": _hll_register_replay_oracle_sql(),
+        "ldg_route_replay": _route_replay_oracle_sql("ldg"),
+        "fennel_route_replay": _route_replay_oracle_sql("fennel"),
+        "route_quality_replay": _route_quality_replay_oracle_sql(),
         "theta_kmv_replay": _theta_kmv_replay_oracle_sql(),
         "bloom_bits_replay": _bloom_bits_replay_oracle_sql(),
         "cms_counter_replay": _cms_counter_replay_oracle_sql(),

@@ -114,3 +114,97 @@ def md5_token_col():
     def tok(col):
         return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
     return tok
+
+
+# ----------------------------------------------------- greedy route replay
+
+def greedy_route_replay_ctes(algorithm: str, n_shards: int = 8,
+                             slack: float = 0.3, gamma: float = 1.5,
+                             limit: int = 512) -> str:
+    """WITH-RECURSIVE body re-deriving `routing.route_stream_sequential`
+    assignments from the raw `documents` table — the reference's
+    sequential greedy loop (EdgeCutSGP.java:211-246: record i scored
+    against state as of i-1) replayed record-by-record in SQL.
+
+    The recursion carries the full assignment prefix and shard sizes;
+    per step it rebuilds the doc's neighbor histogram from the
+    FIRST-CONTAINING-DOC positions of its token occurrences (token home
+    = shard of the first doc, in stream order, that carried it — the
+    router's first-writer-wins `_remember`), masks full shards, scores
+    with the exact LDG / Fennel formula (routing.py:98-115), and breaks
+    score ties with `splitmix64(doc_key) % n_ties` over the tied shards
+    in index order (`_tiebreak_argmax`). Every arithmetic step is a
+    correctly-rounded IEEE op on identical doubles in both engines
+    (division, one multiply, sqrt), so assignments hash-match exactly.
+
+    Ends with CTEs: `docs(pos, doc_id, hkey, fds)`, `occ(pos, tok)`,
+    `fp(tok, fd)`, `assignments(pos, shard)`. Caller appends the final
+    SELECT. The string starts with 'WITH RECURSIVE'."""
+    if algorithm not in ("ldg", "fennel"):
+        raise ValueError(f"no replay oracle for algorithm {algorithm!r}")
+    k = int(n_shards)
+    cap_factor = repr(1.0 + slack)
+    if algorithm == "ldg":
+        score = "(1.0 - r.sizes[p+1] / c.cap) * hist[p+1]"
+    else:
+        score = (f"hist[p+1] - ({gamma!r} * c.alpha) "
+                 f"* sqrt(CAST(r.sizes[p+1] AS DOUBLE))")
+    zeros = "[" + ", ".join("0" for _ in range(k)) + "]::BIGINT[]"
+    return f"""WITH RECURSIVE
+sel AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {limit}),
+base AS (SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT) AS pos,
+                list_transform(string_split(text, ' '),
+                               t -> {md5_token_sql('t')}) AS toks
+         FROM sel),
+hk AS (SELECT pos, doc_id,
+              {sm64_cols(md5_token_sql('CAST(doc_id AS VARCHAR)'),
+                         'hkey', 'hk')}
+       FROM base),
+occ AS (SELECT pos, unnest(toks) AS tok FROM base),
+fp AS (SELECT tok, MIN(pos) AS fd FROM occ GROUP BY tok),
+fdl AS (SELECT o.pos,
+               COALESCE(list(f.fd) FILTER (WHERE f.fd < o.pos),
+                        CAST([] AS INTEGER[])) AS fds
+        FROM occ o JOIN fp f USING (tok) GROUP BY o.pos),
+docs AS (SELECT h.pos, h.doc_id, h.hkey,
+                COALESCE(d.fds, CAST([] AS INTEGER[])) AS fds
+         FROM hk h LEFT JOIN fdl d USING (pos)),
+consts AS (SELECT GREATEST(1.0,
+                           CAST((SELECT COUNT(*) FROM base) AS DOUBLE)
+                           / {k} * {cap_factor}) AS cap,
+                  (sqrt(CAST({k} AS DOUBLE))
+                   * (SELECT COUNT(*) FROM occ))
+                  / ((SELECT COUNT(*) FROM base)
+                     * sqrt(CAST(GREATEST((SELECT COUNT(*) FROM base), 1)
+                                 AS DOUBLE))) AS alpha),
+r AS (
+  SELECT -1 AS i, CAST([] AS INTEGER[]) AS assign, {zeros} AS sizes
+  UNION ALL
+  SELECT i, assign, sizes FROM (
+    SELECT d.pos AS i,
+           list_transform(range({k}), p ->
+             CAST(len(list_filter(d.fds,
+                                  fd -> r.assign[fd+1] = p)) AS DOUBLE))
+               AS hist,
+           list_transform(range({k}), p ->
+             CASE WHEN r.sizes[p+1] >= c.cap THEN '-infinity'::DOUBLE
+                  ELSE {score} END) AS scores,
+           list_filter(range({k}),
+                       p -> scores[p+1] = list_max(scores)) AS tied,
+           CASE WHEN len(list_filter(range({k}),
+                                     p -> r.sizes[p+1] < c.cap)) = 0
+                THEN CAST(list_position(r.sizes, list_min(r.sizes)) - 1
+                          AS INT)
+                ELSE CAST(tied[CAST(d.hkey % len(tied) AS INT) + 1] AS INT)
+           END AS choice,
+           list_append(r.assign, choice) AS assign,
+           list_transform(range({k}), p ->
+             r.sizes[p+1] + CASE WHEN p = choice THEN 1 ELSE 0 END)
+               AS sizes
+    FROM r, docs d, consts c
+    WHERE d.pos = r.i + 1
+  )
+),
+assignments AS (SELECT i AS pos, CAST(assign[i+1] AS INT) AS shard
+                FROM r WHERE i >= 0)"""

@@ -100,8 +100,18 @@ class GreedyShardRouter:
         if self.algorithm == "ldg":
             return (1.0 - self.sizes / self.capacity)[None, :] * hist
         # fennel
-        return hist - self.gamma * self.alpha * np.power(
-            self.sizes.astype(np.float64), self.gamma - 1.0)[None, :]
+        return hist - self._fennel_penalty(self.sizes)[None, :]
+
+    def _fennel_penalty(self, sizes: np.ndarray) -> np.ndarray:
+        """γ·α·size^(γ-1), with the default γ=1.5 routed through np.sqrt:
+        sqrt is a correctly-rounded IEEE-754 op in BOTH numpy and DuckDB,
+        so the recursive-SQL route-replay oracles land on bit-identical
+        scores; np.power's vectorized pow is not guaranteed correctly
+        rounded. Any other γ keeps np.power (no replay oracle claims it)."""
+        s = sizes.astype(np.float64)
+        ex = self.gamma - 1.0
+        root = np.sqrt(s) if ex == 0.5 else np.power(s, ex)
+        return self.gamma * self.alpha * root
 
     def _choose(self, hist: np.ndarray, keys: np.ndarray) -> np.ndarray:
         """Capacity-guarded argmax with deterministic scatter tie-break and
@@ -142,8 +152,7 @@ class GreedyShardRouter:
     def _score_row(self, hist_row: np.ndarray, sizes: np.ndarray) -> np.ndarray:
         if self.algorithm == "ldg":
             return (1.0 - sizes / self.capacity) * hist_row
-        return hist_row - self.gamma * self.alpha * np.power(
-            sizes.astype(np.float64), self.gamma - 1.0)
+        return hist_row - self._fennel_penalty(sizes)
 
     # ------------------------------------------------------------ public
 
@@ -240,6 +249,18 @@ def _rank_within_group(choice: np.ndarray, k: int) -> np.ndarray:
 def fennel_alpha(n_shards: int, m: int, n: int) -> float:
     """α = √k·m / n^1.5 (EdgeCutSGP.java:298)."""
     return float(np.sqrt(n_shards) * m / max(n, 1) ** 1.5)
+
+
+def fennel_alpha_exact(n_shards: int, m: int, n: int) -> float:
+    """α through a SQL-replayable expression tree: (√k·m) / (n·√n).
+
+    Same value as fennel_alpha up to pow-vs-sqrt rounding: n^1.5 goes
+    through libm pow (not guaranteed correctly rounded), n·√n is two
+    correctly-rounded IEEE ops that DuckDB's `(sqrt(k)*m)/(n*sqrt(n))`
+    reproduces bit-for-bit — required by the route-replay oracles."""
+    n = max(n, 1)
+    return float((np.sqrt(np.float64(n_shards)) * np.float64(m))
+                 / (np.float64(n) * np.sqrt(np.float64(n))))
 
 
 # ===================================================================== Spark
@@ -364,6 +385,60 @@ def assign_shards(df, n_shards: int = 16, algorithm: str = "ldg",
                 names=["doc_id", "shard"])
 
     return src.mapInArrow(route, "doc_id string, shard int")
+
+
+def route_stream_sequential(df, n_shards: int = 8, algorithm: str = "ldg",
+                            slack: float = 0.3, gamma: float = 1.5):
+    """EXACT sequential replay of the reference's per-record greedy loop:
+    EdgeCutSGP.java:211-246 scores record i against state as of record
+    i-1; here chunk=1 over ONE stream-ordered partition reproduces that
+    semantics precisely (with chunk=1 the within-chunk capacity
+    re-choose of `_choose` can never trigger: a non-full shard always
+    has ≥1 remaining slot).
+
+    This is the ADJUDICATION shape — a bounded-K probe whose every
+    assignment a DuckDB recursive CTE re-derives independently
+    (oracle_replay.greedy_route_replay_sql). The production path stays
+    `assign_shards` (per-partition chunked routers, no global sort).
+
+    `df`: (pos int, key long, tokens array<long>) — key/tokens already
+    hashed upstream (md5-60bit, oracle parity); pos is the stream order.
+    Returns (pos int, shard int).
+    """
+    import pyarrow as pa
+
+    src = (df.select("pos", "key", "tokens")
+           .repartition(1).sortWithinPartitions("pos"))
+    k = int(n_shards)
+
+    def route(batches):
+        from sgp_sketch.agg import _flatten_list_column
+
+        buf = []
+        for b in batches:
+            pos = b.column("pos").to_numpy()
+            keys = b.column("key").to_numpy()
+            flat, lens = _flatten_list_column(b.column("tokens"))
+            buf.append((pos, np.asarray(keys, dtype=np.int64),
+                        np.asarray(flat, dtype=np.int64), lens))
+        n = sum(len(p) for p, _, _, _ in buf)
+        if not n:
+            return
+        m = sum(int(lens.sum()) for _, _, _, lens in buf)
+        # identical expression trees to the oracle SQL (consts CTE)
+        capacity = max(1.0, n / k * (1.0 + slack))
+        alpha = fennel_alpha_exact(k, m, n)
+        router = GreedyShardRouter(k, capacity, algorithm, gamma=gamma,
+                                   alpha=alpha, chunk=1)
+        for pos, keys, flat, lens in buf:
+            arrs = np.split(flat, np.cumsum(lens)[:-1])
+            shard = router.assign_batch(keys.view(np.uint64), arrs)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(pos.astype(np.int32)),
+                 pa.array(shard.astype(np.int32))],
+                names=["pos", "shard"])
+
+    return src.mapInArrow(route, "pos int, shard int")
 
 
 # ------------------------------------------------------------------ metrics

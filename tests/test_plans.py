@@ -56,6 +56,12 @@ EXEMPT = {
     "simhash_fp_replay",      # so Python nodes here are the very thing
     "theta_algebra_replay",   # being adjudicated, not an accident
     "checkpoint_resume_replay",  # collected memoized rows (staged build)
+    "ldg_route_replay",       # greedy-route replay family: the chunk=1
+    "fennel_route_replay",    # sequential router (mapInArrow over ONE
+    "route_quality_replay",   # ordered partition, bounded K=512) IS the
+                              # operator under adjudication — the
+                              # production assign_shards path stays
+                              # plan-clean and is gated separately
 }
 
 
