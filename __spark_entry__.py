@@ -1909,6 +1909,73 @@ def q_route_quality_replay(spark, sf_dir):
             .orderBy("shard"))
 
 
+def q_frontier_profile_replay(spark, sf_dir):
+    """G3 traversal profiling adjudicated: the per-step frontier sizes
+    that graph.k_hop measures through df.observe (the declarative analog
+    of the reference's profile() step elementCount,
+    PartitioningTwoHopTest.groovy:162-169) from the 3 lowest suppliers
+    over the supplier↔part graph, k=4. The returned rows come from the
+    OBSERVED metrics themselves — so the instrumentation path, not just
+    the reachable set (bfs_reachability already pins that), is
+    hash-adjudicated against a recursive-CTE min-distance recount.
+    Wall-clock ms is measured too but excluded (nondeterministic);
+    exhausted depths (frontier 0) emit no row on either side."""
+    from sgp_sketch.graph import k_hop
+
+    _views(spark, sf_dir)
+    seeds = spark.sql(
+        "SELECT DISTINCT l_suppkey + 1000000 AS id FROM lineitem "
+        "ORDER BY 1 LIMIT 3")
+    metrics: list = []
+    edges = _sp_edges(spark)
+    k_hop(edges, seeds, k=4, step_metrics=metrics)
+    rows = [(int(m["depth"]), int(m["frontier"]))
+            for m in metrics if m["frontier"] > 0]
+    return spark.createDataFrame(rows, "depth int, frontier long") \
+        .orderBy("depth")
+
+
+def q_salted_route_replay(spark, sf_dir):
+    """R6/R8 salted heavy-key routing adjudicated: the HDRF-style
+    replicate-high-degree-keys rule of routing.route_tokens_salted
+    (README.md:16, run_experiments.py:16-17 lineage) replayed with
+    deterministic cross-engine hashing — md5-60bit token/doc ids (the
+    hash_split_counts trick), heavy = exact frequency threshold
+    (cnt·64 ≥ total: no top-N tie ambiguity), light update → tok % 16,
+    heavy update spread over R=4 sub-shards via (tok + doc % 4) % 16.
+    Per-(shard, salted) update + distinct-token counts must match the
+    oracle exactly, which pins the full routing logic: detection,
+    salt spreading, and pmod bucketing. The production xxhash64 path
+    keeps its pytest gates (estimates invariant to salting)."""
+    _views(spark, sf_dir)
+    from sgp_sketch.oracle_replay import md5_token_col
+
+    tok = md5_token_col()
+    terms = (spark.table("documents")
+             .select(F.col("doc_id").cast("string").alias("did"),
+                     F.explode(F.split("text", " ")).alias("term")))
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window
+
+    total = F.sum("cnt").over(Window.partitionBy())
+    heavy = counts.withColumn("salted", F.col("cnt") * 64 >= total) \
+        .select("term", "salted")
+    routed = (terms.join(F.broadcast(heavy), "term")
+              .withColumn("tok60", tok(F.col("term")))
+              .withColumn("doc60", tok(F.col("did")))
+              .withColumn("shard",
+                          F.when(F.col("salted"),
+                                 F.pmod(F.col("tok60")
+                                        + F.pmod(F.col("doc60"), F.lit(4)),
+                                        F.lit(16)))
+                          .otherwise(F.pmod(F.col("tok60"), F.lit(16)))
+                          .cast("int")))
+    return (routed.groupBy("shard", "salted")
+            .agg(F.count(F.lit(1)).alias("n_updates"),
+                 F.countDistinct("tok60").alias("n_tokens"))
+            .orderBy("shard", "salted"))
+
+
 def q_theta_algebra_replay(spark, sf_dir):
     """Theta SET-ALGEBRA replay: per unordered event_type pair, the
     intersect / a_not_b / union result sketches (k=64 → estimation mode
@@ -3524,6 +3591,34 @@ def _route_replay_oracle_sql(algorithm: str) -> str:
     """
 
 
+def _salted_route_replay_oracle_sql() -> str:
+    """Independent re-derivation of q_salted_route_replay: same md5-60bit
+    ids, same exact heavy threshold, same salt/pmod arithmetic — all
+    nonneg BIGINT/HUGEINT ops, so every per-(shard,salted) count matches."""
+    from sgp_sketch.oracle_replay import md5_token_sql
+
+    return f"""
+        WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS did,
+                          unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+        c AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
+        tot AS (SELECT COUNT(*) AS n FROM t),
+        lab AS (SELECT {md5_token_sql('t.term')} AS tok60,
+                       {md5_token_sql('t.did')} AS doc60,
+                       (c.cnt * 64 >= tot.n) AS salted
+                FROM t JOIN c USING (term), tot),
+        r AS (SELECT CASE WHEN salted
+                          THEN (tok60 + doc60 % 4) % 16
+                          ELSE tok60 % 16 END AS shard,
+                     salted, tok60
+              FROM lab)
+        SELECT CAST(shard AS INT) AS shard, salted,
+               COUNT(*) AS n_updates,
+               COUNT(DISTINCT tok60) AS n_tokens
+        FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 def _route_quality_replay_oracle_sql() -> str:
     """Independent re-derivation of q_route_quality_replay: per-shard
     sizes, cut occurrences (first-containing-doc home ≠ doc shard,
@@ -4130,6 +4225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ldg_route_replay": q_ldg_route_replay,
         "fennel_route_replay": q_fennel_route_replay,
         "route_quality_replay": q_route_quality_replay,
+        "salted_route_replay": q_salted_route_replay,
+        "frontier_profile_replay": q_frontier_profile_replay,
         # --- (4) decimal-accumulation sweep (values changed) ---
         "pricing_summary": q_pricing_summary,
         "broadcast_join_agg": q_broadcast_join_agg,
@@ -5696,6 +5793,30 @@ def oracle_sql() -> dict[str, str]:
         "ldg_route_replay": _route_replay_oracle_sql("ldg"),
         "fennel_route_replay": _route_replay_oracle_sql("fennel"),
         "route_quality_replay": _route_quality_replay_oracle_sql(),
+        "salted_route_replay": _salted_route_replay_oracle_sql(),
+        "frontier_profile_replay": """
+            -- min-distance recount of k_hop's OBSERVED per-step frontier
+            -- sizes: multi-source walk from the 3 lowest suppliers,
+            -- frontier(d) = |{v : mindist(v) = d}|, d in 1..4
+            WITH RECURSIVE e AS (
+                SELECT l_suppkey + 1000000 AS src, l_partkey AS dst
+                FROM lineitem
+                UNION
+                SELECT l_partkey AS src, l_suppkey + 1000000 AS dst
+                FROM lineitem
+            ),
+            seeds AS (SELECT DISTINCT l_suppkey + 1000000 AS id
+                      FROM lineitem ORDER BY 1 LIMIT 3),
+            walk(id, d) AS (
+                SELECT id, 0 FROM seeds
+                UNION
+                SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id
+                WHERE w.d < 4
+            ),
+            md AS (SELECT id, MIN(d) AS d FROM walk GROUP BY id)
+            SELECT CAST(d AS INT) AS depth, COUNT(*) AS frontier
+            FROM md WHERE d >= 1 GROUP BY d ORDER BY d
+        """,
         "theta_kmv_replay": _theta_kmv_replay_oracle_sql(),
         "bloom_bits_replay": _bloom_bits_replay_oracle_sql(),
         "cms_counter_replay": _cms_counter_replay_oracle_sql(),

@@ -62,6 +62,8 @@ EXEMPT = {
                               # operator under adjudication — the
                               # production assign_shards path stays
                               # plan-clean and is gated separately
+    "frontier_profile_replay",  # eager: runs k_hop to collect the
+                              # observed step metrics (like triangle_count)
 }
 
 

@@ -147,3 +147,44 @@ def test_route_stream_sequential_spark(spark):
            .orderBy("pos").toPandas())
     assert got["shard"].tolist() == want.tolist()
     assert got["pos"].tolist() == list(range(len(sdocs)))
+
+
+def test_salted_route_replay_spread_invariants(spark):
+    """The deterministic salted-routing replay must spread each HEAVY
+    token over ≤ R=4 shards and keep every light token on exactly 1
+    (R6/R8 semantics behind the driver-adjudicated counts)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    entry._views(spark, "/root/testdata/sf0.001")
+    from sgp_sketch.oracle_replay import md5_token_col
+
+    tok = md5_token_col()
+    terms = (spark.table("documents")
+             .select(F.col("doc_id").cast("string").alias("did"),
+                     F.explode(F.split("text", " ")).alias("term")))
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window
+
+    total = F.sum("cnt").over(Window.partitionBy())
+    heavy = counts.withColumn("salted", F.col("cnt") * 64 >= total) \
+        .select("term", "salted")
+    routed = (terms.join(F.broadcast(heavy), "term")
+              .withColumn("tok60", tok(F.col("term")))
+              .withColumn("doc60", tok(F.col("did")))
+              .withColumn("shard",
+                          F.when(F.col("salted"),
+                                 F.pmod(F.col("tok60")
+                                        + F.pmod(F.col("doc60"), F.lit(4)),
+                                        F.lit(16)))
+                          .otherwise(F.pmod(F.col("tok60"), F.lit(16)))))
+    spread = (routed.groupBy("term", "salted")
+              .agg(F.countDistinct("shard").alias("n_shards"))
+              .collect())
+    assert any(r["salted"] for r in spread)          # threshold fires
+    assert any(not r["salted"] for r in spread)
+    for r in spread:
+        if r["salted"]:
+            assert 1 <= r["n_shards"] <= 4
+        else:
+            assert r["n_shards"] == 1
