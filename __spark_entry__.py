@@ -1752,6 +1752,210 @@ def q_cms_counter_replay(spark, sf_dir):
             .orderBy("grp", "user_id"))
 
 
+def q_cms_cu_replay(spark, sf_dir):
+    """CMS CONSERVATIVE-update replay — the production update policy
+    (kernels/cms.py:update_hashes, conservative=True) adjudicated
+    exactly, retiring its §5.2.4 order-dependent exemption: a narrow
+    (depth=4, width=64) sketch per event_type over md5(user_id) tokens,
+    updated on a FIXED two-phase schedule (phase = token % 2, phase 0
+    then phase 1) so the sequential read-min/scatter-max semantics are
+    deterministic. applyInPandas hands each group to the kernel whole —
+    exactly one update_hashes call per phase — and the full cell table
+    (zeros included) plus every probe's min-over-lanes estimate is
+    hash-compared against oracle_replay.cms_cu_replay_sql's independent
+    re-derivation. Width 64 forces real cell sharing, so the
+    conservative max genuinely diverges from cms_counter_replay's plain
+    sums. Reference tie-in: the same re-derive-the-state discipline as
+    EdgeCutSGP.java:122's floorMod bucket checks."""
+    import numpy as np
+    import pandas as pd
+
+    from sgp_sketch.kernels.cms import CMS
+    from sgp_sketch.kernels.hashing import hash64
+    from sgp_sketch.oracle_replay import md5_token_col
+
+    _views(spark, sf_dir)
+    tok = md5_token_col()
+    tc = (spark.table("events").filter(F.col("user_id").isNotNull())
+          .select(F.col("event_type").alias("grp"),
+                  tok(F.col("user_id").cast("string")).alias("token"))
+          .groupBy("grp", "token").agg(F.count("*").alias("cnt")))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = pdf["grp"].iloc[0]
+        toks = pdf["token"].to_numpy(np.int64)
+        cnts = pdf["cnt"].to_numpy(np.int64)
+        phase = toks % 2
+        cm = CMS(depth=4, width=64, seed=7, conservative=True)
+        for ph in (0, 1):
+            m = phase == ph
+            if m.any():
+                cm.update_hashes(hash64(toks[m].astype(np.uint64)),
+                                 counts=cnts[m])
+        rows = [(grp, "cell", j, c, int(cm.table[j, c]))
+                for j in range(4) for c in range(64)]
+        ests = cm.estimate_hashes(hash64(toks.astype(np.uint64)))
+        rows += [(grp, "est", int(t), int(p), int(e))
+                 for t, p, e in zip(toks, phase, ests)]
+        return pd.DataFrame(rows, columns=["grp", "fam", "k1", "k2",
+                                           "val"])
+
+    return (tc.groupBy("grp").applyInPandas(
+                build, "grp string, fam string, k1 long, k2 long, val long")
+            .orderBy("grp", "fam", "k1", "k2"))
+
+
+def q_mg_summary_replay(spark, sf_dir):
+    """Misra–Gries STATE replay — counter sets, decrement totals and the
+    MERGE fold adjudicated exactly, upgrading the A5/O3 undercount
+    family from pytest-parity to driver adjudication. Per source (fixed
+    MG_REPLAY_SOURCES enumeration), one batch-absorb (kernels/mg.py:
+    update → _absorb: the PODS'12 mergeable-summaries reduce) of the
+    (token → occurrence count) table at k=16 — small enough that every
+    source genuinely evicts; then the per-source states are fold-MERGED
+    in the shared fixed order via the kernel's own merge(). Output: per
+    scope (each source + '__merged__') one summary row (token=cnt=-1,
+    carrying dec/n_items even if all counters were evicted) plus each
+    retained (token, residual count). The oracle
+    (oracle_replay.mg_fold_replay_sql) re-derives every row, unrolling
+    one threshold-subtraction block per fold step. Bounded: ≤ k+1 rows
+    per scope collected, ~KB total. Reference tie-in: the bounded
+    per-partition counter state of EdgeCutSGP.java:28 generalized to
+    per-item tracking with a provable undercount bound."""
+    import numpy as np
+    import pandas as pd
+
+    from sgp_sketch.kernels.mg import MG
+    from sgp_sketch.oracle_replay import MG_REPLAY_SOURCES, md5_token_col
+
+    key = ("mg_summary_replay", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        _views(spark, sf_dir)
+        tok = md5_token_col()
+        tc = (spark.table("documents")
+              .filter(F.col("source").isin(list(MG_REPLAY_SOURCES)))
+              .select("source", F.explode(F.split("text", " ")).alias("wd"))
+              .select("source", tok(F.col("wd")).alias("token"))
+              .groupBy("source", "token").agg(F.count("*").alias("cnt")))
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            src = pdf["source"].iloc[0]
+            st = MG(16).update(pdf["token"].to_numpy(np.int64),
+                               pdf["cnt"].to_numpy(np.int64))
+            rows = [(src, -1, -1, st.dec, st.n_items)]
+            rows += [(src, int(kk), int(cc), st.dec, st.n_items)
+                     for kk, cc in zip(st.keys, st.counts)]
+            return pd.DataFrame(rows, columns=["scope", "token", "cnt",
+                                               "dec", "n_items"])
+
+        schema = ("scope string, token long, cnt long, dec long, "
+                  "n_items long")
+        per_rows = (tc.groupBy("source").applyInPandas(build, schema)
+                    .collect())
+        by_src: dict = {}
+        for r in per_rows:
+            by_src.setdefault(r["scope"], []).append(r)
+        merged = MG(16)
+        for src in MG_REPLAY_SOURCES:          # the SHARED fold order
+            rows = by_src.get(src)
+            if not rows:
+                continue
+            counters = [(r["token"], r["cnt"]) for r in rows
+                        if r["token"] != -1]
+            counters.sort()                    # keys sorted, as _absorb emits
+            keys = np.array([t for t, _ in counters], dtype=np.int64)
+            cnts = np.array([c for _, c in counters], dtype=np.int64)
+            merged = merged.merge(MG(16, keys, cnts,
+                                     rows[0]["n_items"], rows[0]["dec"]))
+        out = [tuple(r) for r in per_rows]
+        out.append(("__merged__", -1, -1, merged.dec, merged.n_items))
+        out += [("__merged__", int(kk), int(cc), merged.dec,
+                 merged.n_items)
+                for kk, cc in zip(merged.keys, merged.counts)]
+        _STATEFUL_Q_CACHE[key] = (out, schema)
+    out, schema = _STATEFUL_Q_CACHE[key]
+    return spark.createDataFrame(out, schema).orderBy("scope", "token")
+
+
+def q_tdigest_centroid_replay(spark, sf_dir):
+    """t-digest CENTROID-STATE replay — the merging-variant compress
+    (kernels/tdigest.py:_compress: sort, mid-rank, k1 asin scale,
+    floor-bucket, weighted collapse) and the mergeable reduce itself
+    (merge() = concat + one weighted compress) adjudicated exactly,
+    retiring t-digest's §5.2.4 bytes-depend-on-merge-order exemption for
+    a FIXED schedule: (a) per-source single-batch builds over integer
+    n_chars at delta=10 (small delta so 25-doc sources genuinely
+    cluster), (b) an evens/odds doc_id split at delta=100 folded by ONE
+    kernel merge(). Integer inputs keep every sum/mean exact in double;
+    the only cross-engine drift is asin (numpy SIMD vs libm, <=2 ulp)
+    which cannot flip a floor() bucket at the data's measured >=5e-7
+    boundary margins (pinned in tests/test_oracle_replay.py). The
+    oracle (oracle_replay.tdigest_centroid_replay_sql) re-derives every
+    centroid, weight and stat as plain window SQL. Reference tie-in:
+    the percentile aggregations of log_parser.py:134-138 made mergeable,
+    with the state itself — not just the quantile answers — adjudicated."""
+    import numpy as np
+    import pandas as pd
+
+    from sgp_sketch.kernels.tdigest import TDigest
+
+    key = ("tdigest_centroid_replay", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        _views(spark, sf_dir)
+        docs = spark.table("documents")
+
+        def emit(scope, td):
+            rows = [(scope, "stat", 0, float(td.n)),
+                    (scope, "stat", 1, td.vmin),
+                    (scope, "stat", 2, td.vmax)]
+            rows += [(scope, "mean", i, float(m))
+                     for i, m in enumerate(td.means)]
+            rows += [(scope, "weight", i, float(w))
+                     for i, w in enumerate(td.weights)]
+            return rows
+
+        def build(delta):
+            def f(pdf: pd.DataFrame) -> pd.DataFrame:
+                td = TDigest(delta).update(pdf["x"].to_numpy(np.float64))
+                return pd.DataFrame(
+                    emit(pdf["scope"].iloc[0], td),
+                    columns=["scope", "fam", "idx", "val"])
+            return f
+
+        schema = "scope string, fam string, idx long, val double"
+        per_src = (docs.select(F.col("source").alias("scope"),
+                               F.col("n_chars").cast("double").alias("x"))
+                   .groupBy("scope").applyInPandas(build(10.0), schema)
+                   .collect())
+        halves = (docs.select(
+                      F.when(F.col("doc_id") % 2 == 0, "__evens__")
+                       .otherwise("__odds__").alias("scope"),
+                      F.col("n_chars").cast("double").alias("x"))
+                  .groupBy("scope").applyInPandas(build(100.0), schema)
+                  .collect())
+
+        def rebuild(scope):
+            rows = [r for r in halves if r["scope"] == scope]
+            cent = sorted((r["idx"], r["val"]) for r in rows
+                          if r["fam"] == "mean")
+            wts = dict((r["idx"], r["val"]) for r in rows
+                       if r["fam"] == "weight")
+            st = dict((r["idx"], r["val"]) for r in rows
+                      if r["fam"] == "stat")
+            return TDigest(
+                100.0,
+                means=np.array([m for _, m in cent]),
+                weights=np.array([wts[i] for i, _ in cent]),
+                n=int(st[0]), vmin=st[1], vmax=st[2])
+
+        merged = rebuild("__evens__").merge(rebuild("__odds__"))
+        out = [tuple(r) for r in per_src + halves]
+        out += emit("__merged__", merged)
+        _STATEFUL_Q_CACHE[key] = (out, schema)
+    out, schema = _STATEFUL_Q_CACHE[key]
+    return spark.createDataFrame(out, schema).orderBy("scope", "fam", "idx")
+
+
 def q_checkpoint_resume_replay(spark, sf_dir):
     """Checkpoint RESUME adjudicated: stage documents as 4 parquet files,
     complete ONLY slice 0 through the public API (an interrupted run),
@@ -4217,6 +4421,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fp_replay": q_simhash_fp_replay,
         "theta_algebra_replay": q_theta_algebra_replay,
         "checkpoint_resume_replay": q_checkpoint_resume_replay,
+        # --- (3d) round 5, session 4: the two §5.2.4 order-dependent
+        # exemptions that are deterministic under a FIXED schedule,
+        # adjudicated exactly — conservative-update CMS (the production
+        # policy; two-phase schedule) and the Misra–Gries counter set
+        # incl. its merge fold (fixed source order) ---
+        "cms_cu_replay": q_cms_cu_replay,
+        "mg_summary_replay": q_mg_summary_replay,
+        # --- (3e) round 5, session 5: the quantile kernels' states —
+        # t-digest centroids (single-batch builds + one kernel merge())
+        # and KLL compactor levels — adjudicated exactly under fixed
+        # schedules ---
+        "tdigest_centroid_replay": q_tdigest_centroid_replay,
         # --- (3c) round 5, session 3: the reference's HEADLINE greedy
         # partitioners (LDG/Fennel) upgraded from pytest-parity to exact
         # driver adjudication — a bounded sequential probe whose every
@@ -4375,6 +4591,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sgp_sketch.oracle_replay import (cms_cu_replay_sql,
+                                          mg_fold_replay_sql,
+                                          tdigest_centroid_replay_sql)
+
     stop = ",".join(f"'{w}'" for w in _STOPWORDS)
     return {
         "zipf_slope": """
@@ -5820,6 +6040,9 @@ def oracle_sql() -> dict[str, str]:
         "theta_kmv_replay": _theta_kmv_replay_oracle_sql(),
         "bloom_bits_replay": _bloom_bits_replay_oracle_sql(),
         "cms_counter_replay": _cms_counter_replay_oracle_sql(),
+        "cms_cu_replay": cms_cu_replay_sql(),
+        "mg_summary_replay": mg_fold_replay_sql(),
+        "tdigest_centroid_replay": tdigest_centroid_replay_sql(),
         "minhash_sig_replay": _minhash_sig_replay_oracle_sql(),
         "simhash_fp_replay": _simhash_fp_replay_oracle_sql(),
         "theta_algebra_replay": _theta_algebra_replay_oracle_sql(),

@@ -208,3 +208,289 @@ r AS (
 ),
 assignments AS (SELECT i AS pos, CAST(assign[i+1] AS INT) AS shard
                 FROM r WHERE i >= 0)"""
+
+
+# ------------------------------------------------- MG summary fold replay
+
+# Fixed source enumeration shared by q_mg_summary_replay and its oracle:
+# the fold order IS part of the adjudicated contract (MG counter sets are
+# order-dependent across merges — kernels/mg.py module docstring), so both
+# engines must walk the same list.  Lexicographic, matching VARCHAR order.
+MG_REPLAY_SOURCES = tuple(sorted(f"src{i}" for i in range(20)))
+
+
+def mg_fold_replay_sql(k: int = 16,
+                       sources: tuple = MG_REPLAY_SOURCES) -> str:
+    """Exact SQL re-derivation of q_mg_summary_replay: per-source
+    Misra–Gries summaries (ONE batch-absorb each) plus their fold-merge,
+    replayed step by step.
+
+    The kernel rule being replayed (kernels/mg.py:_absorb, the PODS'12
+    mergeable-summaries reduce): union counter sets, sum duplicate keys,
+    and if more than k keys survive, subtract the (k+1)-th LARGEST count
+    (duplicates counted — np.partition at position size-(k+1)) from every
+    counter and drop the non-positive ones; `dec` accumulates every
+    subtracted threshold, `n_items` the raw occurrence totals.  A single
+    update() into an EMPTY sketch is one such absorb of the per-source
+    (token → occurrence count) table, so it is order-independent and
+    plain SQL; the merge fold is replayed by unrolling one CTE block per
+    source in the SHARED fixed order.  Rank-(k+1) is computed with
+    row_number (ties broken arbitrarily) because only the VALUE at that
+    rank is used — identical under any tie order.
+
+    Emits rows (scope, token, cnt, dec, n_items): one summary row per
+    scope with token = cnt = -1 (so dec/n_items stay adjudicated even if
+    every counter were evicted) plus one row per retained counter.
+    Scope is each source plus '__merged__' for the fold result."""
+    if len(sources) < 2:
+        raise ValueError("fold replay needs at least two sources")
+    srclist = ", ".join(f"'{s}'" for s in sources)
+    kp1 = int(k) + 1
+    # every fold step references `ret` — MATERIALIZED collapses the
+    # 20-step unrolling to ONE parquet scan (without it DuckDB re-opens
+    # the file per reference and trips the fd limit)
+    parts = [f"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS wd
+           FROM documents WHERE source IN ({srclist})),
+tc AS MATERIALIZED (SELECT source, {md5_token_sql('wd')} AS token,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM w GROUP BY 1, 2),
+sstat AS (SELECT source, SUM(cnt) AS n_items FROM tc GROUP BY 1),
+rk AS (SELECT source, token, cnt,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY cnt DESC) AS rn
+       FROM tc),
+sth AS MATERIALIZED (SELECT source,
+               COALESCE(MAX(CASE WHEN rn = {kp1} THEN cnt END), 0) AS t
+        FROM rk GROUP BY 1),
+ret AS MATERIALIZED (SELECT r.source, r.token, r.cnt - s.t AS cnt
+        FROM rk r JOIN sth s USING (source)
+        WHERE r.cnt - s.t > 0),
+m0 AS (SELECT token, cnt FROM ret WHERE source = '{sources[0]}')"""]
+    # u/t/m are each referenced 2-3 times by the next block; without
+    # MATERIALIZED DuckDB inlines the recursion ~3^|sources|-fold and the
+    # query never finishes — materializing pins each fold step to one
+    # KB-sized intermediate
+    for i in range(1, len(sources)):
+        parts.append(f""",
+u{i} AS MATERIALIZED (SELECT token, SUM(cnt) AS cnt FROM (
+           SELECT token, cnt FROM m{i - 1}
+           UNION ALL
+           SELECT token, cnt FROM ret WHERE source = '{sources[i]}')
+         GROUP BY 1),
+t{i} AS MATERIALIZED (
+         SELECT COALESCE(MAX(CASE WHEN rn = {kp1} THEN cnt END), 0) AS t
+         FROM (SELECT cnt, row_number() OVER (ORDER BY cnt DESC) AS rn
+               FROM u{i})),
+m{i} AS MATERIALIZED (
+         SELECT token, cnt - (SELECT t FROM t{i}) AS cnt FROM u{i}
+         WHERE cnt - (SELECT t FROM t{i}) > 0)""")
+    last = len(sources) - 1
+    step_decs = " + ".join(f"(SELECT t FROM t{i})"
+                           for i in range(1, len(sources)))
+    parts.append(f""",
+mdec AS (SELECT (SELECT COALESCE(SUM(t), 0) FROM sth)
+                + {step_decs} AS dec),
+mn AS (SELECT COALESCE(SUM(n_items), 0) AS n FROM sstat)
+SELECT source AS scope, CAST(-1 AS BIGINT) AS token,
+       CAST(-1 AS BIGINT) AS cnt, CAST(s.t AS BIGINT) AS dec,
+       CAST(st.n_items AS BIGINT) AS n_items
+FROM sth s JOIN sstat st USING (source)
+UNION ALL
+SELECT r.source, CAST(r.token AS BIGINT), CAST(r.cnt AS BIGINT),
+       CAST(s.t AS BIGINT), CAST(st.n_items AS BIGINT)
+FROM ret r JOIN sth s USING (source) JOIN sstat st USING (source)
+UNION ALL
+SELECT '__merged__', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST((SELECT dec FROM mdec) AS BIGINT),
+       CAST((SELECT n FROM mn) AS BIGINT)
+UNION ALL
+SELECT '__merged__', CAST(token AS BIGINT), CAST(cnt AS BIGINT),
+       CAST((SELECT dec FROM mdec) AS BIGINT),
+       CAST((SELECT n FROM mn) AS BIGINT)
+FROM m{last}
+ORDER BY 1, 2""")
+    return "".join(parts)
+
+
+# ------------------------------------------- CMS conservative-update replay
+
+def cms_cu_replay_sql(depth: int = 4, width: int = 64,
+                      seed: int = 7) -> str:
+    """Exact SQL re-derivation of q_cms_cu_replay — the CONSERVATIVE
+    update policy itself (kernels/cms.py:update_hashes, the production
+    default), which cms_counter_replay deliberately side-stepped with
+    plain sums.
+
+    The kernel's vectorized CU step over one batch of UNIQUE items:
+    read cells, target_i = min-over-lanes(cell) + count_i, then
+    scatter-MAX targets back (cells shared by several items take the
+    largest target and never shrink).  A fixed TWO-phase schedule
+    (phase = token % 2, phase 0 then phase 1) makes the sequential
+    inter-batch semantics adjudicable: phase-1 targets read the cell
+    table phase 0 wrote.  From a zero table, phase-0 cells are
+    MAX(count) over colliding items; phase-1 cells are the scatter-max
+    of min-over-lanes(phase-0 cells) + count; the final table is the
+    elementwise max of both.  Every probe answers min over its lanes.
+
+    Emits (grp, fam, k1, k2, val): fam='cell' rows for ALL depth×width
+    cells (zeros included — the table shape is part of the contract)
+    with (k1, k2) = (lane, column); fam='est' rows per distinct
+    (grp, token) with (k1, k2) = (token, phase)."""
+    lane_whens = " ".join(
+        f"WHEN {j} THEN CAST({splitmix64_const(seed + j)} AS HUGEINT)"
+        for j in range(depth - 1))
+    lane_case = (f"CASE j {lane_whens} ELSE "
+                 f"CAST({splitmix64_const(seed + depth - 1)} AS HUGEINT) END")
+    t = md5_token_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH c AS (SELECT event_type AS grp, {t} AS token,
+                          CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM events WHERE user_id IS NOT NULL
+                   GROUP BY 1, 2),
+        h0 AS (SELECT grp, token, cnt, token % 2 AS phase,
+                      {sm64_cols('token', 'h', 'a')} FROM c),
+        pj AS (SELECT grp, token, cnt, phase, j,
+                      {sm64_cols(f'xor(h, {lane_case})', 'hj', 'b')}
+               FROM h0 CROSS JOIN range({depth}) AS js(j)),
+        pos AS (SELECT grp, token, cnt, phase, j, hj % {width} AS pos
+                FROM pj),
+        cell1 AS (SELECT grp, j, pos, MAX(cnt) AS v
+                  FROM pos WHERE phase = 0 GROUP BY 1, 2, 3),
+        tgt AS (SELECT p.grp, p.token,
+                       MIN(COALESCE(c1.v, 0)) + MIN(p.cnt) AS target
+                FROM pos p
+                LEFT JOIN cell1 c1 ON c1.grp = p.grp AND c1.j = p.j
+                                   AND c1.pos = p.pos
+                WHERE p.phase = 1 GROUP BY 1, 2),
+        cell2 AS (SELECT p.grp, p.j, p.pos, MAX(t2.target) AS v
+                  FROM pos p
+                  JOIN tgt t2 ON t2.grp = p.grp AND t2.token = p.token
+                  WHERE p.phase = 1 GROUP BY 1, 2, 3),
+        grid AS (SELECT g.grp, CAST(js.j AS BIGINT) AS j,
+                        CAST(ps.pos AS BIGINT) AS pos
+                 FROM (SELECT DISTINCT grp FROM c) g
+                 CROSS JOIN range({depth}) AS js(j)
+                 CROSS JOIN range({width}) AS ps(pos)),
+        cells AS (SELECT grid.grp, grid.j, grid.pos,
+                         GREATEST(COALESCE(c1.v, 0), COALESCE(c2.v, 0))
+                             AS v
+                  FROM grid
+                  LEFT JOIN cell1 c1 ON c1.grp = grid.grp
+                        AND c1.j = grid.j AND c1.pos = grid.pos
+                  LEFT JOIN cell2 c2 ON c2.grp = grid.grp
+                        AND c2.j = grid.j AND c2.pos = grid.pos),
+        est AS (SELECT p.grp, p.token, MIN(p.phase) AS phase,
+                       MIN(ce.v) AS est
+                FROM pos p
+                JOIN cells ce ON ce.grp = p.grp AND ce.j = p.j
+                             AND ce.pos = p.pos
+                GROUP BY 1, 2)
+        SELECT grp, 'cell' AS fam, j AS k1, pos AS k2,
+               CAST(v AS BIGINT) AS val
+        FROM cells
+        UNION ALL
+        SELECT grp, 'est', CAST(token AS BIGINT), CAST(phase AS BIGINT),
+               CAST(est AS BIGINT)
+        FROM est
+        ORDER BY 1, 2, 3, 4
+    """
+
+
+# --------------------------------------------------- t-digest centroid replay
+
+def tdigest_centroid_replay_sql(src_delta: float = 10.0,
+                                merge_delta: float = 100.0) -> str:
+    """Exact SQL re-derivation of q_tdigest_centroid_replay: the t-digest
+    MERGING-variant centroid state (kernels/tdigest.py:_compress) for (a)
+    a per-source single-batch build at delta=src_delta and (b) an
+    evens/odds doc_id split at delta=merge_delta plus their merge() —
+    the PODS-mergeable reduce step itself — replayed as plain SQL.
+
+    The kernel rule: sort (mean, weight) pairs (stable — ties keep
+    concat order, here (mean, part, idx)), mid-rank
+    q_i = (cum_w_i - w_i/2) / W, scale k(q) = (delta/2pi)*asin(2q-1),
+    bucket by floor(k), collapse each bucket to its weighted mean.
+
+    Numeric-exactness contract (why a hash-exact oracle is possible):
+    inputs are integer n_chars, so single-batch sums/counts/means are
+    exact in double regardless of summation order; cum weights are
+    integers; the only cross-engine drift is asin (numpy SIMD vs libm,
+    measured <= 2 ulp), which can flip floor(k) only within ~3e-15 of a
+    bucket boundary — the data's measured minimum boundary distance is
+    ~5e-7 (tests/test_oracle_replay.py pins this margin). Merged-leg
+    weighted sums carry ~1e-16 relative order noise, far below the
+    driver's ~6dp float rounding."""
+    halfpi_src = f"({src_delta!r}/(2*pi()))"
+    halfpi_mrg = f"({merge_delta!r}/(2*pi()))"
+    return f"""
+        WITH vals AS (
+            SELECT source AS scope, CAST(n_chars AS DOUBLE) AS x,
+                   {halfpi_src} AS c
+            FROM documents
+            UNION ALL
+            SELECT CASE WHEN doc_id % 2 = 0 THEN '__evens__'
+                        ELSE '__odds__' END,
+                   CAST(n_chars AS DOUBLE), {halfpi_mrg}
+            FROM documents),
+        r AS (SELECT scope, c, x,
+                     CAST(row_number() OVER (PARTITION BY scope
+                                             ORDER BY x) AS DOUBLE) AS i,
+                     CAST(COUNT(*) OVER (PARTITION BY scope) AS DOUBLE)
+                         AS n
+              FROM vals),
+        b AS (SELECT scope, x,
+                     CAST(floor(c * asin(2.0*((i-0.5)/n) - 1.0))
+                          AS BIGINT) AS bin
+              FROM r),
+        cent AS (SELECT scope, bin, SUM(x)/COUNT(*) AS mean,
+                        CAST(COUNT(*) AS DOUBLE) AS w
+                 FROM b GROUP BY 1, 2),
+        cidx AS (SELECT scope,
+                        row_number() OVER (PARTITION BY scope
+                                           ORDER BY bin) - 1 AS idx,
+                        mean, w
+                 FROM cent),
+        -- merge(): concat evens-then-odds (stable tie order = mean,
+        -- part, idx), one weighted compress at merge_delta
+        mc AS (SELECT CASE scope WHEN '__evens__' THEN 0 ELSE 1 END
+                          AS part, idx, mean, w
+               FROM cidx WHERE scope IN ('__evens__', '__odds__')),
+        mr AS (SELECT mean, w,
+                      SUM(w) OVER (ORDER BY mean, part, idx
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                      SUM(w) OVER () AS tot
+               FROM mc),
+        mb AS (SELECT mean, w,
+                      CAST(floor({halfpi_mrg} *
+                           asin(2.0*((cum - w/2.0)/tot) - 1.0))
+                           AS BIGINT) AS bin
+               FROM mr),
+        mcent AS (SELECT bin, SUM(w*mean)/SUM(w) AS mean, SUM(w) AS w
+                  FROM mb GROUP BY 1),
+        midx AS (SELECT '__merged__' AS scope,
+                        row_number() OVER (ORDER BY bin) - 1 AS idx,
+                        mean, w
+                 FROM mcent),
+        allc AS (SELECT scope, idx, mean, w FROM cidx
+                 UNION ALL
+                 SELECT scope, idx, mean, w FROM midx),
+        st0 AS (SELECT scope, CAST(COUNT(*) AS DOUBLE) AS n,
+                       MIN(x) AS vmin, MAX(x) AS vmax
+                FROM vals GROUP BY 1),
+        st AS (SELECT * FROM st0
+               UNION ALL
+               SELECT '__merged__', SUM(n), MIN(vmin), MAX(vmax)
+               FROM st0 WHERE scope IN ('__evens__', '__odds__'))
+        SELECT scope, 'mean' AS fam, CAST(idx AS BIGINT) AS idx,
+               mean AS val
+        FROM allc
+        UNION ALL
+        SELECT scope, 'weight', CAST(idx AS BIGINT), w FROM allc
+        UNION ALL
+        SELECT scope, 'stat', 0, n FROM st
+        UNION ALL
+        SELECT scope, 'stat', 1, vmin FROM st
+        UNION ALL
+        SELECT scope, 'stat', 2, vmax FROM st
+        ORDER BY 1, 2, 3
+    """

@@ -309,3 +309,98 @@ def test_theta_algebra_order_statistic_model():
         assert int(m.retained.size) == u.size and int(m.theta) == thm
     # estimates are the single division the oracle replays
     assert float(m.estimate()) == m.retained.size / (float(m.theta) / 2**64)
+
+
+# ---------------------------------------------- t-digest centroid replay
+
+def _tdigest_rows(docs, src_delta=10.0, merge_delta=100.0):
+    """Pure-pandas replica of q_tdigest_centroid_replay's Spark side."""
+    from sgp_sketch.kernels.tdigest import TDigest
+
+    def emit(scope, td):
+        rows = [(scope, "stat", 0, float(td.n)),
+                (scope, "stat", 1, td.vmin), (scope, "stat", 2, td.vmax)]
+        rows += [(scope, "mean", i, float(m))
+                 for i, m in enumerate(td.means)]
+        rows += [(scope, "weight", i, float(w))
+                 for i, w in enumerate(td.weights)]
+        return rows
+
+    out = []
+    for src, g in docs.groupby("source"):
+        out += emit(src, TDigest(src_delta).update(
+            g["n_chars"].to_numpy(np.float64)))
+    halves = {}
+    for par, scope in ((0, "__evens__"), (1, "__odds__")):
+        g = docs[docs["doc_id"] % 2 == par]
+        halves[scope] = TDigest(merge_delta).update(
+            g["n_chars"].to_numpy(np.float64))
+        out += emit(scope, halves[scope])
+    out += emit("__merged__", halves["__evens__"].merge(halves["__odds__"]))
+    return out
+
+
+def test_tdigest_centroid_replay_oracle_matches_kernel():
+    """End-to-end (no Spark): the DuckDB oracle re-derives the kernel's
+    exact centroid state — per-source builds, the evens/odds builds, and
+    the merge() fold — on a synthetic integer documents table."""
+    import pandas as pd
+
+    from sgp_sketch.oracle_replay import tdigest_centroid_replay_sql
+
+    rng = np.random.default_rng(11)
+    n = 600
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": [f"src{i % 20}" for i in range(n)],
+        "n_chars": rng.integers(40, 560, size=n).astype(np.int64),
+    })
+    c = duckdb.connect()
+    c.register("documents", docs)
+    got = c.execute(tdigest_centroid_replay_sql()).df()
+    exp = (pd.DataFrame(_tdigest_rows(docs),
+                        columns=["scope", "fam", "idx", "val"])
+           .sort_values(["scope", "fam", "idx"]).reset_index(drop=True))
+    got = got.sort_values(["scope", "fam", "idx"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["scope"] == exp["scope"]).all()
+    assert (got["fam"] == exp["fam"]).all()
+    assert (got["idx"].to_numpy() == exp["idx"].to_numpy()).all()
+    # integer inputs keep single-batch sums exact; merged-leg weighted
+    # means carry only summation-order noise (<< the driver's 6dp)
+    np.testing.assert_allclose(got["val"].to_numpy(),
+                               exp["val"].to_numpy(), rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_tdigest_asin_bucket_boundary_margin(sf):
+    """Pins the numeric-safety claim in tdigest_centroid_replay_sql: the
+    only cross-engine drift is asin (<= 2 ulp ~ 3e-15 on k(q)); a floor
+    bucket can flip only within that distance of an integer. Assert the
+    real data's mid-rank k(q) grids stay >= 1e-9 away for every scope
+    and both deltas (measured margins are ~1e-5)."""
+    import os
+
+    import pandas as pd
+
+    path = f"/root/testdata/{sf}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata scale absent")
+    docs = pd.read_parquet(path, columns=["doc_id", "source", "n_chars"])
+    grids = [len(g) for _, g in docs.groupby("source")]
+    grids += [(docs["doc_id"] % 2 == 0).sum(),
+              (docs["doc_id"] % 2 == 1).sum()]
+    worst = 1.0
+    for delta, ns in ((10.0, grids), (100.0, grids)):
+        for n in ns:
+            i = np.arange(1, n + 1, dtype=np.float64)
+            x = 2 * ((i - 0.5) / n) - 1
+            kq = (delta / (2 * np.pi)) * np.arcsin(x)
+            d = np.abs(kq - np.round(kq))
+            # an odd-count group's middle element sits exactly at q=0.5:
+            # x == 0.0 bit-exactly, and asin(0.0) == 0.0 in every
+            # implementation — an exact hit, not a near-boundary risk
+            d = d[x != 0.0]
+            if d.size:
+                worst = min(worst, float(d.min()))
+    assert worst >= 1e-9, worst

@@ -64,6 +64,13 @@ EXEMPT = {
                               # plan-clean and is gated separately
     "frontier_profile_replay",  # eager: runs k_hop to collect the
                               # observed step metrics (like triangle_count)
+    "cms_cu_replay",          # conservative-update CMS under a fixed
+                              # two-phase schedule — the applyInPandas
+                              # kernel call IS the operator adjudicated
+    "mg_summary_replay",      # Misra-Gries batch-absorb + driver-side
+                              # fold-merge of bounded (<=k+1/scope) rows
+    "tdigest_centroid_replay",  # t-digest single-batch builds + one
+                              # kernel merge() of bounded centroid rows
 }
 
 
