@@ -1956,6 +1956,84 @@ def q_tdigest_centroid_replay(spark, sf_dir):
     return spark.createDataFrame(out, schema).orderBy("scope", "fam", "idx")
 
 
+def q_kll_compactor_replay(spark, sf_dir):
+    """KLL COMPACTOR-STATE replay — the deterministic-coin compactor
+    hierarchy (kernels/kll.py: update/_compress/merge) adjudicated
+    exactly, retiring KLL's §5.2.4 bytes-depend-on-merge-order exemption
+    for a FIXED schedule: per-source single-batch builds at k=16 over
+    integer n_chars (small k so every scale genuinely compacts), then a
+    fold of kernel merge() over the fixed KLL_FOLD_SOURCES order. The
+    oracle (oracle_replay.kll_compactor_replay_sql) re-derives the
+    single-batch closed form (ranks = 0 mod 2^s* of the sorted values,
+    s* from the capacity schedule) and replays each fold's compress
+    steps generically in unrolled MATERIALIZED CTEs — level counts vs
+    the 16/11/8 depth capacities, promote the flips-selected half, flip
+    the bit. Items are emitted sorted within (scope, level): the level
+    multiset IS the state (ties carry no payload). Reference tie-in:
+    the load-percentile aggregations of log_parser.py:134-138 as a
+    mergeable summary whose internal state is itself adjudicated."""
+    import numpy as np
+    import pandas as pd
+
+    from sgp_sketch.kernels.kll import KLL
+    from sgp_sketch.oracle_replay import KLL_FOLD_SOURCES
+
+    key = ("kll_compactor_replay", sf_dir)
+    if key not in _STATEFUL_Q_CACHE:
+        _views(spark, sf_dir)
+
+        def emit(scope, kll):
+            rows = []
+            for lvl, arr in enumerate(kll.levels):
+                rows += [(scope, "item", lvl, slot, float(v))
+                         for slot, v in enumerate(np.sort(arr))]
+            rows += [(scope, "stat", k1, 0, v) for k1, v in enumerate(
+                [float(kll.flips), float(len(kll.levels)),
+                 float(kll.n), kll.vmin, kll.vmax])]
+            return rows
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            kll = KLL(16).update(pdf["x"].to_numpy(np.float64))
+            return pd.DataFrame(emit(pdf["scope"].iloc[0], kll),
+                                columns=["scope", "fam", "k1", "k2",
+                                         "val"])
+
+        schema = "scope string, fam string, k1 long, k2 long, val double"
+        per_rows = (spark.table("documents")
+                    .select(F.col("source").alias("scope"),
+                            F.col("n_chars").cast("double").alias("x"))
+                    .groupBy("scope").applyInPandas(build, schema)
+                    .collect())
+
+        def rebuild(scope):
+            rows = [r for r in per_rows if r["scope"] == scope]
+            if not rows:
+                return None
+            st = {r["k1"]: r["val"] for r in rows if r["fam"] == "stat"}
+            nlev = int(st[1])
+            levels = [[] for _ in range(nlev)]
+            for r in rows:
+                if r["fam"] == "item":
+                    levels[r["k1"]].append(r["val"])
+            return KLL(16,
+                       levels=[np.array(a, dtype=np.float64)
+                               for a in levels],
+                       n=int(st[2]), flips=int(st[0]),
+                       vmin=st[3], vmax=st[4])
+
+        acc = None
+        for src in KLL_FOLD_SOURCES:        # the SHARED fold order
+            d = rebuild(src)
+            if d is None:
+                continue
+            acc = d if acc is None else acc.merge(d)
+        out = [tuple(r) for r in per_rows] + emit("__merged__", acc)
+        _STATEFUL_Q_CACHE[key] = (out, schema)
+    out, schema = _STATEFUL_Q_CACHE[key]
+    return (spark.createDataFrame(out, schema)
+            .orderBy("scope", "fam", "k1", "k2"))
+
+
 def q_checkpoint_resume_replay(spark, sf_dir):
     """Checkpoint RESUME adjudicated: stage documents as 4 parquet files,
     complete ONLY slice 0 through the public API (an interrupted run),
@@ -4433,6 +4511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and KLL compactor levels — adjudicated exactly under fixed
         # schedules ---
         "tdigest_centroid_replay": q_tdigest_centroid_replay,
+        "kll_compactor_replay": q_kll_compactor_replay,
         # --- (3c) round 5, session 3: the reference's HEADLINE greedy
         # partitioners (LDG/Fennel) upgraded from pytest-parity to exact
         # driver adjudication — a bounded sequential probe whose every
@@ -4592,6 +4671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from sgp_sketch.oracle_replay import (cms_cu_replay_sql,
+                                          kll_compactor_replay_sql,
                                           mg_fold_replay_sql,
                                           tdigest_centroid_replay_sql)
 
@@ -6043,6 +6123,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_cu_replay": cms_cu_replay_sql(),
         "mg_summary_replay": mg_fold_replay_sql(),
         "tdigest_centroid_replay": tdigest_centroid_replay_sql(),
+        "kll_compactor_replay": kll_compactor_replay_sql(),
         "minhash_sig_replay": _minhash_sig_replay_oracle_sql(),
         "simhash_fp_replay": _simhash_fp_replay_oracle_sql(),
         "theta_algebra_replay": _theta_algebra_replay_oracle_sql(),

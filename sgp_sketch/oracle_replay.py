@@ -494,3 +494,165 @@ def tdigest_centroid_replay_sql(src_delta: float = 10.0,
         SELECT scope, 'stat', 2, vmax FROM st
         ORDER BY 1, 2, 3
     """
+
+
+# ---------------------------------------------- KLL compactor-state replay
+
+KLL_FOLD_SOURCES = tuple(sorted(f"src{i}" for i in range(20))[:8])
+
+
+def _kll_caps(k: int = 16, max_depth: int = 26) -> list:
+    """Per-depth level capacities, exactly kernels/kll.py:_capacity."""
+    import math
+    return [max(8, int(math.ceil(k * (2.0 / 3.0) ** d)))
+            for d in range(max_depth)]
+
+
+def kll_compactor_replay_sql(k: int = 16,
+                             sources: tuple = KLL_FOLD_SOURCES,
+                             iters_per_fold: int = 4) -> str:
+    """Exact SQL re-derivation of q_kll_compactor_replay: per-source
+    single-batch KLL builds (kernels/kll.py:update) plus a fixed-order
+    fold of merge() over `sources`, replayed compactor step by step.
+
+    Single-batch closed form (validated against the kernel in
+    tests/test_oracle_replay.py): one update() into an empty sketch
+    compacts each level exactly once bottom-up with offset 0 (flips
+    starts at 0), so the final state is ONE nonempty level s* holding
+    the sorted ranks ≡ 0 (mod 2^s*), where s* is the least s with
+    ceil(n/2^s) <= cap_total(s), flips = 2^s*-1, n_levels = s*+1.
+
+    The fold replays merge() generically: concat levels, xor flips, max
+    n_levels, then up to `iters_per_fold` unrolled compress steps — each
+    finds the lowest over-capacity level (caps 16,11,8,8,... by depth
+    from top for k=16), promotes the sorted even/odd half chosen by the
+    level's CURRENT flips bit, and flips that bit. Measured step count
+    per fold is <= 3 across 3..2500 values/source; 4 gives margin and a
+    mismatch (not silence) if ever exceeded. MATERIALIZED CTEs keep the
+    ~100-step chain from exponential inlining (same as the MG/BPE
+    oracles).
+
+    Emits (scope, fam, k1, k2, val): fam='item' rows (k1=level,
+    k2=slot rank within level by value) and fam='stat' rows
+    (k1=0..4 -> flips, n_levels, n, vmin, vmax; k2=0)."""
+    if k != 16:
+        raise ValueError("generated caps are specialized to k=16")
+    caps = _kll_caps(k)
+    cap_tot = [sum(caps[:s + 1]) for s in range(len(caps))]
+    sstar_case = "CASE " + " ".join(
+        f"WHEN ((n + {(1 << s) - 1}) // {1 << s}) <= {cap_tot[s]} "
+        f"THEN {s}" for s in range(25)) + " ELSE 25 END"
+    # cap_total(nlev) = sum of caps for depths 0..nlev-1
+    captot_case = ("CASE nlev " + " ".join(
+        f"WHEN {s + 1} THEN {cap_tot[s]}" for s in range(25)) +
+        f" ELSE {cap_tot[24]} + 8 * (nlev - 25) END")
+    cap_by_depth = ("CASE WHEN ({d}) = 0 THEN 16 WHEN ({d}) = 1 THEN 11 "
+                    "ELSE 8 END")
+    srclist = ", ".join(f"'{s}'" for s in sources)
+    parts = [f"""WITH base AS MATERIALIZED (
+  SELECT source AS scope, CAST(n_chars AS DOUBLE) AS x FROM documents),
+cnt AS (SELECT scope, COUNT(*) AS n FROM base GROUP BY 1),
+sstar AS MATERIALIZED (SELECT scope, n, {sstar_case} AS s FROM cnt),
+rk AS (SELECT scope, x,
+              row_number() OVER (PARTITION BY scope ORDER BY x) - 1 AS r
+       FROM base),
+items AS MATERIALIZED (
+  SELECT b.scope, s.s AS lvl, b.x AS val
+  FROM rk b JOIN sstar s USING (scope)
+  WHERE b.r % (1 << s.s) = 0),
+st AS MATERIALIZED (
+  SELECT s.scope, s.n, (1 << s.s) - 1 AS flips,
+         s.s + 1 AS nlev, v.vmin, v.vmax
+  FROM sstar s JOIN (SELECT scope, MIN(x) AS vmin, MAX(x) AS vmax
+                     FROM base GROUP BY 1) v USING (scope)),
+i0_0 AS MATERIALIZED (SELECT lvl, val FROM items
+                      WHERE scope = '{sources[0]}'),
+m0_0 AS MATERIALIZED (
+  SELECT COALESCE(MAX(flips), 0) AS flips,
+         COALESCE(MAX(nlev), 1) AS nlev
+  FROM st WHERE scope = '{sources[0]}')"""]
+
+    def compress_block(prev: str, cur: str) -> str:
+        d = f"d{cur}"
+        return f""",
+{d} AS MATERIALIZED (
+  SELECT m.flips, m.nlev, t.total,
+         ({captot_case.replace('nlev', 'm.nlev')}) AS captot,
+         tg.target,
+         (t.total > ({captot_case.replace('nlev', 'm.nlev')})
+          AND tg.target IS NOT NULL) AS act
+  FROM m{prev} m
+  CROSS JOIN (SELECT COUNT(*) AS total FROM i{prev}) t
+  CROSS JOIN (SELECT MIN(lc.lvl) AS target
+              FROM (SELECT lvl, COUNT(*) AS c FROM i{prev}
+                    GROUP BY 1) lc, m{prev} mm
+              WHERE lc.c > ({cap_by_depth.format(
+                  d='mm.nlev - 1 - lc.lvl')})) tg),
+i{cur} AS MATERIALIZED (
+  SELECT i.lvl, i.val FROM i{prev} i, {d} x
+  WHERE (NOT x.act) OR i.lvl <> x.target
+  UNION ALL
+  SELECT x.target + 1, s.val
+  FROM {d} x,
+       (SELECT i2.val,
+               row_number() OVER (ORDER BY i2.val) - 1 AS r
+        FROM i{prev} i2, {d} x2
+        WHERE x2.act AND i2.lvl = x2.target) s
+  WHERE x.act AND s.r % 2 = (x.flips // (1 << x.target)) % 2),
+m{cur} AS MATERIALIZED (
+  SELECT CASE WHEN act THEN xor(flips, 1 << target) ELSE flips END
+             AS flips,
+         CASE WHEN act THEN GREATEST(nlev, target + 2) ELSE nlev END
+             AS nlev
+  FROM {d})"""
+
+    prev = "0_0"
+    for f in range(1, len(sources)):
+        cur = f"{f}_0"
+        parts.append(f""",
+i{cur} AS MATERIALIZED (
+  SELECT lvl, val FROM i{prev}
+  UNION ALL
+  SELECT lvl, val FROM items WHERE scope = '{sources[f]}'),
+m{cur} AS MATERIALIZED (
+  SELECT xor(m.flips, COALESCE(s.flips, 0)) AS flips,
+         GREATEST(m.nlev, COALESCE(s.nlev, 1)) AS nlev
+  FROM m{prev} m
+  LEFT JOIN (SELECT flips, nlev FROM st
+             WHERE scope = '{sources[f]}') s ON TRUE)""")
+        prev = cur
+        for j in range(1, iters_per_fold + 1):
+            cur = f"{f}_{j}"
+            parts.append(compress_block(prev, cur))
+            prev = cur
+    parts.append(f""",
+mstat AS (SELECT COALESCE(SUM(n), 0) AS n, MIN(vmin) AS vmin,
+                 MAX(vmax) AS vmax
+          FROM st WHERE scope IN ({srclist}))
+SELECT scope, 'item' AS fam, CAST(lvl AS BIGINT) AS k1,
+       row_number() OVER (PARTITION BY scope, lvl ORDER BY val) - 1
+           AS k2,
+       val
+FROM items
+UNION ALL
+SELECT '__merged__', 'item', CAST(lvl AS BIGINT),
+       row_number() OVER (PARTITION BY lvl ORDER BY val) - 1, val
+FROM i{prev}
+UNION ALL
+SELECT scope, 'stat', s.k1, 0,
+       CASE s.k1 WHEN 0 THEN CAST(flips AS DOUBLE)
+                 WHEN 1 THEN CAST(nlev AS DOUBLE)
+                 WHEN 2 THEN CAST(n AS DOUBLE)
+                 WHEN 3 THEN vmin ELSE vmax END
+FROM st CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2), (3), (4))
+    s(k1)
+UNION ALL
+SELECT '__merged__', 'stat', s.k1, 0,
+       CASE s.k1 WHEN 0 THEN CAST(m.flips AS DOUBLE)
+                 WHEN 1 THEN CAST(m.nlev AS DOUBLE)
+                 WHEN 2 THEN CAST(ms.n AS DOUBLE)
+                 WHEN 3 THEN ms.vmin ELSE ms.vmax END
+FROM m{prev} m CROSS JOIN mstat ms
+CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2), (3), (4)) s(k1)
+ORDER BY 1, 2, 3, 4""")
+    return "".join(parts)

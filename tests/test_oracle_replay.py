@@ -404,3 +404,66 @@ def test_tdigest_asin_bucket_boundary_margin(sf):
             if d.size:
                 worst = min(worst, float(d.min()))
     assert worst >= 1e-9, worst
+
+
+# ---------------------------------------------- KLL compactor replay
+
+def _kll_rows(docs, k=16):
+    """Pure-pandas replica of q_kll_compactor_replay's Spark side."""
+    import pandas as pd
+
+    from sgp_sketch.kernels.kll import KLL
+    from sgp_sketch.oracle_replay import KLL_FOLD_SOURCES
+
+    def emit(scope, kll):
+        rows = []
+        for lvl, arr in enumerate(kll.levels):
+            rows += [(scope, "item", lvl, slot, float(v))
+                     for slot, v in enumerate(np.sort(arr))]
+        rows += [(scope, "stat", k1, 0, v) for k1, v in enumerate(
+            [float(kll.flips), float(len(kll.levels)), float(kll.n),
+             kll.vmin, kll.vmax])]
+        return rows
+
+    out, per = [], {}
+    for src, g in docs.groupby("source"):
+        per[src] = KLL(k).update(g["n_chars"].to_numpy(np.float64))
+        out += emit(src, per[src])
+    acc = None
+    for src in KLL_FOLD_SOURCES:
+        if src not in per:
+            continue
+        acc = per[src] if acc is None else acc.merge(per[src])
+    out += emit("__merged__", acc)
+    return pd.DataFrame(out, columns=["scope", "fam", "k1", "k2", "val"])
+
+
+@pytest.mark.parametrize("n", [60, 500, 5000, 50000])
+def test_kll_compactor_replay_oracle_matches_kernel(n):
+    """End-to-end (no Spark): the DuckDB oracle re-derives the kernel's
+    exact compactor state — per-source single-batch closed form AND the
+    generic unrolled compress steps of the fixed-order merge fold — at
+    sizes bracketing sf0.001..beyond-sf0.1 per-source counts. A fold
+    needing more than the unrolled iters_per_fold=4 compress steps would
+    surface here as a value mismatch, not silence."""
+    import pandas as pd
+
+    from sgp_sketch.oracle_replay import kll_compactor_replay_sql
+
+    rng = np.random.default_rng(17)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": [f"src{i % 20}" for i in range(n)],
+        "n_chars": rng.integers(40, 560, size=n).astype(np.int64)})
+    c = duckdb.connect()
+    c.register("documents", docs)
+    got = (c.execute(kll_compactor_replay_sql()).df()
+           .sort_values(["scope", "fam", "k1", "k2"])
+           .reset_index(drop=True))
+    exp = (_kll_rows(docs).sort_values(["scope", "fam", "k1", "k2"])
+           .reset_index(drop=True))
+    assert len(got) == len(exp)
+    for col in ("scope", "fam", "k1", "k2"):
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+    # values are integer n_chars carried verbatim — exact equality
+    assert (got["val"].to_numpy() == exp["val"].to_numpy()).all()

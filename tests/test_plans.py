@@ -71,6 +71,8 @@ EXEMPT = {
                               # fold-merge of bounded (<=k+1/scope) rows
     "tdigest_centroid_replay",  # t-digest single-batch builds + one
                               # kernel merge() of bounded centroid rows
+    "kll_compactor_replay",   # KLL builds + fixed-order merge fold of
+                              # bounded (~cap_total/scope) level rows
 }
 
 
