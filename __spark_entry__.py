@@ -1905,9 +1905,12 @@ def q_tdigest_centroid_replay(spark, sf_dir):
         docs = spark.table("documents")
 
         def emit(scope, td):
+            # empty digest: vmin/vmax are +-inf sentinels in the kernel
+            # but the oracle's MIN/MAX over zero rows is NULL — emit
+            # None so even the degenerate all-absent shape hash-matches
             rows = [(scope, "stat", 0, float(td.n)),
-                    (scope, "stat", 1, td.vmin),
-                    (scope, "stat", 2, td.vmax)]
+                    (scope, "stat", 1, td.vmin if td.n else None),
+                    (scope, "stat", 2, td.vmax if td.n else None)]
             rows += [(scope, "mean", i, float(m))
                      for i, m in enumerate(td.means)]
             rows += [(scope, "weight", i, float(w))
@@ -1936,6 +1939,8 @@ def q_tdigest_centroid_replay(spark, sf_dir):
 
         def rebuild(scope):
             rows = [r for r in halves if r["scope"] == scope]
+            if not rows:          # a parity class absent from the data
+                return TDigest(100.0)
             cent = sorted((r["idx"], r["val"]) for r in rows
                           if r["fam"] == "mean")
             wts = dict((r["idx"], r["val"]) for r in rows
@@ -1987,9 +1992,13 @@ def q_kll_compactor_replay(spark, sf_dir):
             for lvl, arr in enumerate(kll.levels):
                 rows += [(scope, "item", lvl, slot, float(v))
                          for slot, v in enumerate(np.sort(arr))]
+            # empty sketch: kernel vmin/vmax are +-inf sentinels but the
+            # oracle's MIN/MAX over zero rows is NULL — emit None so the
+            # degenerate all-sources-absent fold still hash-matches
             rows += [(scope, "stat", k1, 0, v) for k1, v in enumerate(
                 [float(kll.flips), float(len(kll.levels)),
-                 float(kll.n), kll.vmin, kll.vmax])]
+                 float(kll.n), kll.vmin if kll.n else None,
+                 kll.vmax if kll.n else None])]
             return rows
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2027,6 +2036,8 @@ def q_kll_compactor_replay(spark, sf_dir):
             if d is None:
                 continue
             acc = d if acc is None else acc.merge(d)
+        if acc is None:          # every fold source absent from the data
+            acc = KLL(16)        # matches the oracle's COALESCE(0 / 1)
         out = [tuple(r) for r in per_rows] + emit("__merged__", acc)
         _STATEFUL_Q_CACHE[key] = (out, schema)
     out, schema = _STATEFUL_Q_CACHE[key]

@@ -467,3 +467,151 @@ def test_kll_compactor_replay_oracle_matches_kernel(n):
         assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
     # values are integer n_chars carried verbatim — exact equality
     assert (got["val"].to_numpy() == exp["val"].to_numpy()).all()
+
+
+def test_tdigest_merged_leg_boundary_margin():
+    """Finding from review: the single-batch margin test leaves the
+    MERGED-leg compress grid (cum - w/2)/tot unmeasured. Pin it too, on
+    the real data at every available sf: build the evens/odds digests
+    with the kernel, form the concat grid exactly as the oracle's mr/mb
+    CTEs do, and assert k(q) stays >= 1e-9 from every floor boundary
+    (exact x == 0 hits excluded, as before)."""
+    import os
+
+    import pandas as pd
+
+    from sgp_sketch.kernels.tdigest import TDigest
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        docs = pd.read_parquet(path, columns=["doc_id", "n_chars"])
+        halves = [TDigest(100.0).update(
+            docs[docs["doc_id"] % 2 == p]["n_chars"]
+            .to_numpy(np.float64)) for p in (0, 1)]
+        w = np.concatenate([halves[0].weights, halves[1].weights])
+        m = np.concatenate([halves[0].means, halves[1].means])
+        part = np.concatenate([np.zeros(halves[0].means.size),
+                               np.ones(halves[1].means.size)])
+        idx = np.concatenate([np.arange(halves[0].means.size),
+                              np.arange(halves[1].means.size)])
+        order = np.lexsort((idx, part, m))     # ORDER BY mean, part, idx
+        w = w[order]
+        cum = np.cumsum(w)
+        x = 2.0 * ((cum - w / 2.0) / cum[-1]) - 1.0
+        kq = (100.0 / (2 * np.pi)) * np.arcsin(np.clip(x, -1, 1))
+        d = np.abs(kq - np.round(kq))
+        d = d[x != 0.0]
+        if d.size:
+            assert float(d.min()) >= 1e-9, (sf, float(d.min()))
+        checked += 1
+    assert checked, "no testdata scale available"
+
+
+def _md5tok(w):
+    import hashlib
+    return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def test_mg_fold_replay_oracle_matches_kernel():
+    """End-to-end (no Spark): mg_fold_replay_sql re-derives the kernel's
+    exact per-source Misra-Gries summaries AND the fixed-order fold —
+    including threshold subtractions with real evictions (vocab >> k) and
+    sources missing from the data (src19 absent)."""
+    import pandas as pd
+
+    from sgp_sketch.kernels.mg import MG
+    from sgp_sketch.oracle_replay import (MG_REPLAY_SOURCES,
+                                          mg_fold_replay_sql)
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    for s in range(19):                      # src19 deliberately absent
+        for d in range(12):
+            words = rng.choice(vocab, size=40)
+            rows.append((f"src{s}", " ".join(words)))
+    docs = pd.DataFrame(rows, columns=["source", "text"])
+
+    per = {}
+    out = []
+    for src, g in docs.groupby("source"):
+        toks = {}
+        for t in g["text"]:
+            for w in t.split(" "):
+                k = _md5tok(w)
+                toks[k] = toks.get(k, 0) + 1
+        st = MG(16).update(np.array(list(toks), dtype=np.int64),
+                           np.array(list(toks.values()), dtype=np.int64))
+        per[src] = st
+        out.append((src, -1, -1, st.dec, st.n_items))
+        out += [(src, int(k), int(c), st.dec, st.n_items)
+                for k, c in zip(st.keys, st.counts)]
+    merged = MG(16)
+    for src in MG_REPLAY_SOURCES:
+        if src in per:
+            merged = merged.merge(per[src])
+    out.append(("__merged__", -1, -1, merged.dec, merged.n_items))
+    out += [("__merged__", int(k), int(c), merged.dec, merged.n_items)
+            for k, c in zip(merged.keys, merged.counts)]
+    exp = (pd.DataFrame(out, columns=["scope", "token", "cnt", "dec",
+                                      "n_items"])
+           .sort_values(["scope", "token"]).reset_index(drop=True))
+
+    c = duckdb.connect()
+    c.register("documents", docs)
+    got = (c.execute(mg_fold_replay_sql()).df()
+           .sort_values(["scope", "token"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    for col in exp.columns:
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+
+
+def test_cms_cu_replay_oracle_matches_kernel():
+    """End-to-end (no Spark): cms_cu_replay_sql re-derives the kernel's
+    conservative-update cell table and min-over-lanes estimates under
+    the fixed two-phase schedule, with enough users per type (300 >> 64
+    cells) that real cell sharing and cross-phase reads occur."""
+    import pandas as pd
+
+    from sgp_sketch.kernels.cms import CMS
+    from sgp_sketch.oracle_replay import cms_cu_replay_sql
+
+    rng = np.random.default_rng(29)
+    n = 4000
+    events = pd.DataFrame({
+        "event_type": rng.choice(["click", "view", "buy"], size=n),
+        "user_id": rng.integers(1, 300, size=n).astype(np.int64),
+    })
+    out = []
+    for grp, g in events.groupby("event_type"):
+        cnts = g.groupby("user_id").size()
+        toks = np.array([_md5tok(str(u)) for u in cnts.index],
+                        dtype=np.int64)
+        counts = cnts.to_numpy(np.int64)
+        phase = toks % 2
+        cm = CMS(depth=4, width=64, seed=7, conservative=True)
+        for ph in (0, 1):
+            m = phase == ph
+            if m.any():
+                cm.update_hashes(hash64(toks[m].astype(np.uint64)),
+                                 counts=counts[m])
+        out += [(grp, "cell", j, cpos, int(cm.table[j, cpos]))
+                for j in range(4) for cpos in range(64)]
+        ests = cm.estimate_hashes(hash64(toks.astype(np.uint64)))
+        out += [(grp, "est", int(t), int(p), int(e))
+                for t, p, e in zip(toks, phase, ests)]
+    exp = (pd.DataFrame(out, columns=["grp", "fam", "k1", "k2", "val"])
+           .sort_values(["grp", "fam", "k1", "k2"])
+           .reset_index(drop=True))
+
+    c = duckdb.connect()
+    c.register("events", events)
+    got = (c.execute(cms_cu_replay_sql()).df()
+           .sort_values(["grp", "fam", "k1", "k2"])
+           .reset_index(drop=True))
+    assert len(got) == len(exp)
+    for col in exp.columns:
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
