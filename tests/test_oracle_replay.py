@@ -615,3 +615,94 @@ def test_cms_cu_replay_oracle_matches_kernel():
     assert len(got) == len(exp)
     for col in exp.columns:
         assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+
+
+@pytest.mark.parametrize("seed", [3, 7, 31, 101])
+def test_mg_fold_replay_oracle_random_corpora(seed):
+    """Seed sweep over corpus shapes for the MG fold oracle: varying
+    vocab size (some below k=16 — no eviction — some far above), doc
+    counts, and a random subset of sources present. Catches threshold
+    edge cases (exact k+1 ties, all-evicted sources) the single fixed
+    corpus cannot."""
+    import pandas as pd
+
+    from sgp_sketch.kernels.mg import MG
+    from sgp_sketch.oracle_replay import (MG_REPLAY_SOURCES,
+                                          mg_fold_replay_sql)
+
+    rng = np.random.default_rng(seed)
+    vocab_n = int(rng.integers(8, 200))
+    vocab = [f"w{i}" for i in range(vocab_n)]
+    present = rng.choice(20, size=int(rng.integers(2, 20)), replace=False)
+    rows = []
+    for s in present:
+        for d in range(int(rng.integers(1, 15))):
+            rows.append((f"src{s}",
+                         " ".join(rng.choice(vocab, size=int(
+                             rng.integers(1, 60))))))
+    docs = pd.DataFrame(rows, columns=["source", "text"])
+
+    per, out = {}, []
+    for src, g in docs.groupby("source"):
+        toks = {}
+        for t in g["text"]:
+            for w in t.split(" "):
+                kk = _md5tok(w)
+                toks[kk] = toks.get(kk, 0) + 1
+        st = MG(16).update(np.array(list(toks), dtype=np.int64),
+                           np.array(list(toks.values()), dtype=np.int64))
+        per[src] = st
+        out.append((src, -1, -1, st.dec, st.n_items))
+        out += [(src, int(kk), int(cc), st.dec, st.n_items)
+                for kk, cc in zip(st.keys, st.counts)]
+    merged = MG(16)
+    for src in MG_REPLAY_SOURCES:
+        if src in per:
+            merged = merged.merge(per[src])
+    out.append(("__merged__", -1, -1, merged.dec, merged.n_items))
+    out += [("__merged__", int(kk), int(cc), merged.dec, merged.n_items)
+            for kk, cc in zip(merged.keys, merged.counts)]
+    exp = (pd.DataFrame(out, columns=["scope", "token", "cnt", "dec",
+                                      "n_items"])
+           .sort_values(["scope", "token"]).reset_index(drop=True))
+
+    c = duckdb.connect()
+    c.register("documents", docs)
+    got = (c.execute(mg_fold_replay_sql()).df()
+           .sort_values(["scope", "token"]).reset_index(drop=True))
+    assert len(got) == len(exp), (len(got), len(exp))
+    for col in exp.columns:
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+
+
+@pytest.mark.parametrize("seed", [5, 13, 47])
+def test_kll_compactor_replay_oracle_random_shapes(seed):
+    """Seed sweep for the KLL oracle: random per-source sizes (1-row
+    sources, power-of-two boundaries, sources absent from the fold set)
+    so the closed-form s* CASE and the fold's no-op/compress branches
+    all fire."""
+    import pandas as pd
+
+    from sgp_sketch.oracle_replay import kll_compactor_replay_sql
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    present = rng.choice(20, size=int(rng.integers(3, 20)), replace=False)
+    for s in present:
+        n = int(rng.choice([1, 2, 8, 16, 17, 32, 64, 100,
+                            int(rng.integers(1, 700))]))
+        for v in rng.integers(40, 560, size=n):
+            rows.append((len(rows), f"src{s}", int(v)))
+    docs = pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+
+    c = duckdb.connect()
+    c.register("documents", docs)
+    got = (c.execute(kll_compactor_replay_sql()).df()
+           .sort_values(["scope", "fam", "k1", "k2"])
+           .reset_index(drop=True))
+    exp = (_kll_rows(docs).sort_values(["scope", "fam", "k1", "k2"])
+           .reset_index(drop=True))
+    assert len(got) == len(exp)
+    for col in ("scope", "fam", "k1", "k2"):
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+    assert (got["val"].to_numpy() == exp["val"].to_numpy()).all()
