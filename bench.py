@@ -80,19 +80,29 @@ def run_headline(spark, names, qmap, repeats: int | None = None):
     single-shot numbers swung up to 1.8x on unchanged plans."""
     repeats = repeats or int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     runs: dict[str, list] = {n: [] for n in names if n in qmap}
+    errors: dict[str, str] = {}
     for r in range(repeats):
         for name in runs:
-            t0 = time.perf_counter()
-            n = qmap[name](spark, SF_DIR).count()
-            dt = time.perf_counter() - t0
+            # a single failing query (transient executor loss, co-tenant
+            # OOM) must DEGRADE the record, not throw away the whole
+            # run's minutes and print no summary line at all
+            try:
+                t0 = time.perf_counter()
+                n = qmap[name](spark, SF_DIR).count()
+                dt = time.perf_counter() - t0
+            except Exception as e:  # noqa: BLE001 — recorded, not hidden
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                log(f"bench r{r} {name}: FAILED ({type(e).__name__})")
+                continue
             runs[name].append(dt)
             log(f"bench r{r} {name}: {n} rows in {dt:.2f}s")
     import statistics
 
-    times = {n: round(statistics.median(ts), 3) for n, ts in runs.items()}
+    times = {n: round(statistics.median(ts), 3)
+             for n, ts in runs.items() if ts}
     spread = {n: [round(min(ts), 3), round(max(ts), 3)]
-              for n, ts in runs.items()}
-    return times, spread, repeats
+              for n, ts in runs.items() if ts}
+    return times, spread, repeats, errors
 
 
 SKETCH_SPECS = {
@@ -202,12 +212,24 @@ def run_probes_interleaved(probes, repeats: int | None = None):
     repeats = max(1, repeats or int(os.environ.get(
         "SPARK_GRAFT_BENCH_PROBE_REPEATS", "3")))
     runs: dict = {n: [] for n in probes}
+    errors: dict = {n: [] for n in probes}
     for r in range(repeats):
         for name, fn in probes.items():
             log(f"probe round {r}: {name}")
-            runs[name].append(fn())
+            # same degrade-don't-crash stance as run_headline: one probe
+            # repeat dying must not discard every other probe's repeats
+            try:
+                runs[name].append(fn())
+            except Exception as e:  # noqa: BLE001 — recorded below
+                errors[name].append(f"{type(e).__name__}: {e}"[:300])
+                log(f"probe round {r}: {name} FAILED "
+                    f"({type(e).__name__})")
     out = {}
     for name, rs in runs.items():
+        if not rs:            # every repeat failed: keep the evidence
+            out[name] = {"seconds": None, "seconds_runs": [],
+                         "error": errors[name][-1]}
+            continue
         order = sorted(range(len(rs)), key=lambda i: rs[i]["seconds"])
         rep = dict(rs[order[len(rs) // 2]])
         rep["seconds_runs"] = [round(r["seconds"], 2) for r in rs]
@@ -225,6 +247,8 @@ def run_probes_interleaved(probes, repeats: int | None = None):
             and len({json.dumps(r.get(k), sort_keys=True) for r in rs}) > 1)
         if unstable:
             rep["unstable_fields"] = unstable
+        if errors[name]:
+            rep["probe_errors"] = errors[name]
         out[name] = rep
     return out
 
@@ -766,7 +790,8 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     try:
         _warm(spark)  # JVM + python worker pool outside any query's timing
-        times, spread, repeats = run_headline(spark, HEADLINE, qmap)
+        times, spread, repeats, query_errors = run_headline(
+            spark, HEADLINE, qmap)
 
         def router_probe() -> dict:
             # the analog of the reference's single-threaded
@@ -800,10 +825,14 @@ def main() -> None:
         probe_stats = run_probes_interleaved(probes)
         cal_end = calibration_probe(spark)
         build = probe_stats["sketch_build"]
-        n_tok, tput = build["n_tokens"], build["tokens_per_sec"]
-        log(f"sketch build (median): {n_tok} tokens in "
-            f"{build['seconds']:.2f}s = {tput:,.0f} tok/s; per-kernel "
-            f"{json.dumps(build['per_kernel_sec'])}")
+        n_tok = build.get("n_tokens", 0)
+        tput = build.get("tokens_per_sec", 0.0)
+        if "error" in build:
+            log(f"sketch build FAILED every repeat: {build['error']}")
+        else:
+            log(f"sketch build (median): {n_tok} tokens in "
+                f"{build['seconds']:.2f}s = {tput:,.0f} tok/s; per-kernel "
+                f"{json.dumps(build['per_kernel_sec'])}")
         dedup_stats = probe_stats.get("dedup_probe")
         bpe_stats = probe_stats.get("bpe_encode")
         cosine_stats = probe_stats.get("cosine_probe")
@@ -824,12 +853,14 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "throughput_tokens_per_sec": tput,
         "n_tokens": n_tok,
-        "sketch_build_sec": build["seconds"],
+        "sketch_build_sec": build.get("seconds"),
         "sketch_build": build,
-        "router_docs_per_sec": router_stats["docs_per_sec"],
+        "router_docs_per_sec": router_stats.get("docs_per_sec"),
         "router": router_stats,
         "calibration": {"start": cal_start, "end": cal_end},
     }
+    if query_errors:
+        full["query_errors"] = query_errors
     if dedup_stats:
         full["dedup_probe"] = dedup_stats
     if bpe_stats:
@@ -841,11 +872,24 @@ def main() -> None:
     if perkey_stats:
         full["perkey_probe"] = perkey_stats
     if SCALING:
-        full["scaling"] = scaling_probe(((2, 8), (8, CPUS)))
-        if os.environ.get("SPARK_GRAFT_BENCH_CLUSTER", "1") != "0":
-            full["cluster_scaling"] = cluster_scaling_probe()
-        if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
-            full["streaming_probe"] = streaming_probe((8, CPUS))
+        # each scaling stage spins its own Spark sessions/JVMs; a failure
+        # there (port clash, co-tenant OOM) must not void the headline
+        # numbers already measured above
+        for key, fn in (
+                ("scaling", lambda: scaling_probe(((2, 8), (8, CPUS)))),
+                ("cluster_scaling", cluster_scaling_probe),
+                ("streaming_probe", lambda: streaming_probe((8, CPUS)))):
+            if key == "cluster_scaling" and os.environ.get(
+                    "SPARK_GRAFT_BENCH_CLUSTER", "1") == "0":
+                continue
+            if key == "streaming_probe" and os.environ.get(
+                    "SPARK_GRAFT_BENCH_STREAMING", "1") == "0":
+                continue
+            try:
+                full[key] = fn()
+            except Exception as e:  # noqa: BLE001 — recorded, not hidden
+                full[key + "_error"] = f"{type(e).__name__}: {e}"[:300]
+                log(f"{key} FAILED: {type(e).__name__}")
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json")
     with open(detail_path, "w") as f:
@@ -872,28 +916,33 @@ def main() -> None:
                   "jvm": cal_start["jvm_sec"]},
         "detail": "BENCH_LOCAL.json",
     }
-    if bpe_stats:
+    degraded = sorted(set(query_errors) | {
+        k for k, v in probe_stats.items() if "error" in v} | {
+        k for k in full if k.endswith("_error")})
+    if degraded:      # loud in the one line the driver reads
+        compact["degraded"] = degraded
+    if bpe_stats and "error" not in bpe_stats:
         compact["bpe_encode_tokens_per_sec"] = bpe_stats["tokens_per_sec"]
-    if dedup_stats:
+    if dedup_stats and "error" not in dedup_stats:
         compact["dedup_probe"] = {
             "n_docs": dedup_stats["n_docs"],
             "recall": dedup_stats["recall"],
             "seconds": dedup_stats["seconds"],
         }
-    if cosine_stats:
+    if cosine_stats and "error" not in cosine_stats:
         compact["cosine_probe"] = {
             "pairs": cosine_stats["pairs_checked"],
             "equal": cosine_stats["pair_sets_equal"],
             "pps_blocked": cosine_stats["pairs_per_sec_blocked"],
         }
-    if cc_stats:
+    if cc_stats and "error" not in cc_stats:
         compact["cc_probe"] = {
             "chain": cc_stats["chain_len"],
             "rounds": cc_stats["rounds"],
             "ok": cc_stats["structure_verified"],
             "eps": cc_stats["edges_per_sec"],
         }
-    if perkey_stats:
+    if perkey_stats and "error" not in perkey_stats:
         compact["perkey_probe"] = {
             "keys": perkey_stats["n_keys"],
             "kps": perkey_stats["keys_per_sec"],

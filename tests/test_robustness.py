@@ -184,3 +184,47 @@ def test_cap_buckets_stats_and_filter(spark):
     assert stats == {"dropped_rows": 5, "max_bucket_size": 5}
     got = {r.doc_id for r in kept.collect()}
     assert got == {"e0", "e1", "f0"}
+
+
+def test_bench_runners_degrade_on_failing_stages():
+    """bench.py's runners must record a failing query/probe and keep the
+    rest of the run (a thrown-away 25-minute run that prints no summary
+    line is the failure mode the driver actually suffers from)."""
+    import bench
+
+    calls = {"good": 0}
+
+    def good(spark, sf):
+        calls["good"] += 1
+
+        class _DF:
+            def count(self):
+                return 7
+        return _DF()
+
+    def bad(spark, sf):
+        raise RuntimeError("executor lost")
+
+    times, spread, repeats, errors = bench.run_headline(
+        None, ["good", "bad"], {"good": good, "bad": bad}, repeats=2)
+    assert calls["good"] == 2
+    assert "good" in times and "bad" not in times
+    assert "bad" in errors and "executor lost" in errors["bad"]
+
+    flaky_state = {"n": 0}
+
+    def flaky_probe():
+        flaky_state["n"] += 1
+        if flaky_state["n"] == 1:
+            raise RuntimeError("transient")
+        return {"seconds": 1.0, "payload": 42}
+
+    def dead_probe():
+        raise RuntimeError("always down")
+
+    out = bench.run_probes_interleaved(
+        {"flaky": flaky_probe, "dead": dead_probe}, repeats=3)
+    assert out["flaky"]["payload"] == 42
+    assert out["flaky"]["probe_errors"] == ["RuntimeError: transient"]
+    assert out["dead"]["seconds"] is None
+    assert "always down" in out["dead"]["error"]
