@@ -706,3 +706,36 @@ def test_kll_compactor_replay_oracle_random_shapes(seed):
     for col in ("scope", "fam", "k1", "k2"):
         assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
     assert (got["val"].to_numpy() == exp["val"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("seed", [2, 19, 71])
+def test_tdigest_centroid_replay_oracle_random_shapes(seed):
+    """Seed sweep for the t-digest oracle (symmetric with the MG/KLL
+    sweeps): random doc counts, value ranges, and missing sources —
+    single-batch clustering, the evens/odds legs and the kernel merge()
+    all re-derived by the same static SQL."""
+    import pandas as pd
+
+    from sgp_sketch.oracle_replay import tdigest_centroid_replay_sql
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    present = rng.choice(20, size=int(rng.integers(2, 20)), replace=False)
+    for s in present:
+        n = int(rng.integers(1, 120))
+        for v in rng.integers(1, int(rng.integers(10, 3000)), size=n):
+            rows.append((len(rows), f"src{s}", int(v)))
+    docs = pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+
+    c = duckdb.connect()
+    c.register("documents", docs)
+    got = (c.execute(tdigest_centroid_replay_sql()).df()
+           .sort_values(["scope", "fam", "idx"]).reset_index(drop=True))
+    exp = (pd.DataFrame(_tdigest_rows(docs),
+                        columns=["scope", "fam", "idx", "val"])
+           .sort_values(["scope", "fam", "idx"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    for col in ("scope", "fam", "idx"):
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+    np.testing.assert_allclose(got["val"].to_numpy(),
+                               exp["val"].to_numpy(), rtol=0, atol=1e-9)

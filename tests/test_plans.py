@@ -204,3 +204,35 @@ def test_two_hop_seeded_broadcasts_seeds(spark):
     p = _plan(entry.q_two_hop_seeded(spark, "/root/testdata/sf0.001"))
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_driver_window_and_oracle_surface_consistency():
+    """Guards the driver contract shape without Spark: every oracle key
+    must name a registered query, and the names that need a FRESH green
+    CORRECTNESS row this round (r4 hash-fixes, rotated graph oracles,
+    and the whole replay family) must sit inside the driver's 50-query
+    adjudication window — enumeration order is deliberate (SURVEY §9);
+    an accidental alphabetization or append-at-end would silently
+    de-adjudicate them."""
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracles without queries: {sorted(missing)}"
+    window = list(qs)[:50]
+    must_be_windowed = {
+        "merge_upsert", "vocab_build", "pagerank", "sssp",
+        "connected_components", "labeled_adjacency_scan",
+        "two_hop_seeded",
+        "hll_register_replay", "theta_kmv_replay", "bloom_bits_replay",
+        "cms_counter_replay", "minhash_sig_replay", "simhash_fp_replay",
+        "theta_algebra_replay", "checkpoint_resume_replay",
+        "cms_cu_replay", "mg_summary_replay", "tdigest_centroid_replay",
+        "kll_compactor_replay", "ldg_route_replay", "fennel_route_replay",
+        "route_quality_replay", "salted_route_replay",
+        "frontier_profile_replay",
+    }
+    out = must_be_windowed - set(window)
+    assert not out, f"fell out of the driver window: {sorted(out)}"
+    # every windowed name needing adjudication must actually have an
+    # oracle (rows-only entries in the window waste adjudication slots
+    # only when deliberate)
+    assert must_be_windowed <= set(oracles)
