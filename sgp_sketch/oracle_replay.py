@@ -17,12 +17,17 @@ hash-compares them row-for-row against the blobs Spark built.  (The
 same move as the md5-based `hash_split_counts` oracle, extended from
 one modulus to the full hash chain.)
 
-Token ids for these replay queries are md5-derived —
+Token ids for the kernel-state replay queries are md5-derived —
 ``CAST(conv(substr(md5(x),1,15),16,10) AS BIGINT)`` on the Spark side,
-``CAST('0x' || substr(md5(x),1,15) AS UBIGINT)`` in DuckDB — because the
-production xxhash64 tokenization (testdata.doc_tokens) has no DuckDB
-counterpart.  15 hex chars = 60 bits, so values are non-negative in
-BIGINT and the int64→uint64 view inside agg.py is the identity.
+``CAST('0x' || substr(md5(x),1,15) AS UBIGINT)`` in DuckDB (15 hex chars
+= 60 bits, so values are non-negative in BIGINT and the int64→uint64
+view inside agg.py is the identity).  The PRODUCTION tokenization —
+Spark's ``F.xxhash64`` (testdata.doc_tokens, routing.route_tokens_salted)
+— is ALSO replayable since round 5: for inputs < 32 bytes XXH64 is a
+fixed unrolled chain of the same wrapping-uint64 ops, generated below by
+``xxh64_long_sql`` / ``xxh64_str_sql`` and used by the
+``xxhash_token_replay`` / ``doc_fingerprint`` / ``salted_token_routing``
+oracles, so the driver adjudicates Spark's own hash values end-to-end.
 
 Reference tie-in: the reference proves partitioner correctness by
 re-deriving assignments from an independent implementation
@@ -114,6 +119,228 @@ def md5_token_col():
     def tok(col):
         return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
     return tok
+
+
+# ------------------------------------------------ xxHash64 (Spark) replay
+#
+# Spark's ``F.xxhash64`` (XXH64, default seed 42 — public algorithm, Collet;
+# Spark's unrolled Java port is sql/catalyst XXH64.java) is the PRODUCTION
+# tokenizer of this engine (testdata.doc_tokens: token = xxhash64(word)) and
+# the production router hash (routing.route_tokens_salted).  For inputs
+# shorter than 32 bytes the algorithm is a FIXED unrolled chain of wrapping
+# uint64 ops — the same op set splitmix64 needed — so DuckDB HUGEINT replays
+# it bit-for-bit and the md5 stand-in is no longer required for these paths:
+# the oracle re-derives Spark's own hash values from the raw strings/longs.
+#
+# Preconditions (guarded loudly in the generated SQL):
+#   * string inputs: ASCII (substr/ord are per-CHARACTER; a multi-byte
+#     code point would silently shift every byte index) and byte length
+#     ≤ max_len < 32 (the ≥ 32-byte four-accumulator loop is not unrolled
+#     here; testdata words are ≤ 8 bytes, doc ids ≤ 20 digits).
+#   * long inputs: any BIGINT (negatives are viewed as uint64, exactly
+#     Spark's reinterpretation).
+# Parity with Spark is pytest-gated for BOTH generators over random longs
+# and random ASCII strings of every supported length
+# (tests/test_oracle_replay.py::test_xxh64_*).
+#
+# Unlike the 6-step splitmix chain, these are deep enough (up to ~50
+# steps) that DuckDB's LATERAL-ALIAS select-list form blows up: the
+# binder expands each alias textually, and a step that references its
+# predecessor twice (every xor/rotl/mulmod does) doubles the tree —
+# 2^50 nodes.  Nested one-column-per-level subqueries stay linear
+# (measured: 96 double-ref steps over 10k rows bind+run in 0.22 s), so
+# these generators emit a full wrapped subquery, not a select-list
+# fragment.
+
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+XXH64_DEFAULT_SEED = 42  # Spark's XxHash64 default
+
+
+def _rotl(col: str, r: int) -> str:
+    """rotate-left of a [0, 2^64) HUGEINT expression; partial products
+    stay < 2^128.  ``col`` is referenced twice — pass an alias name."""
+    return f"((({col}) * {1 << r}) % {M64} + ({col}) // {1 << (64 - r)})"
+
+
+def _xxh_fmix_steps(h_col: str, out: str, prefix: str) -> list:
+    """XXH64 avalanche finalizer as (alias, expr) steps."""
+    p = prefix
+    return [
+        (f"{p}f1", f"xor({h_col}, ({h_col}) // {1 << 33})"),
+        (f"{p}f2", _mulmod(p + "f1", _XP2)),
+        (f"{p}f3", f"xor({p}f2, {p}f2 // {1 << 29})"),
+        (f"{p}f4", _mulmod(p + "f3", _XP3)),
+        (out, f"xor({p}f4, {p}f4 // {1 << 32})"),
+    ]
+
+
+def _steps_subquery(inner_sql: str, steps: list, keep_cols: list,
+                    out: str) -> str:
+    """Wrap ``inner_sql`` in one nested subquery per step (one new column
+    per level).  DuckDB's binder expands same-SELECT lateral aliases
+    textually — a 50-step chain whose every step references its
+    predecessor twice becomes a 2^50-node tree; one-column-per-level
+    nesting keeps it linear (see module comment)."""
+    q = inner_sql
+    for alias, expr in steps:
+        q = f"SELECT *, {expr} AS {alias} FROM ({q})"
+    return f"SELECT {', '.join(list(keep_cols) + [out])} FROM ({q})"
+
+
+def xxh64_long_sql(inner_sql: str, long_expr: str, keep_cols: list,
+                   out: str = "h", prefix: str = "x_",
+                   seed: int = XXH64_DEFAULT_SEED) -> str:
+    """Subquery SQL: ``keep_cols`` of ``inner_sql`` plus
+    ``xxhash64(long_expr) AS out`` — Spark XXH64.hashLong of a BIGINT
+    (signed ok) or HUGEINT expression, bit-exact.  ``out`` is a HUGEINT
+    in [0, 2^64) (uint64 view; wrap with the signed CASE to compare
+    against Spark's BIGINT output)."""
+    p = prefix
+    h0 = (seed + _XP5 + 8) % M64
+    steps = [
+        (f"{p}u", f"(CAST({long_expr} AS HUGEINT) % {M64} + {M64}) % {M64}"),
+        (f"{p}k1", _mulmod(p + "u", _XP2)),
+        (f"{p}k2", _rotl(p + "k1", 31)),
+        (f"{p}k3", _mulmod(p + "k2", _XP1)),
+        (f"{p}h1", f"xor(CAST({h0} AS HUGEINT), {p}k3)"),
+        (f"{p}h2", _rotl(p + "h1", 27)),
+        (f"{p}h3", f"({_mulmod(p + 'h2', _XP1)} + {_XP4}) % {M64}"),
+    ] + _xxh_fmix_steps(p + "h3", out, p)
+    return _steps_subquery(inner_sql, steps, keep_cols, out)
+
+
+def xxh64_str_sql(inner_sql: str, str_expr: str, keep_cols: list,
+                  out: str = "h", prefix: str = "x_", max_len: int = 31,
+                  seed: int = XXH64_DEFAULT_SEED) -> str:
+    """Subquery SQL: ``keep_cols`` of ``inner_sql`` plus
+    ``xxhash64(str_expr) AS out`` for an ASCII string expression of byte
+    length ≤ max_len (< 32) — Spark XXH64.hashUnsafeBytes over the UTF-8
+    bytes, bit-exact.
+
+    Layout of the unrolled chain (per the algorithm for len < 32):
+    h = seed + PRIME5 + len; one 8-byte little-endian stripe per full
+    8 bytes (≤ max_len//8 of them, each CASE-guarded on length); one
+    4-byte word if len%8 ≥ 4 (its offset is the dynamic (len//8)*8,
+    resolved with substr's dynamic position); then len%4 single bytes;
+    then fmix.  Guards that would make silent wrong answers are loud
+    errors instead: non-ASCII (char length ≠ byte length) and
+    over-length both CAST a message string to BIGINT, which DuckDB
+    rejects at run time on the offending row."""
+    if not 0 <= max_len < 32:
+        raise ValueError("xxh64_str_sql unrolls the < 32-byte tail only")
+    p = prefix
+    steps = [
+        (f"{p}s", f"({str_expr})"),
+        (f"{p}L",
+         f"CASE WHEN length({p}s) > {max_len} OR "
+         f"strlen({p}s) <> length({p}s) "
+         f"THEN CAST('xxh64_str_sql: input over max_len={max_len} "
+         f"or non-ASCII' AS BIGINT) ELSE length({p}s) END"),
+        (f"{p}g0",
+         f"(CAST({(seed + _XP5) % M64} AS HUGEINT) + {p}L) % {M64}"),
+    ]
+    # byte at dynamic 1-based position expr (0 when past the end; every
+    # use is CASE-guarded, the 0 is never part of a taken branch)
+    # HUGEINT so byte*2^56 products and their sums never overflow INT64
+    byte = lambda pos: (f"CASE WHEN ({pos}) <= {p}L "
+                        f"THEN CAST(ord(substr({p}s, {pos}, 1)) AS HUGEINT) "
+                        f"ELSE CAST(0 AS HUGEINT) END")
+    prev = f"{p}g0"
+    for i in range(max_len // 8):
+        w = " + ".join(f"{byte(8 * i + k + 1)} * {1 << (8 * k)}"
+                       for k in range(8))
+        steps += [
+            (f"{p}w{i}", f"CAST({w} AS HUGEINT)"),
+            (f"{p}a{i}", _mulmod(f"{p}w{i}", _XP2)),
+            (f"{p}b{i}", _rotl(f"{p}a{i}", 31)),
+            (f"{p}c{i}", _mulmod(f"{p}b{i}", _XP1)),
+            (f"{p}d{i}", f"xor({prev}, {p}c{i})"),
+            (f"{p}e{i}", _rotl(f"{p}d{i}", 27)),
+            (f"{p}g{i + 1}",
+             f"CASE WHEN {p}L >= {8 * (i + 1)} THEN "
+             f"({_mulmod(f'{p}e{i}', _XP1)} + {_XP4}) % {M64} "
+             f"ELSE {prev} END"),
+        ]
+        prev = f"{p}g{i + 1}"
+    # 4-byte word at dynamic offset (len//8)*8, taken iff len%8 >= 4
+    u32 = " + ".join(f"{byte(f'({p}L // 8) * 8 + {k + 1}')} * {1 << (8 * k)}"
+                     for k in range(4))
+    steps += [
+        (f"{p}q", f"CAST({u32} AS HUGEINT)"),
+        (f"{p}q1", f"xor({prev}, {_mulmod(p + 'q', _XP1)})"),
+        (f"{p}q2", _rotl(p + "q1", 23)),
+        (f"{p}t0",
+         f"CASE WHEN {p}L % 8 >= 4 THEN "
+         f"({_mulmod(p + 'q2', _XP2)} + {_XP3}) % {M64} "
+         f"ELSE {prev} END"),
+    ]
+    prev = f"{p}t0"
+    # trailing len%4 single bytes at offsets L - L%4 + j
+    for j in range(3):
+        b = byte(f"{p}L - ({p}L % 4) + {j + 1}")
+        steps += [
+            (f"{p}x{j}", f"xor({prev}, ({b}) * {_XP5} % {M64})"),
+            (f"{p}y{j}", _rotl(f"{p}x{j}", 11)),
+            (f"{p}t{j + 1}",
+             f"CASE WHEN {p}L % 4 > {j} THEN {_mulmod(f'{p}y{j}', _XP1)} "
+             f"ELSE {prev} END"),
+        ]
+        prev = f"{p}t{j + 1}"
+    steps += _xxh_fmix_steps(prev, out, p + "z")
+    return _steps_subquery(inner_sql, steps, keep_cols, out)
+
+
+def xxh64_long_const(v: int, seed: int = XXH64_DEFAULT_SEED) -> int:
+    """Python scalar XXH64 of a long — Spark XXH64.hashLong (uint64 out)."""
+    v %= M64  # signed → uint64 view, exactly Spark's reinterpretation
+    h = (seed + _XP5 + 8) % M64
+    h ^= _protl((v * _XP2) % M64, 31) * _XP1 % M64
+    h = (_protl(h, 27) * _XP1 + _XP4) % M64
+    return _pfmix(h)
+
+
+def xxh64_ascii_const(s: str | bytes,
+                      seed: int = XXH64_DEFAULT_SEED) -> int:
+    """Python scalar XXH64 of a byte string < 32 bytes — Spark
+    XXH64.hashUnsafeBytes (uint64 out)."""
+    b = s.encode() if isinstance(s, str) else s
+    n = len(b)
+    if n >= 32:
+        raise ValueError("xxh64_ascii_const replays the < 32-byte tail only")
+    h = (seed + _XP5 + n) % M64
+    o = 0
+    while o + 8 <= n:
+        k = int.from_bytes(b[o:o + 8], "little")
+        h ^= _protl((k * _XP2) % M64, 31) * _XP1 % M64
+        h = (_protl(h, 27) * _XP1 + _XP4) % M64
+        o += 8
+    if o + 4 <= n:
+        k = int.from_bytes(b[o:o + 4], "little")
+        h ^= (k * _XP1) % M64
+        h = (_protl(h, 23) * _XP2 + _XP3) % M64
+        o += 4
+    while o < n:
+        h ^= (b[o] * _XP5) % M64
+        h = (_protl(h, 11) * _XP1) % M64
+        o += 1
+    return _pfmix(h)
+
+
+def _protl(v: int, r: int) -> int:
+    return ((v << r) | (v >> (64 - r))) % M64
+
+
+def _pfmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XP2) % M64
+    h ^= h >> 29
+    h = (h * _XP3) % M64
+    h ^= h >> 32
+    return h
 
 
 # ----------------------------------------------------- greedy route replay

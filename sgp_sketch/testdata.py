@@ -6,9 +6,12 @@ The `tokens` view tokenizes `documents.text` by single-space split — exactly
 expressible in DuckDB as `unnest(string_split(text, ' '))`, which is what
 makes the exact-path oracle queries hash-comparable. Word → int64 token ids
 use Spark's built-in `xxhash64` JVM-side (the vectorized slow-path-free way
-to get integer tokens from strings); DuckDB cannot reproduce xxhash64, so
-hashed-token queries are estimate-path only, while exact-path oracle queries
-stay on the word strings.
+to get integer tokens from strings). Since round 5 DuckDB CAN reproduce
+xxhash64 for the < 32-byte inputs this corpus produces
+(oracle_replay.xxh64_str_sql / xxh64_long_sql — XXH64's sub-32-byte tail is
+a fixed unrolled chain of wrapping uint64 ops), so the production token ids
+themselves are oracle-adjudicated (q_xxhash_token_replay); estimate queries
+remain estimate-path by nature.
 """
 
 from __future__ import annotations

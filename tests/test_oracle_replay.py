@@ -739,3 +739,68 @@ def test_tdigest_centroid_replay_oracle_random_shapes(seed):
         assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
     np.testing.assert_allclose(got["val"].to_numpy(),
                                exp["val"].to_numpy(), rtol=0, atol=1e-9)
+
+
+# ------------------------------------------------ xxHash64 (Spark) replay
+
+def _rng_ascii(rng, lo=0, hi=31):
+    chars = np.array(list(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789 _-.!~'|,:/"))
+    n = int(rng.integers(lo, hi + 1))
+    return "".join(rng.choice(chars, size=n))
+
+
+def test_xxh64_long_sql_matches_python_ref(con):
+    """Every signed-long magnitude class through the SQL chain equals the
+    scalar Python reference (itself Spark-parity-gated below)."""
+    from sgp_sketch.oracle_replay import xxh64_long_const, xxh64_long_sql
+
+    rng = np.random.default_rng(13)
+    vals = ([0, 1, -1, 42, 2**31, -(2**31), 2**63 - 1, -(2**63)]
+            + [int(v) for v in
+               rng.integers(-2**63, 2**63, size=400, dtype=np.int64)])
+    rel = ("SELECT v FROM (VALUES "
+           + ", ".join(f"(CAST({v} AS BIGINT))" for v in vals) + ") AS t(v)")
+    got = {int(v): int(h) for v, h in
+           con.execute(xxh64_long_sql(rel, "v", ["v"])).fetchall()}
+    for v in vals:
+        assert got[v] == xxh64_long_const(v), v
+
+
+def test_xxh64_str_sql_matches_python_ref(con):
+    """Every supported byte length 0..31 (stripe/4-byte/byte-tail branch
+    combinations) through the SQL chain equals the scalar reference."""
+    from sgp_sketch.oracle_replay import xxh64_ascii_const, xxh64_str_sql
+
+    rng = np.random.default_rng(17)
+    strs = [""] + [_rng_ascii(rng, L, L) for L in range(32) for _ in range(8)]
+    rel = ("SELECT s FROM (VALUES "
+           + ", ".join("('" + s.replace("'", "''") + "')" for s in strs)
+           + ") AS t(s)")
+    rows = con.execute(xxh64_str_sql(rel, "s", ["s"])).fetchall()
+    assert len(rows) == len(strs)
+    for s, h in rows:
+        assert int(h) == xxh64_ascii_const(s), repr(s)
+
+
+def test_xxh64_str_sql_loud_guards(con):
+    """Silent-wrong-answer inputs must error, not hash: non-ASCII (substr
+    is per-character) and byte length > max_len (missing stripes)."""
+    from sgp_sketch.oracle_replay import xxh64_str_sql
+
+    with pytest.raises(Exception, match="xxh64_str_sql"):
+        con.execute(xxh64_str_sql("SELECT 'é' AS s", "s", ["s"])).fetchall()
+    with pytest.raises(Exception, match="xxh64_str_sql"):
+        con.execute(xxh64_str_sql(f"SELECT '{'x' * 9}' AS s", "s", ["s"],
+                                  max_len=8)).fetchall()
+    with pytest.raises(ValueError):
+        xxh64_str_sql("SELECT 'a' AS s", "s", ["s"], max_len=32)
+
+
+def test_xxh64_ascii_const_rejects_32_bytes():
+    from sgp_sketch.oracle_replay import xxh64_ascii_const
+
+    assert xxh64_ascii_const("x" * 31)  # supported
+    with pytest.raises(ValueError):
+        xxh64_ascii_const("x" * 32)
