@@ -790,9 +790,44 @@ def q_semantic_dedup(spark, sf_dir):
             .orderBy("list_id"))
 
 
+def q_xxhash_token_replay(spark, sf_dir):
+    """PRODUCTION tokenization replay: the engine's native token ids are
+    Spark's ``xxhash64`` over corpus words (testdata.doc_tokens) and the
+    router re-hashes them plus stringified doc ids
+    (routing.route_tokens_salted).  This query emits, per distinct word
+    and per doc-id string, the xxhash64 of the string AND the xxhash64
+    of that hash (the long re-hash the router applies) — and the DuckDB
+    oracle re-derives BOTH from the raw bytes via the unrolled XXH64
+    chain in HUGEINT SQL (oracle_replay.xxh64_str_sql/xxh64_long_sql),
+    adjudicating the production hash chain itself, with no md5 stand-in.
+    Fully declarative (JVM xxhash64; no Python nodes)."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("key"))
+             .groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+             .select(F.lit("word").alias("kind"), "key", "n"))
+    ids = (docs.select(F.col("doc_id").cast("string").alias("key"))
+           .groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+           .select(F.lit("doc_id").alias("kind"), "key", "n"))
+    return (words.unionByName(ids)
+            .select("kind", "key", "n",
+                    F.xxhash64("key").alias("h_str"),
+                    F.xxhash64(F.xxhash64("key")).alias("h_chain"))
+            .orderBy("kind", "key"))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: per-source distinct SimHash fingerprints vs
-    docs (rolling 64-bit content fingerprint family)."""
+    docs (rolling 64-bit content fingerprint family).
+
+    ORACLE (round 5): the full PRODUCTION chain re-derived in DuckDB —
+    token = xxhash64(word) (oracle_replay.xxh64_str_sql), then the
+    kernel's splitmix64 lane hash, then all 64 bit-majorities per doc
+    over the token multiset (dedup.simhash_batch's strict ones·2 > n),
+    then per-source COUNT(DISTINCT fingerprint).  Upgraded from
+    rows-only: simhash_fp_replay pins the fingerprint primitive on md5
+    tokens; this adjudicates the same primitive on the engine's real
+    xxhash64 token ids end-to-end."""
     from pyspark.sql import functions as F
 
     from sgp_sketch import dedup
@@ -853,8 +888,14 @@ def q_theta_vocab_overlap(spark, sf_dir):
     """Theta-sketch vocabulary set algebra: per source pair, DIRECT
     |A∪B| / |A∩B| / |A−B| estimates from retained-hash-sample overlap —
     the set operations HLL inclusion–exclusion cannot do (its
-    intersection error scales with the union). Rows-only here; sampling
-    bounds are pytest-gated against exact sets in tests/test_spark_agg."""
+    intersection error scales with the union).
+
+    ORACLE (round 5, session 6): upgraded from rows-only — at this
+    corpus every sketch stays in EXACT mode (vocab ≪ k=4096), so the
+    kernel's set algebra is exact and the oracle re-derives it from raw
+    words via the XXH64 + splitmix64 replay, with loud guards on the
+    exact-mode precondition.  Sampling-mode bounds remain pytest-gated
+    against exact sets in tests/test_spark_agg."""
     from sgp_sketch import queries as Q
 
     toks = _doc_tokens(spark, sf_dir)
@@ -1547,7 +1588,16 @@ def q_router_balance(spark, sf_dir):
 
 def q_salted_token_routing(spark, sf_dir):
     """Salted heavy-key routing (axes A+B): per-shard update loads with the
-    hot tokens spread over sub-shards; salted vs unsalted load imbalance."""
+    hot tokens spread over sub-shards; salted vs unsalted load imbalance.
+
+    ORACLE (round 5): upgraded from rows-only — the PRODUCTION path
+    (routing.route_tokens_salted: token = xxhash64(word), light shard =
+    pmod(xxhash64(token), 16), heavy update spread by pmod(
+    xxhash64(doc_id_str), 4), heavy set = detect_heavy_tokens' exact
+    freq ≥ 0.1% / top-64 rule) is re-derived entirely in DuckDB via the
+    unrolled XXH64 chain (oracle_replay.xxh64_str_sql/xxh64_long_sql).
+    salted_route_replay pins the same routing LOGIC on md5 tokens; this
+    adjudicates the real hash chain."""
     from pyspark.sql import functions as F
 
     from sgp_sketch.routing import route_tokens_salted
@@ -4243,6 +4293,240 @@ def _simhash_fp_replay_oracle_sql() -> str:
     """
 
 
+def _xxhash_token_replay_oracle_sql() -> str:
+    """Independent re-derivation of q_xxhash_token_replay: XXH64 (seed 42)
+    of every distinct corpus word and stringified doc id, plus the long
+    re-hash of that hash, computed from the raw bytes by the unrolled
+    sub-32-byte XXH64 chain in HUGEINT SQL — Spark's own production hash
+    values re-derived by an engine with no xxhash64 built-in."""
+    from sgp_sketch.oracle_replay import xxh64_long_sql, xxh64_str_sql
+
+    inner = ("SELECT kind, key, n FROM ("
+             "SELECT 'word' AS kind, word AS key, COUNT(*) AS n FROM "
+             "(SELECT unnest(string_split(text, ' ')) AS word "
+             "FROM documents) GROUP BY 2 "
+             "UNION ALL "
+             "SELECT 'doc_id' AS kind, CAST(doc_id AS VARCHAR) AS key, "
+             "COUNT(*) AS n FROM documents GROUP BY 2)")
+    q1 = xxh64_str_sql(inner, "key", ["kind", "key", "n"],
+                       out="hu", prefix="sx_")
+    s1 = _SIGNED64.format(v="hu")
+    q2 = xxh64_long_sql(
+        f"SELECT kind, key, n, CAST({s1} AS BIGINT) AS h_str FROM ({q1})",
+        "h_str", ["kind", "key", "n", "h_str"], out="hcu", prefix="lx_")
+    s2 = _SIGNED64.format(v="hcu")
+    return (f"SELECT kind, key, n, h_str, CAST({s2} AS BIGINT) AS h_chain "
+            f"FROM ({q2}) ORDER BY kind, key")
+
+
+def _doc_fingerprint_oracle_sql() -> str:
+    """Independent re-derivation of q_doc_fingerprint over the PRODUCTION
+    token ids: token = XXH64(word) (xxh64_str_sql), lane hash =
+    splitmix64(token) (the kernel's hash64, sm64_cols), then per doc and
+    bit position the strict-majority vote over the token MULTISET
+    (dedup.simhash_batch), fingerprint reassembled and counted distinct
+    per source.  Same majority/fp shape as _simhash_fp_replay_oracle_sql
+    but on the engine's real hash chain, not md5 stand-ins."""
+    from sgp_sketch.oracle_replay import sm64_cols, xxh64_str_sql
+
+    q1 = xxh64_str_sql(
+        "SELECT DISTINCT unnest(string_split(text, ' ')) AS word "
+        "FROM documents", "word", ["word"], out="tu", prefix="dx_")
+    return f"""
+        WITH wmap AS MATERIALIZED (
+            SELECT word, h FROM (
+                SELECT word, {sm64_cols('tu', 'h', 'sm_')} FROM ({q1}))),
+        occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents),
+        hs AS (SELECT occ.doc_id, wmap.h
+               FROM occ JOIN wmap USING (word)),
+        n AS (SELECT doc_id, COUNT(*) AS ntok FROM hs GROUP BY 1),
+        lanes AS (SELECT i AS b, CAST(power(2, i) AS HUGEINT) AS p2
+                  FROM range(64) AS r(i)),
+        bits AS (SELECT doc_id, b, p2, SUM((h // p2) % 2) AS ones
+                 FROM hs CROSS JOIN lanes GROUP BY 1, 2, 3),
+        fp AS (SELECT bits.doc_id,
+                      SUM(CASE WHEN ones * 2 > n.ntok THEN p2
+                          ELSE CAST(0 AS HUGEINT) END) AS f
+               FROM bits JOIN n ON n.doc_id = bits.doc_id
+               GROUP BY 1)
+        SELECT d.source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT fp.f) AS n_fingerprints
+        FROM documents d JOIN fp ON fp.doc_id = d.doc_id
+        GROUP BY d.source
+    """
+
+
+def _salted_token_routing_oracle_sql() -> str:
+    """Independent re-derivation of q_salted_token_routing's PRODUCTION
+    path (routing.route_tokens_salted + detect_heavy_tokens): token =
+    XXH64(word); heavy set = tokens with freq ≥ 0.1% of all occurrences,
+    top-64 by (count DESC, signed token ASC); light update → XXH64(token)
+    % 16; heavy update → (XXH64(token) + XXH64(doc_id_str) % 4) % 16
+    (mod-16 commutes with the uint64 wrap, 16 | 2^64); per-shard update
+    and salted counts.  Every hash re-derived from raw bytes in SQL."""
+    from sgp_sketch.oracle_replay import xxh64_long_sql, xxh64_str_sql
+
+    w1 = xxh64_str_sql(
+        "SELECT DISTINCT unnest(string_split(text, ' ')) AS word "
+        "FROM documents", "word", ["word"], out="tu", prefix="sw_")
+    w2 = xxh64_long_sql(f"SELECT word, tu FROM ({w1})", "tu",
+                        ["word", "tu"], out="bu", prefix="lw_")
+    d1 = xxh64_str_sql(
+        "SELECT DISTINCT CAST(doc_id AS VARCHAR) AS did FROM documents",
+        "did", ["did"], out="du", prefix="sd_")
+    st = _SIGNED64.format(v="tu")
+    return f"""
+        WITH wmap AS MATERIALIZED ({w2}),
+        dmap AS MATERIALIZED (SELECT did, du % 4 AS salt FROM ({d1})),
+        occ AS (SELECT CAST(doc_id AS VARCHAR) AS did,
+                       unnest(string_split(text, ' ')) AS word
+                FROM documents),
+        tot AS (SELECT COUNT(*) AS n FROM occ),
+        cnt AS (SELECT tu, COUNT(*) AS c
+                FROM occ JOIN wmap USING (word) GROUP BY tu),
+        heavy AS (SELECT tu FROM cnt, tot
+                  WHERE c >= 0.001 * tot.n
+                  QUALIFY ROW_NUMBER() OVER (
+                      ORDER BY c DESC, {st} ASC) <= 64),
+        routed AS (SELECT CASE WHEN heavy.tu IS NOT NULL
+                               THEN (wmap.bu + dmap.salt) % 16
+                               ELSE wmap.bu % 16 END AS shard,
+                          heavy.tu IS NOT NULL AS salted
+                   FROM occ
+                   JOIN wmap USING (word)
+                   JOIN dmap USING (did)
+                   LEFT JOIN heavy ON heavy.tu = wmap.tu)
+        SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_updates,
+               CAST(SUM(CASE WHEN salted THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_salted
+        FROM routed GROUP BY 1 ORDER BY 1
+    """
+
+
+def _theta_vocab_overlap_oracle_sql() -> str:
+    """Independent re-derivation of q_theta_vocab_overlap (rows-only →
+    exact).  At this corpus the theta sketches are in EXACT mode — every
+    per-source distinct-token count and every pairwise union is far
+    below k=4096 — so retained sets are the complete distinct sets of
+    lane hashes (splitmix64 of the xxhash64 token), θ stays at 2^64,
+    and the kernel's estimate()/merge()/intersect()/a_not_b() are exact
+    set algebra (kernels/theta.py:132: count / θ_frac with θ_frac = 1).
+    The oracle recomputes the sets from raw words via the XXH64 +
+    splitmix64 replay and GUARDS the exact-mode precondition loudly: a
+    corpus whose vocabulary (or pairwise union) exceeded k would error,
+    never silently diverge into the sampling regime."""
+    from sgp_sketch.oracle_replay import sm64_cols, xxh64_str_sql
+
+    q1 = xxh64_str_sql(
+        "SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word "
+        "FROM documents "
+        "WHERE source IN ('src0','src1','src2','src3','src4')",
+        "word", ["source", "word"], out="tu", prefix="tv_")
+    return f"""
+        WITH sets AS MATERIALIZED (
+            SELECT DISTINCT source, h FROM (
+                SELECT source, {sm64_cols('tu', 'h', 'vm_')} FROM ({q1}))),
+        sizes AS (
+            SELECT source, CASE WHEN COUNT(*) > 4096 THEN
+                CAST('theta_vocab_overlap oracle: vocabulary exceeds '
+                     'k=4096 — sketches left exact mode' AS BIGINT)
+            ELSE COUNT(*) END AS n FROM sets GROUP BY source),
+        pairs AS (
+            SELECT a.source AS group_a, b.source AS group_b
+            FROM sizes a JOIN sizes b ON a.source < b.source),
+        inter AS (
+            SELECT p.group_a, p.group_b, COUNT(*) AS ni
+            FROM pairs p
+            JOIN sets sa ON sa.source = p.group_a
+            JOIN sets sb ON sb.source = p.group_b AND sb.h = sa.h
+            GROUP BY 1, 2),
+        m AS (
+            SELECT p.group_a, p.group_b,
+                   na.n AS na, nb.n AS nb, COALESCE(i.ni, 0) AS ni,
+                   na.n + nb.n - COALESCE(i.ni, 0) AS nu
+            FROM pairs p
+            JOIN sizes na ON na.source = p.group_a
+            JOIN sizes nb ON nb.source = p.group_b
+            LEFT JOIN inter i ON i.group_a = p.group_a
+                             AND i.group_b = p.group_b)
+        SELECT group_a, group_b,
+               ROUND(CAST(na AS DOUBLE), 1) AS est_a,
+               ROUND(CAST(nb AS DOUBLE), 1) AS est_b,
+               ROUND(CAST(CASE WHEN nu > 4096 THEN
+                   CAST('theta_vocab_overlap oracle: pairwise union '
+                        'exceeds k=4096' AS BIGINT)
+                   ELSE nu END AS DOUBLE), 1) AS est_union,
+               ROUND(CAST(ni AS DOUBLE), 1) AS est_inter,
+               ROUND(CAST(na - ni AS DOUBLE), 1) AS est_diff_ab,
+               ROUND(CASE WHEN nu > 0 THEN CAST(ni AS DOUBLE)
+                          / CAST(nu AS DOUBLE) ELSE 0.0 END, 4) AS jaccard
+        FROM m
+    """
+
+
+_HLL_SPARSE_EST = (
+    "CASE WHEN {c} * 4 >= 16384 THEN "
+    "CAST('hll estimate oracle: register occupancy left sparse mode "
+    "(c*4 >= m) — the dense Ertl path is not replayed here' AS DOUBLE) "
+    "WHEN {c} = 0 THEN 0.0 "
+    "ELSE 16384.0 * ln(16384.0 / (16384.0 - CAST({c} AS DOUBLE))) END")
+
+
+def _hll_distinct_tokens_oracle_sql() -> str:
+    """Independent re-derivation of q_hll_distinct_tokens (rows-only →
+    exact): the ESTIMATE itself, not just the registers.  In sparse mode
+    (occupancy ≤ m/4 — loud-guarded) HLL++ estimates by linear counting
+    over occupied registers, m·ln(m/(m−c)) with c = COUNT(DISTINCT idx)
+    (kernels/hll.py:estimate).  idx = h >> 50 at p=14 over the full
+    production chain h = splitmix64(xxhash64(word)); ln parity between
+    numpy/math and DuckDB is the same libm-scalar argument as the
+    DDSketch replay (see _dd_quantiles_oracle_sql), and the driver's
+    6-dp float normalization absorbs any sub-ulp residue."""
+    from sgp_sketch.oracle_replay import sm64_cols, xxh64_str_sql
+
+    q1 = xxh64_str_sql(
+        "SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word "
+        "FROM documents", "word", ["source", "word"], out="tu",
+        prefix="hd_")
+    est = _HLL_SPARSE_EST.format(c="c")
+    return f"""
+        WITH h AS MATERIALIZED (
+            SELECT source, h FROM (
+                SELECT source, {sm64_cols('tu', 'h', 'hm_')} FROM ({q1}))),
+        occ AS (
+            SELECT source, COUNT(DISTINCT h // {1 << 50}) AS c
+            FROM h GROUP BY source
+            UNION ALL
+            SELECT '__all__' AS source, COUNT(DISTINCT h // {1 << 50}) AS c
+            FROM h)
+        SELECT source, {est} AS est_distinct FROM occ
+    """
+
+
+def _hll_daily_users_oracle_sql() -> str:
+    """Independent re-derivation of q_hll_daily_users (rows-only → exact):
+    per-day linear-counting estimates over h = splitmix64(user_id)
+    (integer values hash straight through hash64 — agg.py:86), idx =
+    h >> 50, sparse mode loud-guarded (max daily distinct users is 141
+    at sf0.01 / 1356 at sf0.1, far below m/4 = 4096)."""
+    from sgp_sketch.oracle_replay import sm64_cols
+
+    est = _HLL_SPARSE_EST.format(c="c")
+    return f"""
+        WITH u AS (
+            SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+                   CAST(user_id AS HUGEINT) AS uid
+            FROM events),
+        h AS MATERIALIZED (
+            SELECT d, h FROM (SELECT d, {sm64_cols('uid', 'h', 'du_')}
+                              FROM u)),
+        occ AS (SELECT d, COUNT(DISTINCT h // {1 << 50}) AS c
+                FROM h GROUP BY d)
+        SELECT d, ROUND({est}, 1) AS est_users FROM occ
+    """
+
+
 def _per_key_quantile_oracle_sql() -> str:
     """Exact DuckDB replay of q_per_key_quantile: per-user DDSketch p50 —
     bucket assignment, cumulative-rank walk, and midpoint arithmetic,
@@ -4557,7 +4841,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (5) moments kernel / oracle-shape fixes this round ---
         "moments_drift": q_moments_drift,
         "moments_profile": q_moments_profile,
-        # --- re-confirm r4 greens with the remaining window slots ---
+        # --- (3f) round 5, session 6: the PRODUCTION xxhash64 chain
+        # adjudicated — DuckDB re-derives Spark's own XXH64 (unrolled
+        # sub-32-byte chain in HUGEINT SQL, oracle_replay.xxh64_*_sql):
+        # the tokenizer's hash values themselves, the SimHash content
+        # fingerprints over real token ids, and the salted router's
+        # production path (no md5 stand-ins) ---
+        "xxhash_token_replay": q_xxhash_token_replay,
+        "doc_fingerprint": q_doc_fingerprint,
+        "salted_token_routing": q_salted_token_routing,
+        # --- re-confirm r4 greens with the remaining window slots
+        # (per_key_quantile / dd_ntok_quantiles / heavy_hitters_bracket
+        # ceded their slots to (3f); all were r4-green and unchanged) ---
         "per_key_distinct": q_per_key_distinct,
         "per_key_quantile": q_per_key_quantile,
         "dd_ntok_quantiles": q_dd_ntok_quantiles,
@@ -4667,7 +4962,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_bucket_pairs": q_embedding_bucket_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4675,7 +4969,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "bloom_membership": q_bloom_membership,
         "router_balance": q_router_balance,
-        "salted_token_routing": q_salted_token_routing,
         "vocab_overlap": q_vocab_overlap,
     }
 
@@ -6138,6 +6431,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sig_replay": _minhash_sig_replay_oracle_sql(),
         "simhash_fp_replay": _simhash_fp_replay_oracle_sql(),
         "theta_algebra_replay": _theta_algebra_replay_oracle_sql(),
+        "xxhash_token_replay": _xxhash_token_replay_oracle_sql(),
+        "doc_fingerprint": _doc_fingerprint_oracle_sql(),
+        "salted_token_routing": _salted_token_routing_oracle_sql(),
+        "theta_vocab_overlap": _theta_vocab_overlap_oracle_sql(),
+        "hll_distinct_tokens": _hll_distinct_tokens_oracle_sql(),
+        "hll_daily_users": _hll_daily_users_oracle_sql(),
         "checkpoint_resume_replay": """
             -- n_tokens recomputed from raw text; the two invariant flags
             -- (resume byte-equality, exactly-one-skipped-slice) are

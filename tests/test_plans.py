@@ -31,6 +31,9 @@ EXEMPT = {
     "sssp", "pagerank", "k_hop",
     "minhash_verified_dupes", "curation_funnel",  # signature pandas UDF
     "langid_heuristic", "stratified_sample",
+    "doc_fingerprint",        # simhash kernel (mapInArrow) IS the operator
+                              # under adjudication; its oracle replays the
+                              # full xxhash64→splitmix64→majority chain
     "triangle_count",                           # eager memoized counts
     "stream_dedup_users",                       # streaming memory sink
     "stream_stream_join",                       # streaming memory sink
@@ -40,6 +43,12 @@ EXEMPT = {
     "theta_bounds_check",     # theta pair-algebra UDF over |pairs| KB blob
                               # rows — the query's POINT is evaluating the
                               # kernel estimates against the exact overlap
+    "theta_vocab_overlap",    # same pair-algebra UDF shape; its oracle
+                              # replays the exact-mode set algebra over the
+                              # xxhash64→splitmix64 chain
+    "hll_distinct_tokens",    # sketch build (mapInArrow) + estimate UDF IS
+    "hll_daily_users",        # the operator; oracles replay the sparse
+                              # linear-counting estimate over the full chain
     "cosine_pairs",           # the exact all-pairs GEMM IS the vectorized
     "cosine_pairs_blocked",   # Python path (one BLAS call per partition /
                               # block pair) — see dedup.exact_cosine_pairs
