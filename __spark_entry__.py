@@ -1627,9 +1627,12 @@ def q_bloom_membership(spark, sf_dir):
 # sketch-STATE replay queries — the kernels' full hash→state pipeline
 # hash-adjudicated against an independent DuckDB re-derivation
 # (sgp_sketch/oracle_replay.py: splitmix64 replayed in HUGEINT SQL).
-# Tokens here are md5-derived (60-bit, cross-engine) because the
-# production xxhash64 tokenization has no DuckDB counterpart; the
-# events table supplies the cardinality (unique event_ids per type).
+# Tokens here are md5-derived (60-bit, cross-engine); the events table
+# supplies the cardinality (unique event_ids per type).  Since session
+# 6 the production xxhash64 chain is ALSO replayable (xxh64_*_sql) and
+# is adjudicated directly by xxhash_token_replay / doc_fingerprint /
+# salted_token_routing / the near-dup and estimate-surface oracles;
+# the md5 replays below stay as the kernel-state adjudication layer.
 # =====================================================================
 
 
@@ -4473,16 +4476,24 @@ _HLL_SPARSE_EST = (
     "ELSE 16384.0 * ln(16384.0 / (16384.0 - CAST({c} AS DOUBLE))) END")
 
 
-def _hll_distinct_tokens_oracle_sql() -> str:
-    """Independent re-derivation of q_hll_distinct_tokens (rows-only →
-    exact): the ESTIMATE itself, not just the registers.  In sparse mode
-    (occupancy ≤ m/4 — loud-guarded) HLL++ estimates by linear counting
-    over occupied registers, m·ln(m/(m−c)) with c = COUNT(DISTINCT idx)
-    (kernels/hll.py:estimate).  idx = h >> 50 at p=14 over the full
-    production chain h = splitmix64(xxhash64(word)); ln parity between
-    numpy/math and DuckDB is the same libm-scalar argument as the
-    DDSketch replay (see _dd_quantiles_oracle_sql), and the driver's
-    6-dp float normalization absorbs any sub-ulp residue."""
+def _hll_source_estimates_oracle_sql(include_global: bool) -> str:
+    """Shared re-derivation of the per-source p=14 HLL estimates over the
+    production chain: the ESTIMATE itself, not just the registers.  In
+    sparse mode (occupancy ≤ m/4 — loud-guarded) HLL++ estimates by
+    linear counting over occupied registers, m·ln(m/(m−c)) with c =
+    COUNT(DISTINCT idx) (kernels/hll.py:estimate).  idx = h >> 50 at
+    p=14, h = splitmix64(xxhash64(word)); ln parity between numpy/math
+    and DuckDB is the same libm-scalar argument as the DDSketch replay
+    (see _dd_quantiles_oracle_sql), and the driver's 6-dp float
+    normalization absorbs any sub-ulp residue.
+
+    Serves FOUR queries: q_hll_distinct_tokens (with the '__all__'
+    global row) and the three stateful builds whose blobs are gated
+    byte-equal to a direct build (checkpoint resume, streaming
+    foreachBatch, incremental manifest-diff update) — their estimate
+    VALUES are therefore this same expression, which turns the
+    rows-only stateful checks into exact adjudications of the whole
+    build-path-equivalence claim."""
     from sgp_sketch.oracle_replay import sm64_cols, xxh64_str_sql
 
     q1 = xxh64_str_sql(
@@ -4490,18 +4501,23 @@ def _hll_distinct_tokens_oracle_sql() -> str:
         "FROM documents", "word", ["source", "word"], out="tu",
         prefix="hd_")
     est = _HLL_SPARSE_EST.format(c="c")
+    glob = f"""
+            UNION ALL
+            SELECT '__all__' AS source, COUNT(DISTINCT h // {1 << 50}) AS c
+            FROM h""" if include_global else ""
     return f"""
         WITH h AS MATERIALIZED (
             SELECT source, h FROM (
                 SELECT source, {sm64_cols('tu', 'h', 'hm_')} FROM ({q1}))),
         occ AS (
             SELECT source, COUNT(DISTINCT h // {1 << 50}) AS c
-            FROM h GROUP BY source
-            UNION ALL
-            SELECT '__all__' AS source, COUNT(DISTINCT h // {1 << 50}) AS c
-            FROM h)
+            FROM h GROUP BY source{glob})
         SELECT source, {est} AS est_distinct FROM occ
     """
+
+
+def _hll_distinct_tokens_oracle_sql() -> str:
+    return _hll_source_estimates_oracle_sql(include_global=True)
 
 
 def _hll_daily_users_oracle_sql() -> str:
@@ -4524,6 +4540,258 @@ def _hll_daily_users_oracle_sql() -> str:
         occ AS (SELECT d, COUNT(DISTINCT h // {1 << 50}) AS c
                 FROM h GROUP BY d)
         SELECT d, ROUND({est}, 1) AS est_users FROM occ
+    """
+
+
+def _minhash_near_dup_oracle_sql() -> str:
+    """Independent re-derivation of q_minhash_near_dup (rows-only →
+    exact): the COMPLETE production MinHash+LSH pipeline over the real
+    hash chain.  Stages, each replayed bit-for-bit: word-trigram
+    shingles hashed by xxhash64 (≤ 26-byte ASCII grams → xxh64_str_sql);
+    64 minhash lanes (seed_i = splitmix64((i+1)·GOLDEN), min of
+    splitmix64(shingle XOR seed) per doc — dedup.minhash_batch); banded
+    LSH bucket ids = Spark's multi-column xxhash64(lit(band),
+    concat_ws(',', slice(sig))) — hashInt(band) precomputed as the
+    per-band seed constant, the comma-joined signed-decimal signature
+    slice (≤ 83 bytes) hashed by the ≥32-byte accumulator chain; bucket
+    cap 1000 (a dropped bucket drops its pairs); distinct candidate
+    pairs; signature-agreement estimate keq/64 thresholded UNROUNDED at
+    0.5 (⇔ keq ≥ 32, exact in binary) and rounded via integer HALF_UP
+    micro-units — Spark's BigDecimal round on the exact dyadic double,
+    which DuckDB's float round would tie-break differently."""
+    from sgp_sketch.oracle_replay import (GOLDEN_CONST, sm64_cols,
+                                          splitmix64_const, xxh64_int_const,
+                                          xxh64_str_sql)
+
+    lane_seeds = [splitmix64_const(((i + 1) * GOLDEN_CONST) % (1 << 64))
+                  for i in range(64)]
+    whens = " ".join(f"WHEN {i} THEN CAST({s} AS HUGEINT)"
+                     for i, s in enumerate(lane_seeds[:-1]))
+    lane_case = (f"CASE lane {whens} "
+                 f"ELSE CAST({lane_seeds[-1]} AS HUGEINT) END")
+    band_seeds = ", ".join(f"({b}, CAST({xxh64_int_const(b)} AS HUGEINT))"
+                           for b in range(16))
+    gh = xxh64_str_sql("SELECT DISTINCT gram FROM dg", "gram", ["gram"],
+                       out="tu", prefix="mg_")
+    bh = xxh64_str_sql(
+        "SELECT doc_id, band, bstr, bseed FROM bs JOIN bseeds USING (band)",
+        "bstr", ["doc_id", "band"], out="bucket", prefix="mb_",
+        max_len=95, seed="bseed")
+    signed = _SIGNED64.format(v="mh")
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                         list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(list_slice(w, i, i + 2),
+                                                  ' '))
+                     ELSE [] END AS grams
+              FROM d),
+        dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        gh AS MATERIALIZED ({gh}),
+        sh AS (SELECT DISTINCT dg.doc_id, gh.tu
+               FROM dg JOIN gh USING (gram)),
+        lanes AS (SELECT i AS lane FROM range(64) AS r(i)),
+        hh AS (SELECT doc_id, lane,
+                      {sm64_cols(f'xor(tu, {lane_case})', 'h', 'mh_')}
+               FROM sh CROSS JOIN lanes),
+        mn AS MATERIALIZED (
+            SELECT doc_id, lane, MIN(h) AS mh FROM hh GROUP BY 1, 2),
+        bs AS (SELECT doc_id, lane // 4 AS band,
+                      string_agg(CAST(CAST({signed} AS BIGINT) AS VARCHAR),
+                                 ',' ORDER BY lane) AS bstr
+               FROM mn GROUP BY 1, 2),
+        bseeds AS (SELECT band, bseed
+                   FROM (VALUES {band_seeds}) AS s(band, bseed)),
+        bk AS MATERIALIZED ({bh}),
+        kept AS (SELECT * FROM bk
+                 QUALIFY COUNT(*) OVER (PARTITION BY band, bucket)
+                         <= 1000),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM kept a JOIN kept b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id),
+        keq AS (SELECT p.doc_a, p.doc_b,
+                       SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)
+                           AS k_eq
+                FROM pairs p
+                JOIN mn ma ON ma.doc_id = p.doc_a
+                JOIN mn mb ON mb.doc_id = p.doc_b AND mb.lane = ma.lane
+                GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               CAST((k_eq * 15625 + 50) // 100 AS DOUBLE) / 10000.0
+                   AS est_jaccard
+        FROM keq WHERE k_eq >= 32
+    """
+
+
+def _simhash_near_dup_oracle_sql() -> str:
+    """Independent re-derivation of q_simhash_near_dup (rows-only →
+    exact): the complete candidate-generation pipeline, not just the
+    fingerprint primitive.  Fingerprints via the production chain
+    (xxhash64 token → splitmix64 lane → 64 strict bit-majorities, as in
+    _doc_fingerprint_oracle_sql), then dedup.simhash_near_duplicates'
+    exact pigeonhole bucketing at max_hamming=3: 4 chunks of 16 bits,
+    bucket-capped at 10000 members (replayed — a dropped bucket drops
+    its pairs), chunk-equality candidate join, hamming =
+    bit_count(a XOR b) ≤ 3, DISTINCT.  Adjudicates recall AND precision
+    of the production near-dup path bit-for-bit."""
+    from sgp_sketch.oracle_replay import sm64_cols, xxh64_str_sql
+
+    q1 = xxh64_str_sql(
+        "SELECT DISTINCT unnest(string_split(text, ' ')) AS word "
+        "FROM documents", "word", ["word"], out="tu", prefix="sn_")
+    return f"""
+        WITH wmap AS MATERIALIZED (
+            SELECT word, h FROM (
+                SELECT word, {sm64_cols('tu', 'h', 'nm_')} FROM ({q1}))),
+        occ AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       unnest(string_split(text, ' ')) AS word
+                FROM documents WHERE text IS NOT NULL AND text <> ''),
+        hs AS (SELECT occ.doc_id, wmap.h
+               FROM occ JOIN wmap USING (word)),
+        n AS (SELECT doc_id, COUNT(*) AS ntok FROM hs GROUP BY 1),
+        lanes AS (SELECT i AS b, CAST(power(2, i) AS HUGEINT) AS p2
+                  FROM range(64) AS r(i)),
+        bits AS (SELECT doc_id, b, p2, SUM((h // p2) % 2) AS ones
+                 FROM hs CROSS JOIN lanes GROUP BY 1, 2, 3),
+        fp AS MATERIALIZED (SELECT bits.doc_id,
+                      SUM(CASE WHEN ones * 2 > n.ntok THEN p2
+                          ELSE CAST(0 AS HUGEINT) END) AS f
+               FROM bits JOIN n ON n.doc_id = bits.doc_id
+               GROUP BY 1),
+        buckets AS (
+            SELECT doc_id, f, c.c AS chunk,
+                   (f // CAST(power(2, 16 * c.c) AS HUGEINT)) % 65536 AS val
+            FROM fp CROSS JOIN range(4) AS c(c)),
+        kept AS (
+            SELECT * FROM buckets
+            QUALIFY COUNT(*) OVER (PARTITION BY chunk, val) <= 10000),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(CAST(xor(a.f, b.f) AS UBIGINT)) AS INT)
+                       AS hamming
+            FROM kept a JOIN kept b
+              ON a.chunk = b.chunk AND a.val = b.val
+             AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """
+
+
+def _vocab_overlap_oracle_sql() -> str:
+    """Independent re-derivation of q_vocab_overlap (rows-only → exact):
+    HLL inclusion–exclusion at p=12 (m=4096).  Sparse-mode estimates
+    (loud-guarded) for each source and for each pair's kernel-merged
+    union — a sparse merge is the union of the per-idx code sets, so
+    its occupancy is COUNT(DISTINCT idx) over both sources' hashes —
+    then the query's own double arithmetic: overlap = max(0, a+b−u),
+    jaccard = overlap/u, rounded exactly as the Spark side rounds."""
+    from sgp_sketch.oracle_replay import sm64_cols, xxh64_str_sql
+
+    q1 = xxh64_str_sql(
+        "SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word "
+        "FROM documents "
+        "WHERE source IN ('src0','src1','src2','src3','src4')",
+        "word", ["source", "word"], out="tu", prefix="vo_")
+    est = ("CASE WHEN {c} * 4 >= 4096 THEN "
+           "CAST('vocab_overlap oracle: p=12 sparse-mode precondition "
+           "broken' AS DOUBLE) WHEN {c} = 0 THEN 0.0 "
+           "ELSE 4096.0 * ln(4096.0 / (4096.0 - CAST({c} AS DOUBLE))) END")
+    return f"""
+        WITH idxs AS MATERIALIZED (
+            SELECT DISTINCT source, h // {1 << 52} AS idx FROM (
+                SELECT source, {sm64_cols('tu', 'h', 'vm_')} FROM ({q1}))),
+        sizes AS (SELECT source, {est.format(c='COUNT(*)')} AS e
+                  FROM idxs GROUP BY source),
+        pairs AS (SELECT a.source AS group_a, b.source AS group_b,
+                         a.e AS ea, b.e AS eb
+                  FROM sizes a JOIN sizes b ON a.source < b.source),
+        uni AS (SELECT p.group_a, p.group_b,
+                       {est.format(c='COUNT(DISTINCT i.idx)')} AS eu
+                FROM pairs p JOIN idxs i
+                  ON i.source = p.group_a OR i.source = p.group_b
+                GROUP BY 1, 2),
+        m AS (SELECT p.group_a, p.group_b, p.ea, p.eb, u.eu,
+                     GREATEST(0.0, p.ea + p.eb - u.eu) AS inter
+              FROM pairs p JOIN uni u ON u.group_a = p.group_a
+                                     AND u.group_b = p.group_b)
+        SELECT group_a, group_b,
+               ROUND(ea, 1) AS est_a, ROUND(eb, 1) AS est_b,
+               ROUND(eu, 1) AS est_union, ROUND(inter, 1) AS est_overlap,
+               ROUND(CASE WHEN eu > 0 THEN inter / eu ELSE 0.0 END, 4)
+                   AS jaccard
+        FROM m
+    """
+
+
+def _bloom_membership_oracle_sql() -> str:
+    """Independent re-derivation of q_bloom_membership (rows-only →
+    exact): per-source blocked Bloom filters over the PRODUCTION token
+    chain.  Probe token = xxhash64(word) (replayed from bytes); item
+    hash h = splitmix64(token); block = splitmix64_seed11(h) % 4096
+    (n_blocks=2^12), k=8 bits at (h1 + i·(h2|1)) mod 512 with h1/h2
+    from seeds 12/13 (kernels/bloom.py:_positions — the same
+    Kirsch-Mitzenmauer scheme _bloom_bits_replay_oracle_sql pins on md5
+    tokens); maybe_present = the probe's position set ⊆ the source's
+    inserted position set.  Exact membership: false positives predicted
+    bit-for-bit, not just FN=0."""
+    from sgp_sketch.oracle_replay import (seeded_sm64_cols, sm64_cols,
+                                          xxh64_str_sql)
+
+    stop = ", ".join(f"('{w}')" for w in _STOPWORDS)
+    probe_words = (f"SELECT w FROM (VALUES {stop}) AS s(w) "
+                   f"UNION ALL SELECT 'zz_absent_' || CAST(r.i AS VARCHAR) "
+                   f"FROM range(10) AS r(i)")
+    ins_words = ("SELECT DISTINCT source, "
+                 "unnest(string_split(text, ' ')) AS word FROM documents "
+                 "WHERE source IN ('src0', 'src1')")
+    q_ins = xxh64_str_sql(ins_words, "word", ["source", "word"],
+                          out="tu", prefix="bi_")
+    q_probe = xxh64_str_sql(f"SELECT w FROM ({probe_words})", "w",
+                            ["w"], out="tu", prefix="bp_")
+
+    def pos_ctes(base: str, keep: str) -> str:
+        """(keep..., tu) → {base}pos(keep..., gpos): the filter's global
+        bit positions block*512 + pos of each item."""
+        return f"""
+        {base}h0 AS (SELECT {keep}, {sm64_cols('tu', 'h', 'a_')}
+                     FROM {base}),
+        {base}h1 AS (SELECT {keep}, h,
+                            {seeded_sm64_cols('h', 11, 'hb', 'b_')}
+                     FROM {base}h0),
+        {base}h2 AS (SELECT {keep}, h, hb,
+                            {seeded_sm64_cols('h', 12, 'h1', 'c_')}
+                     FROM {base}h1),
+        {base}h3 AS (SELECT {keep}, hb, h1,
+                            {seeded_sm64_cols('h', 13, 'h2r', 'd_')}
+                     FROM {base}h2),
+        {base}pos AS (SELECT DISTINCT {keep},
+                             (hb % 4096) * 512 +
+                             (h1 + i * (CASE WHEN h2r % 2 = 0 THEN h2r + 1
+                                        ELSE h2r END)) % 512 AS gpos
+                      FROM {base}h3 CROSS JOIN range(8) AS kk(i))"""
+
+    return f"""
+        WITH ins AS MATERIALIZED ({q_ins}),
+        {pos_ctes('ins', 'source')},
+        probes AS MATERIALIZED (
+            SELECT s.source, p.w, p.tu
+            FROM ({q_probe}) p
+            CROSS JOIN (VALUES ('src0'), ('src1')) AS s(source)),
+        pr AS (SELECT source, w, tu FROM probes),
+        {pos_ctes('pr', 'source, w, tu')},
+        miss AS (SELECT pp.source, pp.w
+                 FROM prpos pp
+                 LEFT JOIN inspos ip ON ip.source = pp.source
+                                    AND ip.gpos = pp.gpos
+                 WHERE ip.gpos IS NULL
+                 GROUP BY 1, 2)
+        SELECT p.source,
+               CAST({_SIGNED64.format(v='p.tu')} AS BIGINT) AS token,
+               m.w IS NULL AS maybe_present
+        FROM (SELECT DISTINCT source, w, tu FROM probes) p
+        LEFT JOIN miss m ON m.source = p.source AND m.w = p.w
     """
 
 
@@ -6437,6 +6705,19 @@ def oracle_sql() -> dict[str, str]:
         "theta_vocab_overlap": _theta_vocab_overlap_oracle_sql(),
         "hll_distinct_tokens": _hll_distinct_tokens_oracle_sql(),
         "hll_daily_users": _hll_daily_users_oracle_sql(),
+        "vocab_overlap": _vocab_overlap_oracle_sql(),
+        "bloom_membership": _bloom_membership_oracle_sql(),
+        "simhash_near_dup": _simhash_near_dup_oracle_sql(),
+        "minhash_near_dup": _minhash_near_dup_oracle_sql(),
+        # the three stateful builds are blob-byte-equal to a direct build
+        # (pytest-gated), so their estimate values replay identically —
+        # upgrading the build-path-equivalence claim itself to exact
+        "checkpointed_hll":
+            _hll_source_estimates_oracle_sql(include_global=False),
+        "streamed_hll":
+            _hll_source_estimates_oracle_sql(include_global=False),
+        "incremental_hll":
+            _hll_source_estimates_oracle_sql(include_global=False),
         "checkpoint_resume_replay": """
             -- n_tokens recomputed from raw text; the two invariant flags
             -- (resume byte-equality, exactly-one-skipped-slice) are

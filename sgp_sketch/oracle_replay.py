@@ -215,24 +215,36 @@ def xxh64_long_sql(inner_sql: str, long_expr: str, keep_cols: list,
 
 def xxh64_str_sql(inner_sql: str, str_expr: str, keep_cols: list,
                   out: str = "h", prefix: str = "x_", max_len: int = 31,
-                  seed: int = XXH64_DEFAULT_SEED) -> str:
+                  seed: int | str = XXH64_DEFAULT_SEED) -> str:
     """Subquery SQL: ``keep_cols`` of ``inner_sql`` plus
     ``xxhash64(str_expr) AS out`` for an ASCII string expression of byte
-    length ≤ max_len (< 32) — Spark XXH64.hashUnsafeBytes over the UTF-8
-    bytes, bit-exact.
+    length ≤ max_len (< 128) — Spark XXH64.hashUnsafeBytes over the
+    UTF-8 bytes, bit-exact.
 
-    Layout of the unrolled chain (per the algorithm for len < 32):
-    h = seed + PRIME5 + len; one 8-byte little-endian stripe per full
-    8 bytes (≤ max_len//8 of them, each CASE-guarded on length); one
-    4-byte word if len%8 ≥ 4 (its offset is the dynamic (len//8)*8,
-    resolved with substr's dynamic position); then len%4 single bytes;
-    then fmix.  Guards that would make silent wrong answers are loud
-    errors instead: non-ASCII (char length ≠ byte length) and
-    over-length both CAST a message string to BIGINT, which DuckDB
-    rejects at run time on the offending row."""
-    if not 0 <= max_len < 32:
-        raise ValueError("xxh64_str_sql unrolls the < 32-byte tail only")
+    Layout of the unrolled chain: for len ≥ 32, up to max_len//32
+    four-accumulator 32-byte blocks (each CASE-guarded on length) merged
+    by the rotl(1/7/12/18) fold; h += len; then the shared tail — one
+    8-byte little-endian stripe per remaining full 8 bytes at dynamic
+    offset 32·(len//32) + 8·i, one 4-byte word if len%8 ≥ 4 at dynamic
+    offset (len//8)·8, len%4 single bytes, fmix.  Dynamic offsets are
+    resolved with substr's expression position, so one generated chain
+    serves every length class.
+
+    ``seed`` may be an int constant or an SQL expression (a column of
+    ``inner_sql``) — the latter replays Spark's multi-column
+    ``xxhash64(a, b)`` chaining, where column b's seed is column a's
+    hash (precompute it with xxh64_int_const/xxh64_long_const).
+
+    Guards that would make silent wrong answers are loud errors
+    instead: non-ASCII (char length ≠ byte length) and over-length both
+    CAST a message string to BIGINT, which DuckDB rejects at run time
+    on the offending row."""
+    if not 0 <= max_len < 128:
+        raise ValueError("xxh64_str_sql unrolls at most 3 acc blocks "
+                         "(max_len < 128)")
     p = prefix
+    seed_u = (f"((CAST({seed} AS HUGEINT)) % {M64} + {M64}) % {M64}"
+              if isinstance(seed, str) else str(seed % M64))
     steps = [
         (f"{p}s", f"({str_expr})"),
         (f"{p}L",
@@ -240,8 +252,7 @@ def xxh64_str_sql(inner_sql: str, str_expr: str, keep_cols: list,
          f"strlen({p}s) <> length({p}s) "
          f"THEN CAST('xxh64_str_sql: input over max_len={max_len} "
          f"or non-ASCII' AS BIGINT) ELSE length({p}s) END"),
-        (f"{p}g0",
-         f"(CAST({(seed + _XP5) % M64} AS HUGEINT) + {p}L) % {M64}"),
+        (f"{p}sd", f"CAST({seed_u} AS HUGEINT)"),
     ]
     # byte at dynamic 1-based position expr (0 when past the end; every
     # use is CASE-guarded, the 0 is never part of a taken branch)
@@ -249,10 +260,67 @@ def xxh64_str_sql(inner_sql: str, str_expr: str, keep_cols: list,
     byte = lambda pos: (f"CASE WHEN ({pos}) <= {p}L "
                         f"THEN CAST(ord(substr({p}s, {pos}, 1)) AS HUGEINT) "
                         f"ELSE CAST(0 AS HUGEINT) END")
+    n_blocks = max_len // 32
+    if n_blocks:
+        # four-accumulator 32-byte blocks (XXH64's len >= 32 main loop);
+        # lane aliases are versioned per block — nested SELECT * levels
+        # cannot redefine an existing column name
+        lane = {i: f"{p}v{i}_0" for i in range(1, 5)}
+        steps += [
+            (lane[1], f"({p}sd + {(_XP1 + _XP2) % M64}) % {M64}"),
+            (lane[2], f"({p}sd + {_XP2}) % {M64}"),
+            (lane[3], f"{p}sd"),
+            (lane[4], f"({p}sd + {M64 - _XP1}) % {M64}"),
+        ]
+        for j in range(n_blocks):
+            guard = f"{p}L >= {32 * (j + 1)}"
+            for i in range(1, 5):
+                w = " + ".join(
+                    f"{byte(f'{32 * j + 8 * (i - 1) + k + 1}')} "
+                    f"* {1 << (8 * k)}" for k in range(8))
+                nxt = f"{p}v{i}_{j + 1}"
+                steps += [
+                    (f"{p}bw{j}_{i}", f"CAST({w} AS HUGEINT)"),
+                    (f"{p}bt{j}_{i}",
+                     f"({lane[i]} + {_mulmod(f'{p}bw{j}_{i}', _XP2)}) "
+                     f"% {M64}"),
+                    (f"{p}br{j}_{i}", _rotl(f"{p}bt{j}_{i}", 31)),
+                    (nxt,
+                     f"CASE WHEN {guard} THEN "
+                     f"{_mulmod(f'{p}br{j}_{i}', _XP1)} ELSE {lane[i]} END"),
+                ]
+                lane[i] = nxt
+        steps.append(
+            (f"{p}am",
+             f"({_rotl(lane[1], 1)} + {_rotl(lane[2], 7)} + "
+             f"{_rotl(lane[3], 12)} + {_rotl(lane[4], 18)}) % {M64}"))
+        prev_acc = f"{p}am"
+        for i in range(1, 5):
+            steps += [
+                (f"{p}fa{i}", _mulmod(lane[i], _XP2)),
+                (f"{p}fb{i}", _rotl(f"{p}fa{i}", 31)),
+                (f"{p}fc{i}", _mulmod(f"{p}fb{i}", _XP1)),
+                (f"{p}fd{i}", f"xor({prev_acc}, {p}fc{i})"),
+                (f"{p}fe{i}",
+                 f"({_mulmod(f'{p}fd{i}', _XP1)} + {_XP4}) % {M64}"),
+            ]
+            prev_acc = f"{p}fe{i}"
+        init_ge32 = f"({prev_acc} + {p}L) % {M64}"
+    else:
+        init_ge32 = "NULL"
+    steps.append(
+        (f"{p}g0",
+         f"CASE WHEN {p}L >= 32 THEN {init_ge32} "
+         f"ELSE (({p}sd + {_XP5}) % {M64} + {p}L) % {M64} END"))
     prev = f"{p}g0"
-    for i in range(max_len // 8):
-        w = " + ".join(f"{byte(8 * i + k + 1)} * {1 << (8 * k)}"
-                       for k in range(8))
+    # tail 8-byte stripes at dynamic offset 32*(len//32) + 8*i; worst
+    # remaining-length class is len%32 = 31 (3 stripes) once max_len
+    # admits any len with len%32 >= 24
+    n_tail = 3 if max_len >= 24 else max_len // 8
+    for i in range(n_tail):
+        w = " + ".join(
+            f"{byte(f'({p}L // 32) * 32 + {8 * i + k + 1}')} "
+            f"* {1 << (8 * k)}" for k in range(8))
         steps += [
             (f"{p}w{i}", f"CAST({w} AS HUGEINT)"),
             (f"{p}a{i}", _mulmod(f"{p}w{i}", _XP2)),
@@ -261,7 +329,7 @@ def xxh64_str_sql(inner_sql: str, str_expr: str, keep_cols: list,
             (f"{p}d{i}", f"xor({prev}, {p}c{i})"),
             (f"{p}e{i}", _rotl(f"{p}d{i}", 27)),
             (f"{p}g{i + 1}",
-             f"CASE WHEN {p}L >= {8 * (i + 1)} THEN "
+             f"CASE WHEN {p}L % 32 >= {8 * (i + 1)} THEN "
              f"({_mulmod(f'{p}e{i}', _XP1)} + {_XP4}) % {M64} "
              f"ELSE {prev} END"),
         ]
@@ -303,16 +371,42 @@ def xxh64_long_const(v: int, seed: int = XXH64_DEFAULT_SEED) -> int:
     return _pfmix(h)
 
 
+def xxh64_int_const(v: int, seed: int = XXH64_DEFAULT_SEED) -> int:
+    """Python scalar XXH64 of an INT32 input — Spark XXH64.hashInt
+    (uint64 out).  Needed to precompute constant seeds for multi-column
+    ``F.xxhash64(F.lit(b), str_col)`` chains (Spark threads the hash of
+    each column as the next column's seed)."""
+    u = v & 0xFFFFFFFF
+    h = (seed + _XP5 + 4) % M64
+    h ^= (u * _XP1) % M64
+    h = (_protl(h, 23) * _XP2 + _XP3) % M64
+    return _pfmix(h)
+
+
 def xxh64_ascii_const(s: str | bytes,
                       seed: int = XXH64_DEFAULT_SEED) -> int:
-    """Python scalar XXH64 of a byte string < 32 bytes — Spark
-    XXH64.hashUnsafeBytes (uint64 out)."""
+    """Python scalar XXH64 of a byte string — Spark XXH64.hashUnsafeBytes
+    (uint64 out), any length (the ≥ 32-byte four-accumulator loop
+    included)."""
     b = s.encode() if isinstance(s, str) else s
     n = len(b)
-    if n >= 32:
-        raise ValueError("xxh64_ascii_const replays the < 32-byte tail only")
-    h = (seed + _XP5 + n) % M64
     o = 0
+    if n >= 32:
+        v = [(seed + _XP1 + _XP2) % M64, (seed + _XP2) % M64,
+             seed % M64, (seed - _XP1) % M64]
+        while o + 32 <= n:
+            for i in range(4):
+                k = int.from_bytes(b[o + 8 * i:o + 8 * i + 8], "little")
+                v[i] = (_protl((v[i] + k * _XP2) % M64, 31) * _XP1) % M64
+            o += 32
+        h = (_protl(v[0], 1) + _protl(v[1], 7)
+             + _protl(v[2], 12) + _protl(v[3], 18)) % M64
+        for i in range(4):
+            h ^= (_protl((v[i] * _XP2) % M64, 31) * _XP1) % M64
+            h = (h * _XP1 + _XP4) % M64
+        h = (h + n) % M64
+    else:
+        h = (seed + _XP5 + n) % M64
     while o + 8 <= n:
         k = int.from_bytes(b[o:o + 8], "little")
         h ^= _protl((k * _XP2) % M64, 31) * _XP1 % M64

@@ -1,0 +1,176 @@
+"""Random-corpus sweeps for the production-chain near-dup and
+estimate-surface oracles (__spark_entry__._simhash_near_dup_oracle_sql,
+_minhash_near_dup_oracle_sql, _hll_source_estimates_oracle_sql).
+
+Same discipline as the MG/KLL/t-digest sweeps: the oracle SQL runs on a
+DuckDB-registered synthetic `documents` table while an independent
+Python path (scalar xxh64 reference + the numpy kernels the Spark UDFs
+call) computes the same pipeline — so a corpus shape the fixed testdata
+never produces (single-word docs, sub-3-word docs, colliding chunk
+values, doc-id string-order traps, band-string length extremes) is
+exercised without a Spark session.  tools/check_contract.py remains the
+Spark-vs-DuckDB end-to-end gate on the real testdata.
+"""
+
+import math
+from collections import defaultdict
+from itertools import combinations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+from sgp_sketch.dedup import minhash_batch, simhash_batch
+from sgp_sketch.oracle_replay import (GOLDEN_CONST, splitmix64_const,
+                                      xxh64_ascii_const, xxh64_int_const)
+
+M64 = 1 << 64
+
+
+def _signed(u: int) -> int:
+    return u - M64 if u >= (1 << 63) else u
+
+
+def _corpus(seed: int) -> pd.DataFrame:
+    """Synthetic documents: random short ASCII words, doc lengths 1..40
+    (including sub-3-word docs that produce no shingles), doc_ids mixed
+    1/2/3-digit (string ordering differs from numeric), 3-8 sources."""
+    rng = np.random.default_rng(seed)
+    vocab = ["".join(rng.choice(list("abcdefgh"), size=int(rng.integers(1, 9))))
+             for _ in range(int(rng.integers(4, 40)))]
+    rows = []
+    for i in range(int(rng.integers(20, 120))):
+        n = int(rng.integers(1, 40))
+        text = " ".join(rng.choice(vocab, size=n))
+        rows.append((int(rng.integers(1, 999)) * 1000 + i,
+                     text, f"src{int(rng.integers(0, 8))}"))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+
+
+def _word_hash(w: str) -> int:
+    return xxh64_ascii_const(w)  # uint64
+
+
+def _simhash_pairs_ref(docs: pd.DataFrame):
+    fps = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        if text is None or text == "":
+            continue
+        toks = np.array([_signed(_word_hash(w)) for w in text.split(" ")],
+                        dtype=np.int64)
+        fps[str(did)] = int(simhash_batch([toks])[0])
+    buckets = defaultdict(list)
+    for did, f in fps.items():
+        for c in range(4):
+            buckets[(c, (f >> (16 * c)) & 0xFFFF)].append(did)
+    out = set()
+    for members in buckets.values():
+        if len(members) > 10000:
+            continue
+        for a, b in combinations(sorted(members), 2):
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                out.add((a, b, h))
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 17, 59])
+def test_simhash_near_dup_oracle_random_corpora(seed):
+    docs = _corpus(seed)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    got = {(r[0], r[1], int(r[2])) for r in
+           con.execute(entry._simhash_near_dup_oracle_sql()).fetchall()}
+    assert got == _simhash_pairs_ref(docs)
+
+
+def _minhash_pairs_ref(docs: pd.DataFrame):
+    k, bands, r = 64, 16, 4
+    sigs, n_docs = {}, 0
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        words = text.split(" ")
+        if len(words) < 3:
+            continue
+        grams = [" ".join(words[i:i + 3]) for i in range(len(words) - 2)]
+        sh = []
+        seen = set()
+        for g in grams:
+            t = _signed(_word_hash(g))
+            if t not in seen:
+                seen.add(t)
+                sh.append(t)
+        sig = minhash_batch([np.array(sh, dtype=np.int64)], k=k)[0]
+        sigs[int(did)] = sig.astype(np.uint64)
+        n_docs += 1
+    buckets = defaultdict(list)
+    for did, sig in sigs.items():
+        for b in range(bands):
+            s = ",".join(str(_signed(int(v))) for v in sig[b * r:(b + 1) * r])
+            h = xxh64_ascii_const(s, seed=xxh64_int_const(b))
+            buckets[(b, h)].append(did)
+    cands = set()
+    for members in buckets.values():
+        if len(members) > 1000:
+            continue
+        for a, b in combinations(sorted(members), 2):
+            cands.add((a, b))
+    out = {}
+    for a, b in cands:
+        keq = int((sigs[a] == sigs[b]).sum())
+        if keq >= 32:
+            out[(a, b)] = (keq * 15625 + 50) // 100 / 10000.0
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 23, 71])
+def test_minhash_near_dup_oracle_random_corpora(seed):
+    docs = _corpus(seed)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    rows = con.execute(entry._minhash_near_dup_oracle_sql()).fetchall()
+    got = {(int(a), int(b)): float(e) for a, b, e in rows}
+    exp = _minhash_pairs_ref(docs)
+    assert got == exp
+
+
+def _lane_seed_convention():
+    """The oracle's lane seeds must equal minhash_batch's."""
+    exp = [splitmix64_const(((i + 1) * GOLDEN_CONST) % M64)
+           for i in range(64)]
+    from sgp_sketch.kernels.hashing import GOLDEN, splitmix64
+
+    got = splitmix64(np.arange(1, 65, dtype=np.uint64) * GOLDEN)
+    return exp, [int(v) for v in got]
+
+
+def test_minhash_lane_seed_convention_64():
+    exp, got = _lane_seed_convention()
+    assert exp == got
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_hll_source_estimates_oracle_random_corpora(seed):
+    docs = _corpus(seed)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    rows = con.execute(
+        entry._hll_source_estimates_oracle_sql(include_global=True)
+    ).fetchall()
+    got = {r[0]: float(r[1]) for r in rows}
+    # independent path: distinct register indexes per source via the
+    # scalar reference chain, then linear counting
+    from sgp_sketch.kernels.hashing import splitmix64
+
+    idxs = defaultdict(set)
+    for text, src in zip(docs["text"], docs["source"]):
+        for w in text.split(" "):
+            h = int(splitmix64(np.uint64(_word_hash(w))))
+            idxs[src].add(h >> 50)
+            idxs["__all__"].add(h >> 50)
+    exp = {s: 16384.0 * math.log(16384.0 / (16384.0 - len(v)))
+           for s, v in idxs.items()}
+    assert set(got) == set(exp)
+    for s in exp:
+        assert got[s] == exp[s], s

@@ -769,19 +769,43 @@ def test_xxh64_long_sql_matches_python_ref(con):
 
 
 def test_xxh64_str_sql_matches_python_ref(con):
-    """Every supported byte length 0..31 (stripe/4-byte/byte-tail branch
-    combinations) through the SQL chain equals the scalar reference."""
+    """Every byte length 0..127 (all stripe/4-byte/byte-tail branch
+    combinations AND 1-3 four-accumulator 32-byte blocks) through the
+    SQL chain equals the scalar reference."""
     from sgp_sketch.oracle_replay import xxh64_ascii_const, xxh64_str_sql
 
     rng = np.random.default_rng(17)
-    strs = [""] + [_rng_ascii(rng, L, L) for L in range(32) for _ in range(8)]
+    strs = [""] + [_rng_ascii(rng, L, L) for L in range(128)
+                   for _ in range(3)]
     rel = ("SELECT s FROM (VALUES "
            + ", ".join("('" + s.replace("'", "''") + "')" for s in strs)
            + ") AS t(s)")
-    rows = con.execute(xxh64_str_sql(rel, "s", ["s"])).fetchall()
+    rows = con.execute(xxh64_str_sql(rel, "s", ["s"],
+                                     max_len=127)).fetchall()
     assert len(rows) == len(strs)
     for s, h in rows:
         assert int(h) == xxh64_ascii_const(s), repr(s)
+
+
+def test_xxh64_str_sql_seed_expression(con):
+    """Per-row seed columns (Spark's multi-column xxhash64 chaining — the
+    banded-LSH bucket-id shape) match the scalar reference for every
+    length class and seed magnitude."""
+    from sgp_sketch.oracle_replay import xxh64_ascii_const, xxh64_str_sql
+
+    rng = np.random.default_rng(19)
+    seeds = [0, 1, 42, 2**63 - 1, 2**64 - 1, 12345678901234567]
+    rows_in = [(_rng_ascii(rng, L, L), sd)
+               for L in range(0, 128, 7) for sd in seeds]
+    rel = ("SELECT s, sd FROM (VALUES " + ", ".join(
+        "('" + s.replace("'", "''") + f"', CAST({sd} AS HUGEINT))"
+        for s, sd in rows_in) + ") AS t(s, sd)")
+    q = xxh64_str_sql(rel, "s", ["s", "sd"], out="hh", prefix="y_",
+                      max_len=127, seed="sd")
+    rows = con.execute(q).fetchall()
+    assert len(rows) == len(rows_in)
+    for s, sd, h in rows:
+        assert int(h) == xxh64_ascii_const(s, seed=int(sd)), (repr(s), sd)
 
 
 def test_xxh64_str_sql_loud_guards(con):
@@ -795,12 +819,15 @@ def test_xxh64_str_sql_loud_guards(con):
         con.execute(xxh64_str_sql(f"SELECT '{'x' * 9}' AS s", "s", ["s"],
                                   max_len=8)).fetchall()
     with pytest.raises(ValueError):
-        xxh64_str_sql("SELECT 'a' AS s", "s", ["s"], max_len=32)
+        xxh64_str_sql("SELECT 'a' AS s", "s", ["s"], max_len=128)
 
 
-def test_xxh64_ascii_const_rejects_32_bytes():
+def test_xxh64_ascii_const_accumulator_loop_lengths():
+    """The scalar reference's >= 32-byte four-accumulator path is
+    Spark-parity-gated in tests/test_xxh64_spark_parity.py; here pin the
+    branch boundaries are all exercised without error and distinct."""
     from sgp_sketch.oracle_replay import xxh64_ascii_const
 
-    assert xxh64_ascii_const("x" * 31)  # supported
-    with pytest.raises(ValueError):
-        xxh64_ascii_const("x" * 32)
+    hs = {n: xxh64_ascii_const("x" * n) for n in
+          (0, 1, 31, 32, 33, 63, 64, 95, 96, 127, 200)}
+    assert len(set(hs.values())) == len(hs)

@@ -24,6 +24,7 @@ PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
 # side jobs (stateful builds / staged CSV / collected results)
 EXEMPT = {
     "checkpointed_hll", "streamed_hll",         # collected memoized rows
+    "incremental_hll",                          # collected memoized rows
     "windowed_stream_counts",                   # streaming memory sink
     "csv_roundtrip",                            # staged CSV side effect
     "json_roundtrip",                           # staged JSONL side effect
@@ -49,6 +50,16 @@ EXEMPT = {
     "hll_distinct_tokens",    # sketch build (mapInArrow) + estimate UDF IS
     "hll_daily_users",        # the operator; oracles replay the sparse
                               # linear-counting estimate over the full chain
+    "vocab_overlap",          # HLL pair-merge UDF over KB blob rows; its
+                              # oracle replays sparse inclusion-exclusion
+    "bloom_membership",       # broadcast-filter probe UDF; its oracle
+                              # replays exact blocked-Bloom bit containment
+    "simhash_near_dup",       # simhash kernel UDF feeds the candidate
+                              # join; oracle replays fingerprints, caps,
+                              # bucketing and hamming verify exactly
+    "minhash_near_dup",       # minhash kernel UDF feeds banded LSH; its
+                              # oracle replays shingles, 64 lanes, band
+                              # buckets, caps and the keq/64 estimate
     "cosine_pairs",           # the exact all-pairs GEMM IS the vectorized
     "cosine_pairs_blocked",   # Python path (one BLAS call per partition /
                               # block pair) — see dedup.exact_cosine_pairs
