@@ -4322,25 +4322,35 @@ def _xxhash_token_replay_oracle_sql() -> str:
             f"FROM ({q2}) ORDER BY kind, key")
 
 
-def _doc_fingerprint_oracle_sql() -> str:
-    """Independent re-derivation of q_doc_fingerprint over the PRODUCTION
-    token ids: token = XXH64(word) (xxh64_str_sql), lane hash =
-    splitmix64(token) (the kernel's hash64, sm64_cols), then per doc and
-    bit position the strict-majority vote over the token MULTISET
-    (dedup.simhash_batch), fingerprint reassembled and counted distinct
-    per source.  Same majority/fp shape as _simhash_fp_replay_oracle_sql
-    but on the engine's real hash chain, not md5 stand-ins."""
+def _simhash_fp_ctes(doc_expr: str, where: str | None,
+                     prefix: str) -> str:
+    """Shared CTE block computing the production SimHash fingerprint per
+    doc: token = XXH64(word) (xxh64_str_sql), lane hash =
+    splitmix64(token) (the kernel's hash64), then per doc and bit
+    position the strict-majority vote over the token MULTISET
+    (dedup.simhash_batch), fingerprint reassembled as Σ bit·2^b.
+    Emits CTEs wmap/occ/hs/n/lanes/bits and finally ``fp(doc_id, f)``
+    with f a u64 HUGEINT.  ``doc_expr`` is the doc-id projection (raw
+    BIGINT or a VARCHAR cast); ``where`` optionally filters the doc set
+    (e.g. the near-dup path drops NULL-text docs; a doc with EMPTY text
+    still has one ''-token — split('', ' ') = [''] in BOTH engines —
+    and gets a real fingerprint).  Used by _doc_fingerprint_oracle_sql
+    and _simhash_near_dup_oracle_sql — one implementation, two
+    adjudications."""
     from sgp_sketch.oracle_replay import sm64_cols, xxh64_str_sql
 
+    w = f" WHERE {where}" if where else ""
     q1 = xxh64_str_sql(
         "SELECT DISTINCT unnest(string_split(text, ' ')) AS word "
-        "FROM documents", "word", ["word"], out="tu", prefix="dx_")
-    return f"""
-        WITH wmap AS MATERIALIZED (
+        "FROM documents", "word", ["word"], out="tu",
+        prefix=f"{prefix}x_")
+    return f"""wmap AS MATERIALIZED (
             SELECT word, h FROM (
-                SELECT word, {sm64_cols('tu', 'h', 'sm_')} FROM ({q1}))),
-        occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-                FROM documents),
+                SELECT word, {sm64_cols('tu', 'h', prefix + 'm_')}
+                FROM ({q1}))),
+        occ AS (SELECT {doc_expr} AS doc_id,
+                       unnest(string_split(text, ' ')) AS word
+                FROM documents{w}),
         hs AS (SELECT occ.doc_id, wmap.h
                FROM occ JOIN wmap USING (word)),
         n AS (SELECT doc_id, COUNT(*) AS ntok FROM hs GROUP BY 1),
@@ -4348,14 +4358,26 @@ def _doc_fingerprint_oracle_sql() -> str:
                   FROM range(64) AS r(i)),
         bits AS (SELECT doc_id, b, p2, SUM((h // p2) % 2) AS ones
                  FROM hs CROSS JOIN lanes GROUP BY 1, 2, 3),
-        fp AS (SELECT bits.doc_id,
+        fp AS MATERIALIZED (SELECT bits.doc_id,
                       SUM(CASE WHEN ones * 2 > n.ntok THEN p2
                           ELSE CAST(0 AS HUGEINT) END) AS f
                FROM bits JOIN n ON n.doc_id = bits.doc_id
-               GROUP BY 1)
+               GROUP BY 1)"""
+
+
+def _doc_fingerprint_oracle_sql() -> str:
+    """Independent re-derivation of q_doc_fingerprint over the PRODUCTION
+    token ids (_simhash_fp_ctes), counted distinct per source.  LEFT
+    JOIN off documents: dedup.simhash_fingerprints maps a NULL-text doc
+    (NULL token array) to fingerprint 0 and q_doc_fingerprint still
+    counts it, so the oracle coalesces missing fingerprints to 0 — the
+    same degenerate shape _simhash_fp_replay_oracle_sql handles."""
+    return f"""
+        WITH {_simhash_fp_ctes('doc_id', None, 'df')}
         SELECT d.source, COUNT(*) AS n_docs,
-               COUNT(DISTINCT fp.f) AS n_fingerprints
-        FROM documents d JOIN fp ON fp.doc_id = d.doc_id
+               COUNT(DISTINCT COALESCE(fp.f, CAST(0 AS HUGEINT)))
+                   AS n_fingerprints
+        FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
         GROUP BY d.source
     """
 
@@ -4468,12 +4490,17 @@ def _theta_vocab_overlap_oracle_sql() -> str:
     """
 
 
-_HLL_SPARSE_EST = (
-    "CASE WHEN {c} * 4 >= 16384 THEN "
-    "CAST('hll estimate oracle: register occupancy left sparse mode "
-    "(c*4 >= m) — the dense Ertl path is not replayed here' AS DOUBLE) "
-    "WHEN {c} = 0 THEN 0.0 "
-    "ELSE 16384.0 * ln(16384.0 / (16384.0 - CAST({c} AS DOUBLE))) END")
+def _hll_sparse_est(c: str, m: int = 16384) -> str:
+    """Sparse-mode linear-counting estimate m·ln(m/(m−c)) with the loud
+    dense-mode guard.  STRICT c·4 > m: the kernel promotes only when
+    sparse.size > m//4 (kernels/hll.py:129), so occupancy exactly m/4
+    is still sparse and must estimate, not error (review finding #3)."""
+    return (f"CASE WHEN {c} * 4 > {m} THEN "
+            f"CAST('hll estimate oracle: register occupancy left sparse "
+            f"mode (c*4 > m={m}) — the dense Ertl path is not replayed "
+            f"here' AS DOUBLE) "
+            f"WHEN {c} = 0 THEN 0.0 "
+            f"ELSE {m}.0 * ln({m}.0 / ({m}.0 - CAST({c} AS DOUBLE))) END")
 
 
 def _hll_source_estimates_oracle_sql(include_global: bool) -> str:
@@ -4500,7 +4527,7 @@ def _hll_source_estimates_oracle_sql(include_global: bool) -> str:
         "SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word "
         "FROM documents", "word", ["source", "word"], out="tu",
         prefix="hd_")
-    est = _HLL_SPARSE_EST.format(c="c")
+    est = _hll_sparse_est("c")
     glob = f"""
             UNION ALL
             SELECT '__all__' AS source, COUNT(DISTINCT h // {1 << 50}) AS c
@@ -4528,7 +4555,7 @@ def _hll_daily_users_oracle_sql() -> str:
     at sf0.01 / 1356 at sf0.1, far below m/4 = 4096)."""
     from sgp_sketch.oracle_replay import sm64_cols
 
-    est = _HLL_SPARSE_EST.format(c="c")
+    est = _hll_sparse_est("c")
     return f"""
         WITH u AS (
             SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
@@ -4636,31 +4663,16 @@ def _simhash_near_dup_oracle_sql() -> str:
     bucket-capped at 10000 members (replayed — a dropped bucket drops
     its pairs), chunk-equality candidate join, hamming =
     bit_count(a XOR b) ≤ 3, DISTINCT.  Adjudicates recall AND precision
-    of the production near-dup path bit-for-bit."""
-    from sgp_sketch.oracle_replay import sm64_cols, xxh64_str_sql
+    of the production near-dup path bit-for-bit.
 
-    q1 = xxh64_str_sql(
-        "SELECT DISTINCT unnest(string_split(text, ' ')) AS word "
-        "FROM documents", "word", ["word"], out="tu", prefix="sn_")
+    Doc-set semantics mirror dedup.simhash_near_duplicates exactly:
+    NULL-text docs are dropped (their token array is NULL), but
+    EMPTY-text docs are KEPT — split('', ' ') = [''] in both engines,
+    so they carry one ''-token and a real fingerprint (review finding:
+    an earlier text <> '' filter here diverged on exactly that shape)."""
     return f"""
-        WITH wmap AS MATERIALIZED (
-            SELECT word, h FROM (
-                SELECT word, {sm64_cols('tu', 'h', 'nm_')} FROM ({q1}))),
-        occ AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                       unnest(string_split(text, ' ')) AS word
-                FROM documents WHERE text IS NOT NULL AND text <> ''),
-        hs AS (SELECT occ.doc_id, wmap.h
-               FROM occ JOIN wmap USING (word)),
-        n AS (SELECT doc_id, COUNT(*) AS ntok FROM hs GROUP BY 1),
-        lanes AS (SELECT i AS b, CAST(power(2, i) AS HUGEINT) AS p2
-                  FROM range(64) AS r(i)),
-        bits AS (SELECT doc_id, b, p2, SUM((h // p2) % 2) AS ones
-                 FROM hs CROSS JOIN lanes GROUP BY 1, 2, 3),
-        fp AS MATERIALIZED (SELECT bits.doc_id,
-                      SUM(CASE WHEN ones * 2 > n.ntok THEN p2
-                          ELSE CAST(0 AS HUGEINT) END) AS f
-               FROM bits JOIN n ON n.doc_id = bits.doc_id
-               GROUP BY 1),
+        WITH {_simhash_fp_ctes("CAST(doc_id AS VARCHAR)",
+                               "text IS NOT NULL", "sn")},
         buckets AS (
             SELECT doc_id, f, c.c AS chunk,
                    (f // CAST(power(2, 16 * c.c) AS HUGEINT)) % 65536 AS val
@@ -4694,21 +4706,17 @@ def _vocab_overlap_oracle_sql() -> str:
         "FROM documents "
         "WHERE source IN ('src0','src1','src2','src3','src4')",
         "word", ["source", "word"], out="tu", prefix="vo_")
-    est = ("CASE WHEN {c} * 4 >= 4096 THEN "
-           "CAST('vocab_overlap oracle: p=12 sparse-mode precondition "
-           "broken' AS DOUBLE) WHEN {c} = 0 THEN 0.0 "
-           "ELSE 4096.0 * ln(4096.0 / (4096.0 - CAST({c} AS DOUBLE))) END")
     return f"""
         WITH idxs AS MATERIALIZED (
             SELECT DISTINCT source, h // {1 << 52} AS idx FROM (
                 SELECT source, {sm64_cols('tu', 'h', 'vm_')} FROM ({q1}))),
-        sizes AS (SELECT source, {est.format(c='COUNT(*)')} AS e
+        sizes AS (SELECT source, {_hll_sparse_est('COUNT(*)', 4096)} AS e
                   FROM idxs GROUP BY source),
         pairs AS (SELECT a.source AS group_a, b.source AS group_b,
                          a.e AS ea, b.e AS eb
                   FROM sizes a JOIN sizes b ON a.source < b.source),
         uni AS (SELECT p.group_a, p.group_b,
-                       {est.format(c='COUNT(DISTINCT i.idx)')} AS eu
+                       {_hll_sparse_est('COUNT(DISTINCT i.idx)', 4096)} AS eu
                 FROM pairs p JOIN idxs i
                   ON i.source = p.group_a OR i.source = p.group_b
                 GROUP BY 1, 2),

@@ -35,8 +35,11 @@ def _signed(u: int) -> int:
 
 def _corpus(seed: int) -> pd.DataFrame:
     """Synthetic documents: random short ASCII words, doc lengths 1..40
-    (including sub-3-word docs that produce no shingles), doc_ids mixed
-    1/2/3-digit (string ordering differs from numeric), 3-8 sources."""
+    (including sub-3-word docs that produce no shingles), plus 1-3
+    EMPTY-text docs (split('', ' ') = [''] — the shape a text <> ''
+    oracle filter silently diverged on, review finding #1).  doc_ids mix
+    4-6 digit values with a few small 1-2 digit ids so string ordering
+    genuinely differs from numeric; up to 8 sources."""
     rng = np.random.default_rng(seed)
     vocab = ["".join(rng.choice(list("abcdefgh"), size=int(rng.integers(1, 9))))
              for _ in range(int(rng.integers(4, 40)))]
@@ -44,9 +47,16 @@ def _corpus(seed: int) -> pd.DataFrame:
     for i in range(int(rng.integers(20, 120))):
         n = int(rng.integers(1, 40))
         text = " ".join(rng.choice(vocab, size=n))
-        rows.append((int(rng.integers(1, 999)) * 1000 + i,
-                     text, f"src{int(rng.integers(0, 8))}"))
-    return pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+        did = (int(rng.integers(1, 99)) if rng.random() < 0.1
+               else int(rng.integers(1, 999)) * 1000 + i)
+        rows.append((did, text, f"src{int(rng.integers(0, 8))}"))
+    for j in range(int(rng.integers(1, 4))):
+        rows.append((int(rng.integers(1, 99)), "",
+                     f"src{int(rng.integers(0, 8))}"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    # small-id collisions possible — the engines under test key on
+    # doc_id, so keep ids unique
+    return df.drop_duplicates("doc_id").reset_index(drop=True)
 
 
 def _word_hash(w: str) -> int:
@@ -56,8 +66,9 @@ def _word_hash(w: str) -> int:
 def _simhash_pairs_ref(docs: pd.DataFrame):
     fps = {}
     for did, text in zip(docs["doc_id"], docs["text"]):
-        if text is None or text == "":
-            continue
+        if text is None:
+            continue  # NULL token array — dropped by the production path
+        # empty text is KEPT: split('', ' ') = [''] → one ''-token
         toks = np.array([_signed(_word_hash(w)) for w in text.split(" ")],
                         dtype=np.int64)
         fps[str(did)] = int(simhash_batch([toks])[0])

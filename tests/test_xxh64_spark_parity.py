@@ -34,12 +34,17 @@ def test_xxh64_long_const_matches_spark(spark):
 
 
 def test_xxh64_str_const_matches_spark(spark):
+    """Byte lengths 0..127 — the tail branches AND the >= 32-byte
+    four-accumulator path (which the minhash band-bucket oracle's
+    ~83-byte signature strings exercise) are all Spark-gated, so the
+    two-gate transitivity claim covers every length the SQL generator
+    supports."""
     rng = np.random.default_rng(29)
     chars = np.array(list(
         "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
         "0123456789 _-.!~'|,:/"))
     strs = [""] + ["".join(rng.choice(chars, size=length))
-                   for length in range(32) for _ in range(6)]
+                   for length in range(128) for _ in range(3)]
     rows = (spark.createDataFrame([(s,) for s in strs], "s string")
             .select("s", F.xxhash64("s").alias("h")).collect())
     assert len(rows) == len(strs)
