@@ -3153,7 +3153,10 @@ def q_mg_heavy_hitters(spark, sf_dir):
     [est_min, est_max] count bracket — the one-sided-undercount twin of
     cms_heavy_hitters (which never undercounts); bracketing and merge
     bounds are pytest-gated (tests/test_kernels.py). Rows-only check:
-    token ids are xxhash64(word), not DuckDB-reproducible."""
+    k=10 counters over a 31-token vocabulary means decrements fire, and
+    MG decrement results depend on arrival order across partitions —
+    the fixed-schedule variant is adjudicated by mg_summary_replay.
+    (The token ids themselves ARE DuckDB-reproducible since session 6.)"""
     from sgp_sketch import queries as Q
 
     return Q.mg_heavy_hitters(_doc_tokens(spark, sf_dir), k=10)
@@ -4688,6 +4691,65 @@ def _simhash_near_dup_oracle_sql() -> str:
               ON a.chunk = b.chunk AND a.val = b.val
              AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """
+
+
+def _cms_heavy_hitters_oracle_sql() -> str:
+    """Independent re-derivation of q_cms_heavy_hitters (rows-only →
+    exact): at this corpus the CMS is COLLISION-FREE — all distinct
+    corpus tokens land in private cells in every one of the 4 rows
+    (verified at every sf; loud-guarded) — and a collision-free
+    conservative update is exactly the plain update, so merged cell
+    sums equal true counts and every estimate is the exact frequency
+    regardless of partitioning or update order.  The candidate stage is
+    exhaustive (per-partition top-256 over ≤ 31 distinct), so the
+    output is the exact per-source top-10 by (count DESC, signed token
+    ASC) — queries.heavy_hitters' np.lexsort((cands, -est)) tie-break.
+    Cells replay as splitmix64(h ⊕ sm64(7+j)) mod 16384 (kernels/cms.py
+    _rows, seed=7), h = splitmix64(xxhash64(word))."""
+    from sgp_sketch.oracle_replay import (sm64_cols, splitmix64_const,
+                                          xxh64_str_sql)
+
+    q1 = xxh64_str_sql(
+        "SELECT DISTINCT unnest(string_split(text, ' ')) AS word "
+        "FROM documents", "word", ["word"], out="tu", prefix="chx_")
+    lane = " ".join(f"WHEN {j} THEN CAST({splitmix64_const(7 + j)} "
+                    f"AS HUGEINT)" for j in range(3))
+    lane_case = (f"CASE j {lane} ELSE "
+                 f"CAST({splitmix64_const(10)} AS HUGEINT) END")
+    st = _SIGNED64.format(v="tu")
+    return f"""
+        WITH wmap AS MATERIALIZED (
+            SELECT word, tu, h FROM (
+                SELECT word, tu, {sm64_cols('tu', 'h', 'chm_')}
+                FROM ({q1}))),
+        toks AS (SELECT DISTINCT tu, h FROM wmap),
+        cells AS (SELECT tu, j,
+                         {sm64_cols(f'xor(h, {lane_case})', 'hj', 'chc_')}
+                  FROM toks CROSS JOIN range(4) AS js(j)),
+        guard AS (SELECT SUM(bad) AS bad FROM (
+            SELECT j, CASE WHEN COUNT(DISTINCT hj % 16384) <> COUNT(*)
+                      THEN 1 ELSE 0 END AS bad
+            FROM cells GROUP BY j)),
+        cnt AS (SELECT d.source, w.tu, COUNT(*) AS c
+                FROM (SELECT source,
+                             unnest(string_split(text, ' ')) AS word
+                      FROM documents) d
+                JOIN wmap w USING (word)
+                GROUP BY 1, 2),
+        ranked AS (SELECT source, tu, c,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY source
+                              ORDER BY c DESC, {st} ASC) AS rank
+                   FROM cnt)
+        SELECT r.source, CAST({st} AS BIGINT) AS token,
+               CASE WHEN g.bad > 0 THEN
+                   CAST('cms_heavy_hitters oracle: corpus tokens share a
+ CMS cell — conservative update is no longer order-free' AS BIGINT)
+               ELSE r.c END AS est_count,
+               CAST(r.rank AS INT) AS rank
+        FROM ranked r CROSS JOIN guard g
+        WHERE r.rank <= 10
     """
 
 
@@ -6717,6 +6779,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _bloom_membership_oracle_sql(),
         "simhash_near_dup": _simhash_near_dup_oracle_sql(),
         "minhash_near_dup": _minhash_near_dup_oracle_sql(),
+        "cms_heavy_hitters": _cms_heavy_hitters_oracle_sql(),
         # the three stateful builds are blob-byte-equal to a direct build
         # (pytest-gated), so their estimate values replay identically —
         # upgrading the build-path-equivalence claim itself to exact

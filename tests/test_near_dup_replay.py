@@ -185,3 +185,47 @@ def test_hll_source_estimates_oracle_random_corpora(seed):
     assert set(got) == set(exp)
     for s in exp:
         assert got[s] == exp[s], s
+
+
+@pytest.mark.parametrize("seed", [11, 37, 83,   # exact path
+                                  39, 59, 70])  # guard path (verified)
+def test_cms_heavy_hitters_oracle_random_corpora(seed):
+    """The cms_heavy_hitters oracle is exact ONLY on collision-free
+    corpora and must loud-guard otherwise.  Random vocabularies collide
+    in a CMS row with realistic probability, so each sweep corpus either
+    (a) raises the guard's conversion error — the guard doing its job —
+    or (b) matches the exact per-source top-10 by (count DESC, signed
+    token ASC)."""
+    from sgp_sketch.kernels.hashing import splitmix64
+
+    docs = _corpus(seed)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    try:
+        rows = con.execute(entry._cms_heavy_hitters_oracle_sql()).fetchall()
+    except duckdb.ConversionException as e:
+        assert "cms_heavy_hitters oracle" in str(e)
+        # confirm the guard fired for a real reason: some CMS row must
+        # actually collide on this vocabulary
+        vocab = sorted({w for t in docs["text"] for w in t.split(" ")})
+        toks = np.array([_word_hash(w) for w in vocab], dtype=np.uint64)
+        h = splitmix64(toks)
+        collided = False
+        for j in range(4):
+            seeds = splitmix64(np.uint64(7 + j))
+            hj = splitmix64(h ^ seeds)
+            cells = (hj % np.uint64(16384)).tolist()
+            if len(set(cells)) != len(cells):
+                collided = True
+        assert collided
+        return
+    # exact path: per (source, token) counts → top 10
+    counts = defaultdict(lambda: defaultdict(int))
+    for text, src in zip(docs["text"], docs["source"]):
+        for w in text.split(" "):
+            counts[src][_signed(_word_hash(w))] += 1
+    exp = []
+    for src, cm in counts.items():
+        top = sorted(cm.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        exp += [(src, t, c, r + 1) for r, (t, c) in enumerate(top)]
+    assert sorted(rows) == sorted(exp)
