@@ -4727,16 +4727,24 @@ def _cms_heavy_hitters_oracle_sql() -> str:
         cells AS (SELECT tu, j,
                          {sm64_cols(f'xor(h, {lane_case})', 'hj', 'chc_')}
                   FROM toks CROSS JOIN range(4) AS js(j)),
-        guard AS (SELECT SUM(bad) AS bad FROM (
-            SELECT j, CASE WHEN COUNT(DISTINCT hj % 16384) <> COUNT(*)
-                      THEN 1 ELSE 0 END AS bad
-            FROM cells GROUP BY j)),
         cnt AS (SELECT d.source, w.tu, COUNT(*) AS c
                 FROM (SELECT source,
                              unnest(string_split(text, ' ')) AS word
                       FROM documents) d
                 JOIN wmap w USING (word)
                 GROUP BY 1, 2),
+        -- two loud-guarded preconditions: (1) collision-free cells in
+        -- every row (conservative ≡ plain); (2) candidate-stage
+        -- exhaustiveness — ≤ 256 distinct tokens per source, else the
+        -- per-partition top-C heaps could truncate a rank-boundary tie
+        guard AS (SELECT (SELECT SUM(bad) FROM (
+                      SELECT j, CASE WHEN COUNT(DISTINCT hj % 16384)
+                                          <> COUNT(*)
+                                THEN 1 ELSE 0 END AS bad
+                      FROM cells GROUP BY j))
+                   + (SELECT COUNT(*) FROM (
+                      SELECT source FROM cnt GROUP BY source
+                      HAVING COUNT(*) > 256)) AS bad),
         ranked AS (SELECT source, tu, c,
                           ROW_NUMBER() OVER (
                               PARTITION BY source
@@ -4744,8 +4752,11 @@ def _cms_heavy_hitters_oracle_sql() -> str:
                    FROM cnt)
         SELECT r.source, CAST({st} AS BIGINT) AS token,
                CASE WHEN g.bad > 0 THEN
-                   CAST('cms_heavy_hitters oracle: corpus tokens share a
- CMS cell — conservative update is no longer order-free' AS BIGINT)
+                   CAST('cms_heavy_hitters oracle: precondition broken — '
+                        'either corpus tokens share a CMS cell '
+                        '(conservative update no longer order-free) or a '
+                        'source exceeds 256 distinct tokens (candidate '
+                        'stage no longer exhaustive)' AS BIGINT)
                ELSE r.c END AS est_count,
                CAST(r.rank AS INT) AS rank
         FROM ranked r CROSS JOIN guard g

@@ -53,6 +53,12 @@ def _corpus(seed: int) -> pd.DataFrame:
     for j in range(int(rng.integers(1, 4))):
         rows.append((int(rng.integers(1, 99)), "",
                      f"src{int(rng.integers(0, 8))}"))
+    # NULL-text docs: dropped by the near-dup paths (NULL token array),
+    # fingerprint-0 in doc_fingerprint, token-free everywhere else —
+    # keeps the oracles' NULL branches (LEFT JOIN/COALESCE, IS NOT NULL
+    # filters) live in the sweeps, not just asserted
+    for j in range(int(rng.integers(1, 3))):
+        rows.append((900000 + j, None, f"src{int(rng.integers(0, 8))}"))
     df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
     # small-id collisions possible — the engines under test key on
     # doc_id, so keep ids unique
@@ -101,6 +107,8 @@ def _minhash_pairs_ref(docs: pd.DataFrame):
     k, bands, r = 64, 16, 4
     sigs, n_docs = {}, 0
     for did, text in zip(docs["doc_id"], docs["text"]):
+        if text is None:
+            continue  # NULL shingle array — dropped by the production path
         words = text.split(" ")
         if len(words) < 3:
             continue
@@ -176,6 +184,8 @@ def test_hll_source_estimates_oracle_random_corpora(seed):
 
     idxs = defaultdict(set)
     for text, src in zip(docs["text"], docs["source"]):
+        if text is None:
+            continue  # NULL token array contributes nothing
         for w in text.split(" "):
             h = int(splitmix64(np.uint64(_word_hash(w))))
             idxs[src].add(h >> 50)
@@ -207,7 +217,8 @@ def test_cms_heavy_hitters_oracle_random_corpora(seed):
         assert "cms_heavy_hitters oracle" in str(e)
         # confirm the guard fired for a real reason: some CMS row must
         # actually collide on this vocabulary
-        vocab = sorted({w for t in docs["text"] for w in t.split(" ")})
+        vocab = sorted({w for t in docs["text"] if t is not None
+                        for w in t.split(" ")})
         toks = np.array([_word_hash(w) for w in vocab], dtype=np.uint64)
         h = splitmix64(toks)
         collided = False
@@ -222,6 +233,8 @@ def test_cms_heavy_hitters_oracle_random_corpora(seed):
     # exact path: per (source, token) counts → top 10
     counts = defaultdict(lambda: defaultdict(int))
     for text, src in zip(docs["text"], docs["source"]):
+        if text is None:
+            continue
         for w in text.split(" "):
             counts[src][_signed(_word_hash(w))] += 1
     exp = []
@@ -229,3 +242,28 @@ def test_cms_heavy_hitters_oracle_random_corpora(seed):
         top = sorted(cm.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
         exp += [(src, t, c, r + 1) for r, (t, c) in enumerate(top)]
     assert sorted(rows) == sorted(exp)
+
+
+@pytest.mark.parametrize("seed", [13, 43])
+def test_doc_fingerprint_oracle_random_corpora(seed):
+    """Per-source doc and distinct-fingerprint counts, including the
+    NULL-text branch: a NULL-text doc has no token rows, the oracle
+    LEFT JOINs and coalesces its fingerprint to 0 (matching
+    dedup.simhash_fingerprints' None → 0), and it still counts toward
+    n_docs."""
+    docs = _corpus(seed)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    rows = con.execute(entry._doc_fingerprint_oracle_sql()).fetchall()
+    got = {r[0]: (int(r[1]), int(r[2])) for r in rows}
+    fps = defaultdict(list)
+    for did, text, src in zip(docs["doc_id"], docs["text"],
+                              docs["source"]):
+        if text is None:
+            fps[src].append(0)
+            continue
+        toks = np.array([_signed(_word_hash(w)) for w in text.split(" ")],
+                        dtype=np.int64)
+        fps[src].append(int(simhash_batch([toks])[0]))
+    exp = {src: (len(v), len(set(v))) for src, v in fps.items()}
+    assert got == exp
